@@ -1,0 +1,117 @@
+"""OHLCV candle aggregation — the reference's semantic core.
+
+Reference semantics (``/root/reference/main.py:150-170``):
+
+* tumbling event-time window per symbol (``groupBy(window(ts, dur), base)``,
+  ``main.py:162``),
+* ``open``  = price at the earliest timestamp, ties broken by LOWEST price,
+* ``close`` = price at the latest timestamp,  ties broken by HIGHEST price
+  (both fall out of ``array_sort`` over ``(t, p)`` structs,
+  ``main.py:153-158`` — lexicographic: timestamp then price),
+* ``low``/``high`` = min/max price (``main.py:166-167``),
+* ``volume`` = sum(quantity) (``main.py:168``).
+
+Two implementations:
+
+* ``mode="efficient"`` (default): ``open = min(struct(ts, p)).p``,
+  ``close = max(struct(ts, p)).p``. Struct min/max is lexicographic, so the
+  tie-breaks are identical to the reference — but state is O(1) per group
+  instead of the reference's O(#trades) ``collect_list`` buffer
+  (SURVEY.md §4.3). At 100 TB this is the difference between a working
+  streaming aggregation and an OOM: partial aggregation (map-side combine)
+  applies, the shuffle carries one struct per (window, symbol) per map task,
+  and the streaming state store holds two scalars per key.
+* ``mode="faithful"``: the reference's own
+  ``collect_list → array_sort → transform → element_at`` pipeline, kept for
+  parity testing only. Do not use on large groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OHLC_COLUMNS = (
+    "window_start",
+    "window_end",
+    "symbol",
+    "open",
+    "high",
+    "low",
+    "close",
+    "volume",
+    "n_trades",
+)
+
+
+def _ts_price(ts_col: str, price_col: str) -> Column:
+    return F.struct(F.col(ts_col).alias("t"), F.col(price_col).alias("p"))
+
+
+def ohlc_aggregates(
+    ts_col: str, price_col: str, qty_col: str | None, mode: str = "efficient"
+) -> list[Column]:
+    """The five OHLCV aggregate expressions plus trade count."""
+    if mode == "efficient":
+        open_ = F.min(_ts_price(ts_col, price_col)).getField("p")
+        close_ = F.max(_ts_price(ts_col, price_col)).getField("p")
+    elif mode == "faithful":
+        # Reference expressions verbatim-in-spirit (main.py:153-158):
+        # O(n) state; parity testing only.
+        pair = f"named_struct('t', {ts_col}, 'p', {price_col})"
+        open_ = F.expr(
+            f"element_at(transform(array_sort(collect_list({pair})), x -> x.p), 1)"
+        )
+        close_ = F.expr(
+            f"element_at(transform(array_sort(collect_list({pair})), x -> x.p),"
+            f" size(collect_list({pair})))"
+        )
+    else:
+        raise ValueError(f"unknown OHLC mode: {mode!r}")
+
+    volume = (
+        F.sum(F.col(qty_col)) if qty_col else F.sum(F.lit(1.0))
+    )
+    return [
+        open_.alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        close_.alias("close"),
+        volume.alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    ]
+
+
+def ohlc_candles(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    price_col: str = "price",
+    qty_col: str | None = None,
+    window_duration: str = "1 hour",
+    mode: str = "efficient",
+) -> DataFrame:
+    """Batch OHLCV candles: one row per (tumbling window, symbol).
+
+    Output columns: ``OHLC_COLUMNS``. The streaming twin is
+    ``streaming.candles.streaming_ohlc_candles`` (adds watermark + output
+    mode; same aggregate expressions).
+    """
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("window"),
+            F.col(symbol_col).alias("symbol"),
+        )
+        .agg(*ohlc_aggregates(ts_col, price_col, qty_col, mode))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "symbol",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )

@@ -1,0 +1,82 @@
+"""OHLC candle semantics: tie-breaks, faithful≡efficient, schema contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from ohlc_spark_streaming_spark.operators.ohlc import OHLC_COLUMNS, ohlc_candles
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("qty", T.DoubleType()),
+    ]
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s), sym, p, q)
+            for s, sym, p, q in rows
+        ],
+        SCHEMA,
+    )
+
+
+def test_tie_breaks_match_reference(spark):
+    """Reference tie-breaks (SURVEY §2.4): open = lowest price within the
+    earliest timestamp; close = highest price within the latest timestamp
+    (lexicographic (t, p) struct ordering, /root/reference/main.py:153-158)."""
+    df = _mk(
+        spark,
+        [
+            (0, "btc", 5.0, 1.0),
+            (0, "btc", 3.0, 1.0),  # same earliest ts, lower price → open
+            (30, "btc", 9.0, 1.0),
+            (59, "btc", 2.0, 1.0),
+            (59, "btc", 7.0, 1.0),  # same latest ts, higher price → close
+        ],
+    )
+    for mode in ("efficient", "faithful"):
+        row = ohlc_candles(
+            df, ts_col="ts", symbol_col="symbol", price_col="price",
+            qty_col="qty", window_duration="1 minute", mode=mode,
+        ).collect()[0]
+        assert row["open"] == 3.0, mode
+        assert row["close"] == 7.0, mode
+        assert row["high"] == 9.0 and row["low"] == 2.0
+        assert row["volume"] == 5.0 and row["n_trades"] == 5
+
+
+def test_modes_agree_on_real_data(spark):
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    kw = dict(ts_col="ts", symbol_col="event_type", price_col="value",
+              window_duration="1 hour")
+    eff = ohlc_candles(ev, mode="efficient", **kw)
+    fai = ohlc_candles(ev, mode="faithful", **kw)
+    assert eff.columns == list(OHLC_COLUMNS)
+    a = sorted(map(tuple, eff.collect()))
+    b = sorted(map(tuple, fai.collect()))
+    assert a == b
+
+
+def test_multiple_symbols_and_windows(spark):
+    df = _mk(
+        spark,
+        [(0, "a", 1.0, 1.0), (61, "a", 2.0, 1.0), (0, "b", 10.0, 2.0)],
+    )
+    out = ohlc_candles(
+        df, ts_col="ts", symbol_col="symbol", price_col="price",
+        qty_col="qty", window_duration="1 minute",
+    )
+    rows = {(r["symbol"], r["window_start"].minute): r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[("a", 1)]["open"] == 2.0
+    assert rows[("b", 0)]["volume"] == 2.0
