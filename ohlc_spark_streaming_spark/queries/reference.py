@@ -1,0 +1,249 @@
+"""Reference-parity queries: OHLC candles + the trade wire pipeline.
+
+These cover the reference's entire semantic surface
+(/root/reference/main.py:70-217) as oracle-checkable batch queries:
+JSON parse (P2), typed casts + null guard (P4, P5), base derivation (P6),
+windowed OHLCV aggregation (A1-A7), and candle serialization (P7, P8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ohlc import ohlc_candles
+from ..operators.trades import trades_from_wire
+from ..registry import register
+from ..sources.batch import load_table
+
+_OHLC_ORACLE = """
+SELECT
+  date_trunc('hour', ts)                        AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR      AS window_end,
+  event_type                                    AS symbol,
+  min(struct_pack(t := ts, p := value)).p       AS open,
+  max(value)                                    AS high,
+  min(value)                                    AS low,
+  max(struct_pack(t := ts, p := value)).p       AS close,
+  CAST(count(*) AS DOUBLE)                      AS volume,
+  count(*)                                      AS n_trades
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("ohlc_candles", _OHLC_ORACLE)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: hourly OHLCV candles per event_type over `events`.
+
+    Reference semantics at /root/reference/main.py:150-170 with the
+    O(1)-state struct-min/max open/close (SURVEY.md §4.3).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return ohlc_candles(
+        events,
+        ts_col="ts",
+        symbol_col="event_type",
+        price_col="value",
+        qty_col=None,
+        window_duration="1 hour",
+        mode="efficient",
+    )
+
+
+@register("ohlc_candles_faithful", _OHLC_ORACLE)
+def q_ohlc_candles_faithful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own collect_list/array_sort open-close pipeline
+    (/root/reference/main.py:153-158) — kept as a parity witness; same
+    oracle as the efficient mode."""
+    events = load_table(spark, sf_dir, "events")
+    return ohlc_candles(
+        events,
+        ts_col="ts",
+        symbol_col="event_type",
+        price_col="value",
+        qty_col=None,
+        window_duration="1 hour",
+        mode="faithful",
+    )
+
+
+def _wire_trades(events: DataFrame) -> DataFrame:
+    """Synthesize the reference's Kafka wire format from the events table.
+
+    Mirrors FIXTURES.md §A: all fields strings, timestamp as epoch seconds
+    (1-second resolution — intra-second ties exercise the open/close
+    tie-break). Every 7th row gets a non-matching topic to exercise the
+    base-derivation fallback (main.py:131-136). quantity uses sixteenths so
+    double sums are exact (dyadic rationals) on both engines.
+    """
+    return events.select(
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("raw-"), F.col("event_type"))
+        )
+        .otherwise(
+            F.concat(F.lit("parsed-trades-"), F.col("event_type"), F.lit("-usdt"))
+        )
+        .alias("topic"),
+        F.to_json(
+            F.struct(
+                F.upper(F.col("event_type")).alias("from_symbol"),
+                F.lit("usdt").alias("to_symbol"),
+                F.col("ts").cast("timestamp").cast("long").cast("string").alias(
+                    "timestamp"
+                ),
+                F.col("value").cast("string").alias("price"),
+                ((F.col("event_id") % 10) / F.lit(16.0) + F.lit(1.0))
+                .cast("string")
+                .alias("quantity"),
+            )
+        ).alias("value"),
+    )
+
+
+_WIRE_TRADES_SQL = """
+  SELECT
+    CASE WHEN event_id % 7 = 0 THEN 'raw-' || event_type
+         ELSE 'parsed-trades-' || event_type || '-usdt' END          AS topic,
+    upper(event_type)                                                AS from_symbol,
+    CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS timestamp,
+    value                                                            AS price,
+    (event_id % 10) / 16.0 + 1.0                                     AS quantity
+  FROM events
+"""
+
+
+@register(
+    "trade_pipeline",
+    f"""
+WITH trades AS ({_WIRE_TRADES_SQL})
+SELECT
+  time_bucket(INTERVAL '15 minutes', timestamp)                       AS window_start,
+  time_bucket(INTERVAL '15 minutes', timestamp) + INTERVAL '15 minutes' AS window_end,
+  CASE WHEN regexp_matches(topic, 'parsed-trades-.+-usdt')
+       THEN regexp_extract(topic, 'parsed-trades-([^-]+)-usdt', 1)
+       ELSE from_symbol END                                           AS symbol,
+  min(struct_pack(t := timestamp, p := price)).p                      AS open,
+  max(price)                                                          AS high,
+  min(price)                                                          AS low,
+  max(struct_pack(t := timestamp, p := price)).p                      AS close,
+  sum(quantity)                                                       AS volume,
+  count(*)                                                            AS n_trades
+FROM trades
+GROUP BY 1, 2, 3
+""",
+)
+def q_trade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference pipeline: wire JSON → parse → cast → null-guard
+    → base derivation → 15-minute OHLCV candles per base.
+
+    This is /root/reference/main.py:102-170 as one batch query: the wire
+    records round-trip through from_json exactly as Kafka values would.
+    """
+    events = load_table(spark, sf_dir, "events")
+    trades = trades_from_wire(_wire_trades(events))
+    return ohlc_candles(
+        trades,
+        ts_col="timestamp",
+        symbol_col="base",
+        price_col="price",
+        qty_col="quantity",
+        window_duration="15 minutes",
+        mode="efficient",
+    )
+
+
+@register(
+    "derive_base",
+    f"""
+WITH trades AS ({_WIRE_TRADES_SQL})
+SELECT
+  topic,
+  CASE WHEN regexp_matches(topic, 'parsed-trades-.+-usdt')
+       THEN regexp_extract(topic, 'parsed-trades-([^-]+)-usdt', 1)
+       ELSE from_symbol END AS base,
+  count(*)                  AS n_rows
+FROM trades
+GROUP BY 1, 2
+""",
+)
+def q_derive_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic→base derivation (P6): regex extraction with from_symbol
+    fallback for non-matching topics (/root/reference/main.py:131-136)."""
+    events = load_table(spark, sf_dir, "events")
+    trades = trades_from_wire(_wire_trades(events))
+    return trades.groupBy("topic", "base").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "json_extract_props",
+    """
+SELECT
+  event_type,
+  CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MAX(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS max_k,
+  COUNT(*)                                           AS n_rows
+FROM events
+GROUP BY event_type
+""",
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (P2 family): parse events.props and aggregate.
+
+    get_json_object stays JVM-side; the parse is pruned to the single
+    requested path (Catalyst OptimizeJsonExprs)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "candle_serialize",
+    """
+SELECT
+  'candles-' || event_type || '-usdt' AS topic,
+  event_type                          AS key,
+  '{"base":"' || event_type
+    || '","start_ts":"' || strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+    || '","open":' || CAST(CAST(min(struct_pack(t := ts, p := value)).p AS DECIMAL(18,2)) AS VARCHAR)
+    || ',"high":' || CAST(CAST(max(value) AS DECIMAL(18,2)) AS VARCHAR)
+    || ',"low":'  || CAST(CAST(min(value) AS DECIMAL(18,2)) AS VARCHAR)
+    || ',"close":' || CAST(CAST(max(struct_pack(t := ts, p := value)).p AS DECIMAL(18,2)) AS VARCHAR)
+    || ',"volume":' || CAST(count(*) AS VARCHAR)
+    || '}'                            AS value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def q_candle_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candle → Kafka sink row projection (P7+P8, main.py:173-188): per-row
+    output topic, key = base, canonical JSON value.
+
+    Canonical-string JSON (decimal-formatted numbers, second-resolution
+    timestamps) rather than to_json, so the oracle can reproduce it
+    byte-for-byte; the to_json variant is exercised in tests/."""
+    events = load_table(spark, sf_dir, "events")
+    candles = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    )
+    d2s = lambda c: F.col(c).cast("decimal(18,2)").cast("string")  # noqa: E731
+    return candles.select(
+        F.concat(F.lit("candles-"), F.col("symbol"), F.lit("-usdt")).alias("topic"),
+        F.col("symbol").alias("key"),
+        F.concat(
+            F.lit('{"base":"'), F.col("symbol"),
+            F.lit('","start_ts":"'),
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"),
+            F.lit('","open":'), d2s("open"),
+            F.lit(',"high":'), d2s("high"),
+            F.lit(',"low":'), d2s("low"),
+            F.lit(',"close":'), d2s("close"),
+            F.lit(',"volume":'), F.col("n_trades").cast("string"),
+            F.lit("}"),
+        ).alias("value"),
+    )

@@ -47,7 +47,13 @@ def apply_engine_confs(spark: SparkSession) -> SparkSession:
     Idempotent and cheap; called at the top of every public query entry so
     that driver-owned sessions behave identically to our own.
     """
-    for key, value in RUNTIME_CONFS.items():
+    confs = {
+        **RUNTIME_CONFS,
+        # Size the shuffle to the actual machine instead of Spark's default
+        # 200 — on local[N] the extra task scheduling dominates small stages.
+        "spark.sql.shuffle.partitions": str(default_parallelism()),
+    }
+    for key, value in confs.items():
         try:
             spark.conf.set(key, value)
         except Exception:

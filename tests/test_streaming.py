@@ -1,0 +1,50 @@
+"""Batch↔stream parity (SURVEY §5.2.3) and output-mode semantics."""
+
+from __future__ import annotations
+
+from ohlc_spark_streaming_spark.operators.ohlc import ohlc_candles
+from ohlc_spark_streaming_spark.sources.batch import load_table
+from ohlc_spark_streaming_spark.sources.stream import events_stream
+from ohlc_spark_streaming_spark.streaming.candles import (
+    run_to_memory,
+    streaming_ohlc_candles,
+)
+
+from .conftest import SF_SMOKE
+
+KW = dict(ts_col="ts", symbol_col="event_type", price_col="value", qty_col=None,
+          window_duration="1 hour")
+
+
+def test_streaming_complete_equals_batch(spark):
+    """Complete-mode bounded replay must equal the batch answer exactly."""
+    stream = events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        streaming_ohlc_candles(stream, watermark_delay="2 minutes", **KW),
+        "parity_complete",
+        output_mode="complete",
+    )
+    batch = ohlc_candles(load_table(spark, SF_SMOKE, "events"), **KW)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_append_withholds_unclosed_windows(spark):
+    """Append mode emits only windows finalized by the watermark: on a
+    bounded replay the trailing window(s) past (max_ts - delay) are
+    withheld (SURVEY §2.9 ST3/ST6)."""
+    stream = events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        streaming_ohlc_candles(stream, watermark_delay="2 minutes", **KW),
+        "parity_append",
+        output_mode="append",
+    )
+    batch = ohlc_candles(load_table(spark, SF_SMOKE, "events"), **KW)
+    out_rows = sorted(map(tuple, out.collect()))
+    batch_rows = sorted(map(tuple, batch.collect()))
+    assert 0 < len(out_rows) <= len(batch_rows)
+    # Everything append emitted matches the batch answer for that window.
+    assert set(out_rows) <= set(batch_rows)
+    # Only trailing (unclosed) windows may be missing.
+    max_emitted_start = max(r[0] for r in out_rows)
+    missing = [r for r in batch_rows if tuple(r) not in set(out_rows)]
+    assert all(r[0] >= max_emitted_start for r in missing)
