@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.joins import anti_join, asof_join, equi_join, range_join, semi_join
 from ..registry import dec_sum, register
 from ..sources.batch import load_table
 
@@ -54,4 +55,507 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec_sum("l_extendedprice") / n).alias("avg_price"),
             n.alias("count_order"),
         )
+    )
+
+
+_REVENUE_DEC = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+SELECT
+  l_orderkey,
+  {_REVENUE_DEC} AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + deterministic top-10 (TPC-H Q3 shape).
+
+    customer is broadcast (small dim); lineitem↔orders is the only shuffle.
+    The ORDER BY carries tie-break keys so LIMIT is deterministic."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-15 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        equi_join(o, c, F.col("o_custkey") == F.col("c_custkey"), broadcast_right=True)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    f"""
+SELECT
+  r_name,
+  n_name,
+  {_REVENUE_DEC} AS revenue,
+  COUNT(*)       AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup through three broadcast dims (TPC-H Q5 shape).
+
+    All three dims broadcast → zero extra shuffles beyond the final agg;
+    the fact table is read once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dec_sum(revenue, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "join_semi_anti",
+    """
+WITH big_spenders AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000)
+SELECT
+  c_custkey,
+  c_name,
+  CASE WHEN c_custkey IN (SELECT o_custkey FROM big_spenders)
+       THEN 'has_big_order' ELSE 'no_big_order' END AS bucket
+FROM customer
+""",
+)
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join pair over the same predicate (EXISTS / NOT EXISTS),
+    tagged and unioned so one query witnesses both paths."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    on = F.col("c_custkey") == F.col("o_custkey")
+    has = semi_join(c, big, on).withColumn("bucket", F.lit("has_big_order"))
+    not_has = anti_join(c, big, on).withColumn("bucket", F.lit("no_big_order"))
+    return has.unionByName(not_has).select("c_custkey", "c_name", "bucket")
+
+
+@register(
+    "join_range_shipdelay",
+    """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_late_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS late_value
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+""",
+)
+def q_join_range_shipdelay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: items shipped 60-90 days after their order.
+
+    The equi key (l_orderkey) keeps this a sort-merge join; the band is a
+    residual predicate — no nested-loop explosion (SURVEY §2.3)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    )
+    return (
+        range_join(l, o, F.col("l_orderkey") == F.col("o_orderkey"), cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_items"),
+            dec_sum("l_extendedprice").alias("late_value"),
+        )
+    )
+
+
+@register(
+    "join_asof_purchase_view",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  p.value  AS purchase_value,
+  v.ts     AS asof_ts,
+  v.value  AS asof_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def q_join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior
+    view (backward, inclusive). Implemented as union + single window pass —
+    one shuffle on user_id, no range explosion (operators/joins.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value")
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["value"],
+        how="left",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        "asof_ts",
+        F.col("asof_value"),
+    )
+
+
+@register(
+    "window_running_total",
+    """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER w AS DOUBLE) AS running_spend,
+  ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-customer cumulative spend + order sequence
+    (SURVEY §2.5). One shuffle on o_custkey feeds both window functions."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "window_candle_returns",
+    """
+WITH candles AS (
+  SELECT
+    event_type AS symbol,
+    date_trunc('hour', ts) AS window_start,
+    max(struct_pack(t := ts, p := value)).p AS close
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  symbol,
+  window_start,
+  close,
+  lag(close) OVER w                       AS prev_close,
+  (close - lag(close) OVER w) / lag(close) OVER w AS pct_return
+FROM candles
+WINDOW w AS (PARTITION BY symbol ORDER BY window_start)
+""",
+)
+def q_window_candle_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over candles: candle-over-candle percentage returns — the
+    natural analytic extension of the reference's domain (SURVEY §2.5)."""
+    from ..operators.ohlc import ohlc_candles
+
+    ev = load_table(spark, sf_dir, "events")
+    candles = ohlc_candles(
+        ev, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    ).select("symbol", "window_start", "close")
+    w = Window.partitionBy("symbol").orderBy("window_start")
+    prev = F.lag("close").over(w)
+    return candles.select(
+        "symbol",
+        "window_start",
+        "close",
+        prev.alias("prev_close"),
+        ((F.col("close") - prev) / prev).alias("pct_return"),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part
+)
+WHERE rk <= 3
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number (SURVEY §2.6): the scalable top-k —
+    partial top-k per partition, no global sort."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
+    )
+
+
+@register(
+    "set_ops_order_status",
+    """
+WITH f AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM f INTERSECT SELECT custkey FROM o)
+UNION ALL
+SELECT 'f_only' AS tag, custkey FROM (SELECT custkey FROM f EXCEPT SELECT custkey FROM o)
+UNION ALL
+SELECT 'o_only' AS tag, custkey FROM (SELECT custkey FROM o EXCEPT SELECT custkey FROM f)
+""",
+)
+def q_set_ops_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7): intersect / except / union over
+    customer key sets, tagged so one result witnesses all three."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    return (
+        f.intersect(o).withColumn("tag", F.lit("both"))
+        .unionByName(f.exceptAll(o).withColumn("tag", F.lit("f_only")))
+        .unionByName(o.exceptAll(f).withColumn("tag", F.lit("o_only")))
+        .select("tag", "custkey")
+    )
+
+
+@register(
+    "rollup_lineitem",
+    """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.4): subtotal + grand-total rows
+    (null-marked) computed in one pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dec_sum("l_quantity").alias("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "n_items", "sum_qty")
+    )
+
+
+@register(
+    "cube_orders",
+    """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one pass (SURVEY §2.4)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_value"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_value")
+    )
+
+
+@register(
+    "pivot_linestatus",
+    """
+SELECT
+  l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per l_linestatus value (explicit value list — at
+    scale, always pin pivot values to avoid a planning pass over the data)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dec_sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  COUNT(*)                  AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY §2.4): two DISTINCT columns in one agg
+    (Spark plans an expand + two-phase agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "percentiles_quantity",
+    """
+SELECT
+  l_returnflag,
+  quantile_cont(l_quantity, 0.5)      AS median_qty,
+  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SURVEY §2.4). At 100 TB you'd use
+    approx_percentile (t-digest sketch, mergeable) — exact percentile needs
+    a full sort of each group; both are exposed, the oracle checks exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "scalar_functions",
+    """
+SELECT
+  p_partkey,
+  upper(p_brand)                           AS brand_upper,
+  substring(p_type, 1, 6)                  AS type_prefix,
+  length(p_name)                           AS name_len,
+  abs(p_retailprice - 1000.0)              AS price_dist,
+  floor(p_retailprice / 100)               AS price_band,
+  CASE WHEN p_size < 20 THEN 'small'
+       WHEN p_size < 40 THEN 'medium'
+       ELSE 'large' END                    AS size_bucket,
+  p_retailprice * p_size                   AS price_volume
+FROM part
+""",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery (SURVEY §2.8): string, math, conditional —
+    all JVM-side built-ins inside one codegen stage. Transcendentals
+    (exp/ln/sqrt) are excluded from the oracle on purpose: libm last-ulp
+    differences between engines; they're exercised in tests/ instead."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist"),
+        F.floor(F.col("p_retailprice") / 100).alias("price_band"),
+        F.when(F.col("p_size") < 20, "small")
+        .when(F.col("p_size") < 40, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        (F.col("p_retailprice") * F.col("p_size")).alias("price_volume"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+SELECT
+  year(o_orderdate)    AS order_year,
+  month(o_orderdate)   AS order_month,
+  dayofweek(o_orderdate) + CASE WHEN dayofweek(o_orderdate) = 0 THEN 0 ELSE 0 END AS order_dow,
+  COUNT(*)             AS n_orders
+FROM orders
+GROUP BY 1, 2, 3
+""",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction + grouped counts (SURVEY §2.8 date/time)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
