@@ -23,9 +23,19 @@ from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
 # Extended as families land; keep this list in sync with SURVEY.md §2.
 HEADLINE = [
     "ohlc_candles",
+    "trade_pipeline",
+    "streaming_ohlc_candles",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_asof_purchase_view",
+    "window_running_total",
     "dedup_exact",
-    "text_token_count",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "text_quality",
+    "text_fingerprint",
 ]
 
 

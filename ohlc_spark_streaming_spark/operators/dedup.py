@@ -1,0 +1,312 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.11).
+
+Five escalating strategies, each a named operator over a ``(id, text)``
+document DataFrame:
+
+* :func:`exact_dedup` — group identical text, keep lowest id. One shuffle.
+* :func:`fingerprint_dedup` — group on sha2(text); at 100 TB the 32-byte
+  digest replaces arbitrarily long text as the shuffle key.
+* :func:`jaccard_pairs` — exact n-gram-Jaccard near-dup pairs within
+  cheap blocks (language × length band). The blocks bound the quadratic
+  term: O(Σ block²) ≪ O(n²).
+* :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH buckets →
+  candidate pairs → exact-Jaccard verification. The 100 TB path: cost is
+  O(n·k) hashing + one bucket-join whose fan-out is controlled by band
+  size; no block heuristics needed.
+* :func:`simhash_pairs` — SimHash bit-vote fingerprints + banded hamming
+  candidates → hamming-distance filter.
+
+All hashing is cross-engine modular arithmetic (functions/hashing.py) so
+every operator here is DuckDB-oracle-checkable, including the LSH ones —
+the oracle replays the same signatures, not just the same answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    BAND_ROWS,
+    N_BANDS,
+    P,
+    band_key,
+    minhash_exprs,
+    rolling_hash,
+)
+from ..functions.textops import shingles, tokens
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per identical text; report the copy count."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def fingerprint_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup keyed on the sha2-256 digest instead of raw text."""
+    return (
+        docs.withColumn("fp", F.sha2(F.col(text_col), 256))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select("fp", id_col, "n_copies")
+    )
+
+
+def _token_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    unit = shingles(text_col, n) if n > 1 else tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(unit).alias("units"),
+    ).withColumn("n_units", F.size("units"))
+
+
+def _jaccard(a_units: Column, b_units: Column, a_n: Column, b_n: Column) -> Column:
+    inter = F.size(F.array_intersect(a_units, b_units))
+    return inter / (a_n + b_n - inter)
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    length_band: int | None = 50,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs (id_a < id_b) within blocks.
+
+    ``block_cols`` plus an optional token-count band bound the candidate
+    set; the bands are part of the operator's declared semantics (a pair
+    split across bands is by definition not a candidate), which is what
+    makes the operator subquadratic AND oracle-reproducible.
+    """
+    sets = _token_sets(docs, id_col, text_col, shingle_n)
+    base = docs.select(id_col, *block_cols).join(sets, id_col)
+    if length_band is not None:
+        base = base.withColumn(
+            "len_band", F.floor(F.col("n_units") / F.lit(length_band))
+        )
+        block_keys = [*block_cols, "len_band"]
+    else:
+        block_keys = list(block_cols)
+
+    a = base.select(
+        *[F.col(c).alias(f"a_{c}") for c in block_keys],
+        F.col(id_col).alias("id_a"),
+        F.col("units").alias("a_units"),
+        F.col("n_units").alias("a_n"),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"b_{c}") for c in block_keys],
+        F.col(id_col).alias("id_b"),
+        F.col("units").alias("b_units"),
+        F.col("n_units").alias("b_n"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_keys:
+        cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+    jac = _jaccard(F.col("a_units"), F.col("b_units"), F.col("a_n"), F.col("b_n"))
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _token_hash_dict(tok: DataFrame) -> DataFrame:
+    """Hash each DISTINCT token once and broadcast the tiny dictionary.
+
+    The char-fold rolling hash is the expensive expression here; applying
+    it per (doc, token) occurrence recomputes the same fold millions of
+    times (measured 81s at sf0.1). Vocabulary is tiny relative to the
+    corpus, so hash the distinct tokens and broadcast-join the map back —
+    the classic dictionary-encode pattern that also holds at 100 TB
+    (vocabulary ≪ corpus; if the vocab outgrows broadcast, the same join
+    works shuffled)."""
+    return F.broadcast(
+        tok.select("tok").distinct().withColumn("th", rolling_hash("tok"))
+    )
+
+
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document 3-gram shingle hashes: (id, sh) one row per shingle.
+
+    Token hashes come from the broadcast dictionary; a shingle hash is the
+    positional combination ``(th_i·31² + th_{i+1}·31 + th_{i+2}) mod P`` —
+    pure arithmetic, no per-shingle string hashing, so the distinct-shingle
+    explosion (shingle vocabulary ≈ corpus size) costs nothing extra.
+    Shingles (not unigrams) are the similarity unit because same-vocabulary
+    corpora make unigram sets near-identical across unrelated documents —
+    unigram MinHash flagged ~all pairs as duplicates on the test corpus.
+    Documents with < 3 tokens yield no shingles (declared semantics).
+    """
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    hashed = tok.join(_token_hash_dict(tok), "tok")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    sh = (
+        F.col("th") * (31 * 31) + F.lead("th", 1).over(w) * 31 + F.lead("th", 2).over(w)
+    ) % P
+    return (
+        hashed.select(F.col(id_col), sh.alias("sh"))
+        .where(F.col("sh").isNotNull())
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document MinHash signature (k values) over shingle hashes."""
+    sh = shingle_hashes(docs, id_col, text_col)
+    return sh.groupBy(id_col).agg(
+        *[F.min(e).alias(f"mh{i}") for i, e in enumerate(minhash_exprs(F.col("sh")))]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: shingle hashes → signatures → band bucket keys → self-join
+    per band (the LSH candidate generation) → distinct pairs → verify with
+    exact shingle-set Jaccard ≥ threshold. Scale: the only joins are
+    equi-joins on bucket keys; candidate volume is tuned by
+    (N_BANDS, BAND_ROWS).
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        band_key(
+                            F.col(f"mh{j * BAND_ROWS}"),
+                            F.col(f"mh{j * BAND_ROWS + 1}"),
+                        ).alias("key"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sets = (
+        shingle_hashes(docs, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("units"))
+        .withColumn("n_units", F.size("units"))
+    )
+    jac = _jaccard(F.col("a_units"), F.col("b_units"), F.col("a_n"), F.col("b_n"))
+    return (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("units").alias("a_units"),
+                F.col("n_units").alias("a_n"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("units").alias("b_units"),
+                F.col("n_units").alias("b_n"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 28,
+) -> DataFrame:
+    """SimHash: per-bit ±1 votes from every shingle occurrence (frequency-
+    weighted), bit set where the vote sum is positive. Shingle basis for
+    the same reason as MinHash (see shingle_hashes); 28 usable bits since
+    shingle hashes live below P ≈ 2^30."""
+    sh = shingle_hashes(docs, id_col, text_col)
+    votes = sh.groupBy(id_col).agg(
+        *[
+            F.sum(((F.shiftright(F.col("sh"), j) % 2) * 2 - 1)).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = sum(
+        [F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(bits)],
+        F.lit(0),
+    )
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 28,
+    band_bits: int = 7,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidates come from banded fingerprint chunks (a pair within hamming d
+    of a b-band split shares ≥1 band when d < n_bands), then the exact
+    hamming filter runs on candidates only.
+    """
+    fp = simhash_fingerprints(docs, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        (F.shiftright(F.col("simhash"), j * band_bits) % (mask + 1)).alias("key"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

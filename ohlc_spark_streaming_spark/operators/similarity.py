@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+* :func:`cosine_topk` — exact brute force: broadcast the (bounded) query
+  set against the corpus, sequential-fold cosine, per-query top-k via
+  row_number. O(N·Q·D) but embarrassingly parallel and shuffle-free until
+  the final per-query top-k (which is partial-aggregated per partition).
+* :func:`lsh_cosine_topk` — random-hyperplane LSH: each vector gets a
+  sign-bucket from ``n_planes`` fixed ±1 hyperplanes; candidates are
+  corpus vectors sharing the query's bucket; exact cosine re-ranks the
+  candidates. At 100 TB the bucket equi-join replaces the cross join —
+  cost drops to O(N·planes·D) hashing + per-bucket work.
+
+The hyperplanes are deterministic ±1 vectors generated from a fixed LCG
+seed in Python and inlined as literals into BOTH the Spark plan and the
+DuckDB oracle SQL, so even the approximate path is value-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectorops import as_double_array, cosine, dot
+
+N_PLANES = 8
+_LCG_M = 2**31
+_LCG_A = 1103515245
+_LCG_C = 12345
+
+
+def hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from a fixed LCG (shared with oracle)."""
+    state = 20240101
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (_LCG_A * state + _LCG_C) % _LCG_M
+            row.append(1.0 if (state >> 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id: bit j set iff plane_j · v > 0."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(w) for w in plane])
+        d = dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane_lit)
+        bucket = bucket + F.when(d > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded when
+    ids collide). Output: query_id, vec_id, cos_sim, rank."""
+    c = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("_v")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(vec_col).alias("_q")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col(query_id_col))
+    scored = pairs.select(
+        query_id_col,
+        id_col,
+        cosine(F.col("_v"), F.col("_q")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-ranking within the query's LSH
+    bucket. Recall is tunable via n_planes (fewer planes → bigger buckets).
+
+    Output: query_id, vec_id, cos_sim, rank — deterministic because the
+    planes are fixed literals and ties break on vec_id.
+    """
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_v")).withColumn(
+        "bucket", _bucket_expr("_v", planes)
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_array(vec_col).alias("_q")
+    ).withColumn("bucket", _bucket_expr("_q", planes))
+
+    pairs = c.join(F.broadcast(q), "bucket").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = pairs.select(
+        query_id_col, id_col, cosine(F.col("_v"), F.col("_q")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine ≥ threshold, blocked to keep
+    the pair space bounded (block membership is part of the semantics)."""
+    base = embeddings.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        as_double_array(vec_col).alias("_v"),
+    )
+    a = base.select(
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+    )
+    b = base.select(
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+    )
+    on = (F.col("id_a") < F.col("id_b"))
+    joined = a.join(b, ["_blk"]) if block_col else a.crossJoin(b)
+    return (
+        joined.where(on)
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

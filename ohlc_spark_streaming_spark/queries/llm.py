@@ -1,13 +1,46 @@
-"""LLM-data-pipeline queries: dedup, text analysis, similarity, multimodal
-(SURVEY.md §2.11) over the documents/embeddings tables."""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal columns (SURVEY.md §2.11) over the documents/embeddings tables.
+
+Every approximate operator here (MinHash LSH, SimHash, hyperplane LSH) is
+still exactly oracle-checked: the hashing is cross-engine modular
+arithmetic (functions/hashing.py) and the hyperplanes are fixed literals,
+so DuckDB replays the identical signatures — the oracle validates the
+algorithm, not just a row count.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing
+from ..functions.textops import BPE_ISH_PATTERN, STOPWORDS
+from ..operators import similarity as sim_ops
+from ..operators.dedup import (
+    exact_dedup,
+    fingerprint_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import attach_payloads, blob_stats
+from ..operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    hyperplanes,
+    lsh_cosine_topk,
+)
+from ..operators.text import (
+    LANG_PROFILES,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
 from ..registry import register
 from ..sources.batch import load_table
+
+# --- deduplication ----------------------------------------------------------
 
 
 @register(
@@ -21,36 +54,429 @@ GROUP BY text
 """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: keep the lowest doc_id per identical text.
+    """Exact dedup: keep the lowest doc_id per identical text."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
 
-    One shuffle on the text hash; at 100 TB you'd group on sha2(text, 256)
-    instead of the raw text to cap shuffle width (see dedup_fingerprint)."""
+
+@register(
+    "dedup_fingerprint",
+    """
+SELECT
+  sha256(text) AS fp,
+  min(doc_id)  AS doc_id,
+  count(*)     AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on sha2-256 — the shuffle key is 32 bytes however
+    long the document is (the 100 TB form of dedup_exact)."""
+    return fingerprint_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_TOKENS = "string_split(text, ' ')"
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKENS}) - 2, 1) + 1),"
+    f" i -> array_to_string(({_TOKENS})[i:i+2], ' ')))"
+)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+WITH sets AS (
+  SELECT doc_id, lang, {_SHINGLES} AS units
+  FROM documents
+), banded AS (
+  SELECT doc_id, lang, units, len(units) AS n_units,
+         CAST(floor(len(units) / 50) AS BIGINT) AS len_band
+  FROM sets
+)
+SELECT
+  a.doc_id AS id_a,
+  b.doc_id AS id_b,
+  len(list_intersect(a.units, b.units))
+    / (a.n_units + b.n_units - len(list_intersect(a.units, b.units))) AS jaccard
+FROM banded a
+JOIN banded b
+  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.units, b.units))
+    / (a.n_units + b.n_units - len(list_intersect(a.units, b.units))) >= 0.5
+""",
+)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs within (lang, length
+    band) blocks — the blocks bound the quadratic candidate space and are
+    part of the declared semantics."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
-        .select("doc_id", "n_copies")
+    return jaccard_pairs(
+        docs, block_cols=("lang",), shingle_n=3, threshold=0.5, length_band=50
     )
+
+
+def _shingle_sql_cte() -> str:
+    """Shared DuckDB CTEs producing per-doc shingle hashes (twin of
+    operators.dedup.shingle_hashes: broadcast token dictionary + positional
+    combination, parallel-unnest zipping for token positions)."""
+    th = hashing.rolling_hash_sql("tok")
+    return f"""
+toks AS (
+  SELECT doc_id, {_TOKENS} AS ts FROM documents
+), tokh AS (
+  SELECT tok, {th} AS th
+  FROM (SELECT DISTINCT unnest({_TOKENS}) AS tok FROM documents)
+), tp AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos FROM toks
+), tk AS (
+  SELECT doc_id, pos, th FROM tp JOIN tokh USING (tok)
+), shg AS (
+  SELECT doc_id,
+         (th * 961 + lead(th, 1) OVER w * 31 + lead(th, 2) OVER w) % {hashing.P} AS sh
+  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(th, 2) OVER w IS NOT NULL
+)"""
+
+
+def _minhash_sql_cte() -> str:
+    """Per-doc MinHash signatures over shingle hashes."""
+    mins = ", ".join(
+        f"{expr} AS mh{i}" for i, expr in enumerate(hashing.minhash_sql("sh"))
+    )
+    return f"""{_shingle_sql_cte()},
+sig AS (
+  SELECT doc_id, {mins} FROM shg GROUP BY doc_id
+)"""
+
+
+def _minhash_bands_sql() -> str:
+    parts = []
+    for j in range(hashing.N_BANDS):
+        key = hashing.band_key_sql(
+            f"mh{j * hashing.BAND_ROWS}", f"mh{j * hashing.BAND_ROWS + 1}"
+        )
+        parts.append(f"SELECT doc_id, {j} AS band, {key} AS key FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_minhash_sql_cte()},
+bands AS ({_minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list(DISTINCT sh) AS units, count(DISTINCT sh) AS n_units
+  FROM shg GROUP BY doc_id
+)
+SELECT
+  id_a, id_b,
+  len(list_intersect(sa.units, sb.units))
+    / (sa.n_units + sb.n_units - len(list_intersect(sa.units, sb.units))) AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.units, sb.units))
+    / (sa.n_units + sb.n_units - len(list_intersect(sa.units, sb.units))) >= 0.7
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact-Jaccard verification —
+    the subquadratic 100 TB dedup path. The oracle replays the identical
+    signature arithmetic, validating the LSH itself."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def _simhash_sql_cte(bits: int = hashing.SIMHASH_BITS) -> str:
+    votes = ", ".join(
+        f"CAST(SUM(((sh >> {j}) % 2) * 2 - 1) AS BIGINT) AS v{j}" for j in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""{_shingle_sql_cte()},
+votes AS (
+  SELECT doc_id, {votes} FROM shg GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes
+)"""
+
+
+def _simhash_bands_sql(bits: int = hashing.SIMHASH_BITS, band_bits: int = 7) -> str:
+    parts = []
+    for j in range(bits // band_bits):
+        parts.append(
+            f"SELECT doc_id, simhash, {j} AS band,"
+            f" (simhash >> {j * band_bits}) % {1 << band_bits} AS key FROM fp"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH {_simhash_sql_cte()},
+bands AS ({_simhash_bands_sql()})
+SELECT DISTINCT
+  a.doc_id AS id_a,
+  b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit frequency-weighted bit votes, banded
+    candidate generation, hamming ≤ 3 filter."""
+    out = simhash_pairs(load_table(spark, sf_dir, "documents"))
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# --- similarity search ------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id, list_cosine_similarity(e, qe) AS cos_sim
+  FROM d, q WHERE vec_id != query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 10 query vectors: broadcast
+    queries × corpus scan, sequential-fold dot (bitwise equal to the
+    oracle's list_cosine_similarity — verified), per-query top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _planes_sql(planes: list[list[float]]) -> str:
+    rows = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{w:.1f}" for w in plane) + "]::DOUBLE[]"
+        rows.append(f"SELECT {j} AS plane_id, {arr} AS w")
+    return " UNION ALL ".join(rows)
+
+
+def _lsh_oracle_sql() -> str:
+    planes = hyperplanes(64, sim_ops.N_PLANES)
+    bucket = " + ".join(
+        f"CASE WHEN list_sum(list_transform(list_zip(e, (SELECT w FROM planes WHERE plane_id = {j})), x -> x[1]*x[2])) > 0 THEN {2**j} ELSE 0 END"
+        for j in range(sim_ops.N_PLANES)
+    )
+    return f"""
+WITH planes AS ({_planes_sql(planes)}),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+hashed AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM d),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM hashed WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, h.vec_id, list_cosine_similarity(h.e, qe) AS cos_sim
+  FROM hashed h JOIN q USING (bucket) WHERE h.vec_id != query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_lsh_topk", _lsh_oracle_sql())
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets + exact re-rank
+    within bucket — the 100 TB ANN path (bucket equi-join replaces the
+    cross join). Planes are fixed ±1 literals shared with the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_cosine_topk(emb, queries, dim=64, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embedding_near_dup",
+    """
+WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT
+  a.vec_id AS id_a,
+  b.vec_id AS id_b,
+  list_cosine_similarity(a.e, b.e) AS cos_sim
+FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.99
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.99), blocked by label to
+    bound the pair space."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, block_col="label", threshold=0.99)
+
+
+@register(
+    "embeddings_stats",
+    """
+SELECT
+  label,
+  COUNT(*) AS n_vecs,
+  CAST(SUM(CAST(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) AS DECIMAL(30,6))) AS DOUBLE) AS sum_sq_norm,
+  MIN(vec_id) AS min_vec_id,
+  MAX(vec_id) AS max_vec_id
+FROM embeddings
+GROUP BY label
+""",
+)
+def q_embeddings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats incl. exact-decimal sum of squared norms —
+    the norm fold is the same sequential double arithmetic as the oracle."""
+    from ..functions.vectorops import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(as_double_array("embedding"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(sq.cast("decimal(30,6)")).cast("double").alias("sum_sq_norm"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
+# --- text analysis ----------------------------------------------------------
 
 
 @register(
     "text_token_count",
-    """
+    f"""
 SELECT
   doc_id,
-  len(string_split(text, ' '))                AS n_tokens,
-  len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
-  length(text)                                AS text_len
+  len({_TOKENS})                AS n_tokens,
+  len(list_distinct({_TOKENS})) AS n_unique_tokens,
+  length(text)                  AS text_len,
+  len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpeish_tokens
 FROM documents
 """,
 )
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counts per document — narrow ops only, no shuffle."""
+    """Token counting: whitespace tokens + BPE-ish regex tokens — narrow
+    ops only, no shuffle."""
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT
+  doc_id,
+  len({_TOKENS}) AS n_tokens,
+  len(list_distinct({_TOKENS})) / len({_TOKENS}) AS type_token_ratio,
+  len(list_filter({_TOKENS}, t -> list_contains({_STOP_SQL}, t))) / len({_TOKENS}) AS stopword_ratio,
+  (length(text) - len({_TOKENS}) + 1) / len({_TOKENS}) AS mean_token_len
+FROM documents
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: lexical diversity, stopword density, mean token
+    length — integer-exact numerators/denominators, reproducible ratios."""
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = ", ".join(
+        "len(list_filter(list_distinct({toks}), t -> list_contains([{words}], t))) AS score_{lang}".format(
+            toks=_TOKENS,
+            words=", ".join(f"'{w}'" for w in LANG_PROFILES[lang]),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = " ".join(
+        f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, {score_cols} FROM documents),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, CASE {cases} ELSE 'und' END AS pred_lang,
+       CAST(best AS BIGINT) AS best_score
+FROM withbest
+"""
+
+
+@register("text_langid", _langid_sql())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID with deterministic argmax (ties → the
+    lexicographically smallest language; zero overlap → 'und')."""
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+SELECT
+  doc_id,
+  {hashing.rolling_hash_sql("text")} AS roll_hash,
+  sha256(text)                       AS sha256_hex
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: order-sensitive polynomial rolling hash +
+    sha2-256 digest, both bit-identical cross-engine."""
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@register(
+    "multimodal_blob_stats",
+    """
+SELECT
+  'text'       AS modality,
+  source,
+  COUNT(*)     AS n_assets,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  COUNT(DISTINCT sha256(text))                    AS n_distinct_payloads
+FROM documents
+GROUP BY source
+""",
+)
+def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column accounting: per-source byte totals and
+    distinct payload digests over utf-8 payload blobs. Metadata-style scan;
+    at 100 TB Parquet column pruning keeps unselected blobs unread."""
     docs = load_table(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), " ")
-    return docs.select(
-        "doc_id",
-        F.size(tokens).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(tokens)).cast("long").alias("n_unique_tokens"),
-        F.length("text").cast("long").alias("text_len"),
+    assets = attach_payloads(docs)
+    out = blob_stats(assets)
+    return out.select(
+        "modality",
+        "source",
+        "n_assets",
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        "n_distinct_payloads",
     )

@@ -275,7 +275,7 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("running_spend"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
 
@@ -340,7 +340,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").desc(), F.col("p_partkey").asc()
     )
     return (
-        p.withColumn("rk", F.row_number().over(w))
+        p.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
     )
@@ -507,7 +507,7 @@ SELECT
   substring(p_type, 1, 6)                  AS type_prefix,
   length(p_name)                           AS name_len,
   abs(p_retailprice - 1000.0)              AS price_dist,
-  floor(p_retailprice / 100)               AS price_band,
+  CAST(floor(p_retailprice / 100) AS BIGINT) AS price_band,
   CASE WHEN p_size < 20 THEN 'small'
        WHEN p_size < 40 THEN 'medium'
        ELSE 'large' END                    AS size_bucket,

@@ -55,6 +55,22 @@ def compare_query_to_oracle(spark, query_fn, oracle: str, sf_dir: str):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"
     )
+
+    # Python-type discipline per column: int vs float drift (e.g. DuckDB
+    # floor→DOUBLE vs Spark floor→long) would survive a == comparison but
+    # can break a driver-side value hash — catch it here.
+    def col_types(cols, rows):
+        out = {}
+        for i, c in enumerate(cols):
+            out[c] = {type(r[i]).__name__ for r in rows if r[i] is not None}
+        return out
+
+    s_types = col_types(spark_cols, spark_rows)
+    d_types = col_types(duck_cols, duck_rows)
+    for c in spark_cols:
+        assert s_types[c] == d_types[c] or not s_types[c] or not d_types[c], (
+            f"type mismatch in column {c}: spark={s_types[c]} duckdb={d_types[c]}"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"row count mismatch: spark={len(spark_rows)} duckdb={len(duck_rows)}"
     )
