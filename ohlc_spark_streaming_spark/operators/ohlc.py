@@ -89,17 +89,30 @@ def ohlc_candles(
     price_col: str = "price",
     qty_col: str | None = None,
     window_duration: str = "1 hour",
+    slide: str | None = None,
     mode: str = "efficient",
 ) -> DataFrame:
-    """Batch OHLCV candles: one row per (tumbling window, symbol).
+    """Batch OHLCV candles: one row per (window, symbol).
+
+    ``slide=None`` gives the reference's tumbling windows
+    (/root/reference/main.py:162); a ``slide`` shorter than
+    ``window_duration`` gives overlapping sliding candles (each event lands
+    in ``duration/slide`` windows — Spark expands this before the
+    aggregation, so the shuffle carries the expansion but per-group state
+    stays O(1)).
 
     Output columns: ``OHLC_COLUMNS``. The streaming twin is
     ``streaming.candles.streaming_ohlc_candles`` (adds watermark + output
     mode; same aggregate expressions).
     """
+    window = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         df.groupBy(
-            F.window(F.col(ts_col), window_duration).alias("window"),
+            window.alias("window"),
             F.col(symbol_col).alias("symbol"),
         )
         .agg(*ohlc_aggregates(ts_col, price_col, qty_col, mode))

@@ -480,3 +480,29 @@ def q_multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_bytes").cast("long").alias("total_bytes"),
         "n_distinct_payloads",
     )
+
+
+@register(
+    "multimodal_features",
+    """
+SELECT
+  doc_id AS asset_id,
+  'text' AS modality,
+  octet_length(encode(text)) AS n_bytes,
+  sha256(text)               AS payload_hash,
+  'len=' || octet_length(encode(text)) || ';head='
+         || lower(substr(hex(encode(text)), 1, 8)) AS feature
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas — the multimodal decode path with its deterministic stub
+    decoder. The oracle recomputes byte length, sha-256 digest, and the
+    stub feature string, so the whole Python-worker round trip (schema,
+    batch shape, partition independence) is value-checked, not just
+    row-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.multimodal import attach_payloads, extract_features
+
+    return extract_features(attach_payloads(docs))

@@ -13,10 +13,15 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators.sessions import session_aggregate
 from ..registry import register
+from ..sources.batch import load_table
 from ..sources.stream import events_stream
 from ..streaming.candles import run_to_memory, streaming_ohlc_candles
+from ..streaming.dedup import distinct_keys
+from ..streaming.joins import interval_join
 from .reference import _OHLC_ORACLE
 
 _counter = itertools.count()
@@ -41,3 +46,176 @@ def q_streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_ohlc_result_{next(_counter)}"
     return run_to_memory(candles, name, output_mode="complete")
+
+
+# Sliding candles: every event lands in duration/slide = 2 windows; the
+# oracle replays the expansion with an explicit offset cross join
+# (time_bucket is 30-minute epoch-aligned, as is Spark's window()).
+_SLIDING_ORACLE = """
+WITH shifted AS (
+  SELECT e.*,
+         time_bucket(INTERVAL 30 MINUTE, ts) - o.off * INTERVAL 30 MINUTE
+           AS window_start
+  FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+SELECT
+  window_start,
+  window_start + INTERVAL 1 HOUR                AS window_end,
+  event_type                                    AS symbol,
+  min(struct_pack(t := ts, p := value)).p       AS open,
+  max(value)                                    AS high,
+  min(value)                                    AS low,
+  max(struct_pack(t := ts, p := value)).p       AS close,
+  CAST(count(*) AS DOUBLE)                      AS volume,
+  count(*)                                      AS n_trades
+FROM shifted
+GROUP BY 1, 2, 3
+"""
+
+
+@register("ohlc_sliding_candles", _SLIDING_ORACLE)
+def q_ohlc_sliding_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window OHLCV: 1-hour candles every 30 minutes. Spark expands
+    each event into its 2 windows before the hash aggregation; per-group
+    state stays O(1)."""
+    from ..operators.ohlc import ohlc_candles
+
+    events = load_table(spark, sf_dir, "events")
+    return ohlc_candles(
+        events,
+        ts_col="ts",
+        symbol_col="event_type",
+        price_col="value",
+        qty_col=None,
+        window_duration="1 hour",
+        slide="30 minutes",
+    )
+
+
+# Session windows: gaps-and-islands oracle. Split when diff >= gap (Spark
+# session windows are end-exclusive [first, last + gap)); end = last + gap.
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT
+  min(ts)                                           AS session_start,
+  max(ts) + INTERVAL 4 HOUR                         AS session_end,
+  user_id,
+  count(*)                                          AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@register("session_windows_user", _SESSION_ORACLE)
+def q_session_windows_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions with a 4-hour inactivity gap
+    (F.session_window — the third event-time window family member; the
+    reference uses only tumbling)."""
+    events = load_table(spark, sf_dir, "events")
+    return session_aggregate(
+        events, ts_col="ts", key_col="user_id", value_col="value", gap="4 hours"
+    )
+
+
+@register("streaming_session_windows", _SESSION_ORACLE)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: merging session-window state, complete
+    mode over a bounded replay — must equal the batch/oracle answer."""
+    stream = events_stream(spark, sf_dir)
+    sessions = session_aggregate(
+        stream.withWatermark("ts", "2 minutes"),
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value",
+        gap="4 hours",
+    ).select(
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    name = f"stream_sessions_{next(_counter)}"
+    return run_to_memory(sessions, name, output_mode="complete")
+
+
+@register(
+    "streaming_distinct_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_streaming_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming dedup (dropDuplicates) on (user_id, event_type):
+    first sighting per key, append mode."""
+    stream = events_stream(spark, sf_dir)
+    out = distinct_keys(stream, ["user_id", "event_type"])
+    name = f"stream_distinct_{next(_counter)}"
+    return run_to_memory(out, name, output_mode="append")
+
+
+_INTERVAL_JOIN_ORACLE = """
+SELECT
+  p.event_id AS purchase_id,
+  v.event_id AS view_id,
+  p.user_id  AS user_id,
+  v.ts       AS view_ts,
+  p.ts       AS purchase_ts
+FROM events p JOIN events v ON p.user_id = v.user_id
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR
+"""
+
+
+@register("streaming_interval_join", _INTERVAL_JOIN_ORACLE)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join: purchases matched to the same
+    user's views within the preceding 2 hours. Watermarks + the time band
+    bound the join state (SURVEY.md §2.9)."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = (
+        interval_join(
+            purchases.withColumnRenamed("user_id", "key_id"),
+            views.withColumnRenamed("v_user_id", "key_id"),
+            key="key_id",
+            left_ts="purchase_ts",
+            right_ts="view_ts",
+            lookback="2 hours",
+            watermark="1 hour",
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            F.col("key_id").alias("user_id"),
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+    )
+    name = f"stream_ivjoin_{next(_counter)}"
+    return run_to_memory(joined, name, output_mode="append")

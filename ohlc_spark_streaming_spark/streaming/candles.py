@@ -33,14 +33,21 @@ def streaming_ohlc_candles(
     price_col: str = "price",
     qty_col: str | None = "quantity",
     window_duration: str = "1 minute",
+    slide: str | None = None,
     watermark_delay: str = "2 minutes",
     mode: str = "efficient",
 ) -> DataFrame:
-    """Watermarked tumbling-window OHLCV aggregation over a stream."""
+    """Watermarked tumbling- (or sliding-, when ``slide`` is set)
+    window OHLCV aggregation over a stream."""
+    window = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         stream.withWatermark(ts_col, watermark_delay)
         .groupBy(
-            F.window(F.col(ts_col), window_duration).alias("window"),
+            window.alias("window"),
             F.col(symbol_col).alias("symbol"),
         )
         .agg(*ohlc_aggregates(ts_col, price_col, qty_col, mode))

@@ -1,0 +1,53 @@
+"""Stream-stream interval join (SURVEY.md §2.3 / §2.9 — not in the
+reference; the canonical Structured Streaming two-stream pattern).
+
+An inner join between two watermarked streams with an event-time band
+predicate: each left row matches right rows whose timestamp falls within
+``[left_ts - lookback, left_ts]``. The time bound plus the two watermarks
+is what lets Spark evict join state — without it a stream-stream join
+buffers both sides forever. At 100 TB this is the difference between a
+join whose state is ``O(rate x (lookback + watermark))`` and one that OOMs.
+
+Batch twin: the same band predicate as a plain theta join (DuckDB oracle
+replays it verbatim), so inner-join results are exactly comparable —
+inner stream-stream joins emit every match once, watermarks affecting only
+state eviction and not (bounded-replay) completeness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Inner-join ``left`` rows to ``right`` rows of the same ``key`` with
+    ``right_ts`` in ``[left_ts - lookback, left_ts]`` (inclusive bounds).
+
+    Works identically for batch and streaming inputs; streaming inputs get
+    watermarks (required for state cleanup). Column names of the two sides
+    must already be disjoint apart from ``key``.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    lk, rk = F.col(f"l.{key}"), F.col(f"r.{key}")
+    cond = (
+        (lk == rk)
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    joined = left.alias("l").join(right.alias("r"), cond, "inner")
+    return joined.drop(rk)

@@ -48,3 +48,41 @@ def test_streaming_append_withholds_unclosed_windows(spark):
     max_emitted_start = max(r[0] for r in out_rows)
     missing = [r for r in batch_rows if tuple(r) not in set(out_rows)]
     assert all(r[0] >= max_emitted_start for r in missing)
+
+
+def test_streaming_update_mode_refines_to_batch(spark):
+    """Update mode (reference behavior, main.py:215) re-emits a key each
+    time its state changes; every key's FINAL emission equals the batch
+    answer, so batch rows are a subset of the union of emissions."""
+    stream = events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        streaming_ohlc_candles(stream, watermark_delay="2 minutes", **KW),
+        "parity_update",
+        output_mode="update",
+    )
+    batch = ohlc_candles(load_table(spark, SF_SMOKE, "events"), **KW)
+    emitted = set(map(tuple, out.collect()))
+    assert set(map(tuple, batch.collect())) <= emitted
+
+
+def test_dedup_within_watermark_bounds(spark):
+    """dropDuplicatesWithinWatermark: every distinct key appears; only
+    duplicates within the delay are guaranteed dropped, so the count lies
+    between n_distinct and n_rows (SURVEY §2.9)."""
+    from ohlc_spark_streaming_spark.sources.batch import load_table as lt
+    from ohlc_spark_streaming_spark.streaming.dedup import dedup_within_watermark
+
+    stream = events_stream(spark, SF_SMOKE)
+    out = run_to_memory(
+        dedup_within_watermark(
+            stream, ["user_id", "event_type"], ts_col="ts", delay="2 minutes"
+        ).select("user_id", "event_type"),
+        "dedup_wm",
+        output_mode="append",
+    )
+    batch = lt(spark, SF_SMOKE, "events")
+    n_rows = batch.count()
+    exact = {tuple(r) for r in batch.select("user_id", "event_type").distinct().collect()}
+    emitted = [tuple(r) for r in out.collect()]
+    assert set(emitted) == exact
+    assert len(exact) <= len(emitted) <= n_rows
