@@ -28,10 +28,11 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     BAND_ROWS,
+    MINHASH_A,
+    MINHASH_B,
     N_BANDS,
     P,
     band_key,
-    minhash_exprs,
     rolling_hash,
 )
 from ..functions.textops import shingles, tokens
@@ -163,13 +164,43 @@ def shingle_hashes(
     )
 
 
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document DISTINCT shingle-hash set: (id, units, n_units).
+
+    This is the single expensive pass of the near-dup family (explode →
+    dictionary join → window → aggregate); signatures, bands, and exact
+    verification are all cheap narrow derivations of it.
+    """
+    return (
+        shingle_hashes(docs, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("units"))
+        .withColumn("n_units", F.size("units"))
+    )
+
+
+def _signature_cols(units: Column) -> list[Column]:
+    """MinHash signature from a shingle-set array — narrow (no shuffle):
+    ``mh_i = array_min(transform(units, u -> (a_i*u + b_i) mod P))``.
+    Min over the distinct set equals min over all occurrences (duplicates
+    never change a min), so this matches the per-occurrence oracle GROUP BY.
+    """
+    return [
+        F.array_min(F.transform(units, lambda u: (F.lit(a) * u + F.lit(b)) % P)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document MinHash signature (k values) over shingle hashes."""
-    sh = shingle_hashes(docs, id_col, text_col)
-    return sh.groupBy(id_col).agg(
-        *[F.min(e).alias(f"mh{i}") for i, e in enumerate(minhash_exprs(F.col("sh")))]
+    return shingle_sets(docs, id_col, text_col).select(
+        id_col, *_signature_cols(F.col("units"))
     )
 
 
@@ -181,13 +212,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
-    Pipeline: shingle hashes → signatures → band bucket keys → self-join
-    per band (the LSH candidate generation) → distinct pairs → verify with
-    exact shingle-set Jaccard ≥ threshold. Scale: the only joins are
-    equi-joins on bucket keys; candidate volume is tuned by
-    (N_BANDS, BAND_ROWS).
+    Pipeline: ONE shingle-set pass (persisted — it feeds the band join's
+    two sides and the verification join) → narrow signature derivation →
+    band bucket keys → self-join per band (the LSH candidate generation) →
+    distinct pairs → verify with exact shingle-set Jaccard ≥ threshold.
+    Scale: the only joins are equi-joins on bucket keys; candidate volume
+    is tuned by (N_BANDS, BAND_ROWS); the persisted set table is the same
+    thing a 100 TB pipeline would checkpoint between the hashing and
+    pairing stages.
     """
-    sig = minhash_signatures(docs, id_col, text_col)
+    sets = shingle_sets(docs, id_col, text_col).persist()
+    sig = sets.select(id_col, *_signature_cols(F.col("units")))
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -213,13 +248,6 @@ def minhash_lsh_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-    )
-
-    sets = (
-        shingle_hashes(docs, id_col, text_col)
-        .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("units"))
-        .withColumn("n_units", F.size("units"))
     )
     jac = _jaccard(F.col("a_units"), F.col("b_units"), F.col("a_n"), F.col("b_n"))
     return (

@@ -16,20 +16,8 @@ from ..operators.trades import trades_from_wire
 from ..registry import register
 from ..sources.batch import load_table
 
-_OHLC_ORACLE = """
-SELECT
-  date_trunc('hour', ts)                        AS window_start,
-  date_trunc('hour', ts) + INTERVAL 1 HOUR      AS window_end,
-  event_type                                    AS symbol,
-  min(struct_pack(t := ts, p := value)).p       AS open,
-  max(value)                                    AS high,
-  min(value)                                    AS low,
-  max(struct_pack(t := ts, p := value)).p       AS close,
-  CAST(count(*) AS DOUBLE)                      AS volume,
-  count(*)                                      AS n_trades
-FROM events
-GROUP BY 1, 2, 3
-"""
+from ._oracles import OHLC_ORACLE as _OHLC_ORACLE
+
 
 
 @register("ohlc_candles", _OHLC_ORACLE)
@@ -140,7 +128,7 @@ def q_trade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is /root/reference/main.py:102-170 as one batch query: the wire
     records round-trip through from_json exactly as Kafka values would.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", parallelize=True)
     trades = trades_from_wire(_wire_trades(events))
     return ohlc_candles(
         trades,
@@ -170,7 +158,7 @@ GROUP BY 1, 2
 def q_derive_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic→base derivation (P6): regex extraction with from_symbol
     fallback for non-matching topics (/root/reference/main.py:131-136)."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", parallelize=True)
     trades = trades_from_wire(_wire_trades(events))
     return trades.groupBy("topic", "base").agg(F.count(F.lit(1)).alias("n_rows"))
 
@@ -192,7 +180,7 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     get_json_object stays JVM-side; the parse is pruned to the single
     requested path (Catalyst OptimizeJsonExprs)."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events", parallelize=True)
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return events.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),

@@ -22,7 +22,7 @@ from ..sources.stream import events_stream
 from ..streaming.candles import run_to_memory, streaming_ohlc_candles
 from ..streaming.dedup import distinct_keys
 from ..streaming.joins import interval_join
-from .reference import _OHLC_ORACLE
+from ._oracles import OHLC_ORACLE as _OHLC_ORACLE
 
 _counter = itertools.count()
 

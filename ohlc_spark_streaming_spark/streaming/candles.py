@@ -67,6 +67,29 @@ def streaming_ohlc_candles(
     )
 
 
+def stream_state_partitions() -> int:
+    """Shuffle-partition count for stateful streaming queries.
+
+    Stateful operators pay a per-partition state-store cost (open, delta
+    write, snapshot maintenance) every micro-batch, so the partition count
+    should track state volume, not core count: cores/4 with a floor of 8
+    (local[32] → 8 stores; a 1000-core cluster → 250). Batch queries keep
+    the full ``spark.sql.shuffle.partitions``. Override with
+    ``SPARK_GRAFT_STREAM_PARTITIONS``.
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    from ..session import default_parallelism
+
+    return max(8, default_parallelism() // 4)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,
@@ -78,14 +101,24 @@ def run_to_memory(
     This is the test/oracle harness for streaming operators: availableNow
     processes all available input then stops, so the memory table holds the
     stream's final answer. Spark session must own the stream's source.
+
+    ``spark.sql.shuffle.partitions`` is narrowed to
+    :func:`stream_state_partitions` for the duration of the start (the
+    value is captured into the query's checkpoint at planning time), then
+    restored so batch queries keep their own sizing.
     """
     spark = stream_df.sparkSession
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions()))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(table_name)
