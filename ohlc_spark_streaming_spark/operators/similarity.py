@@ -154,3 +154,60 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization into inverted lists + exact
+    re-rank inside the probed cell (nprobe=1).
+
+    The coarse centroids are the first ``n_cells`` corpus vectors (a
+    deterministic, training-free quantizer — a real deployment swaps in
+    k-means centroids; every downstream step is unchanged). Assignment is
+    argmin squared-L2 with ties broken by centroid id, computed
+    relationally: corpus x broadcast(centroids) -> struct-min. At 100 TB
+    the cell equi-join replaces the brute-force cross join exactly like
+    the hyperplane-LSH path, but with data-adaptive cells.
+
+    Output: query_id, vec_id, cos_sim, rank (deterministic).
+    """
+    from ..functions.vectorops import sqdist
+
+    emb = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    cents = emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_cid"), F.col("_v").alias("_cv")
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "_cid",
+        sqdist(F.col("_v"), F.col("_cv")).alias("_d"),
+    )
+    cells = dists.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("_cid").alias("c")))
+        .getField("c")
+        .alias("cell")
+    )
+    assigned = emb.join(cells, id_col)
+    q = assigned.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_q"), "cell"
+    )
+    pairs = assigned.join(F.broadcast(q), "cell").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", id_col, cosine(F.col("_v"), F.col("_q")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "cos_sim", "rank")
+    )

