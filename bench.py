@@ -40,6 +40,8 @@ HEADLINE = [
     "session_windows_user",
     "streaming_interval_join",
     "multimodal_features",
+    "similarity_ivf_topk",
+    "text_tfidf",
 ]
 
 

@@ -544,3 +544,57 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm itself."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ivf_cosine_topk(emb, n_cells=8, n_queries=10, k=5)
+
+
+@register(
+    "text_tfidf",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT
+  doc_id,
+  token,
+  tf,
+  df,
+  CAST(tf AS DOUBLE) * (CAST((SELECT n_docs FROM n) AS DOUBLE) / CAST(df AS DOUBLE))
+    AS tf_idf_ratio
+FROM tf JOIN df USING (token)
+""",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF table: term frequency x corpus rarity per (doc, token).
+
+    The rarity factor is the raw N/df ratio rather than its logarithm —
+    transcendental functions are libm-dependent and would break bitwise
+    cross-engine hashing; monotonicity (hence ranking) is identical. Two
+    shuffles (tf groupBy, df groupBy) + one equi-join on token; df and
+    n_docs are broadcast-sized at any corpus scale (vocabulary ≪ corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("tf_idf_ratio"),
+        )
+    )

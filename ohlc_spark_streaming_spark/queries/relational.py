@@ -601,3 +601,57 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "orderby_limit",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit (SURVEY §2.6): Spark plans TakeOrderedAndProject
+    — per-partition top-100 then a driver-side merge of 100-row heaps, so
+    no full global sort materializes at any scale. Deterministic via the
+    unique o_orderkey tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  o.o_custkey,
+  o.n_orders
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+""",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (SURVEY §2.3) with unmatched rows on both sides:
+    BUILDING-segment customers vs per-customer order counts."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_custkey", "n_orders"
+    )

@@ -1,0 +1,125 @@
+"""Scale-discipline checks: bucketed co-located joins, RocksDB state
+store, and the reference's multi-query concurrency pattern (SURVEY §2.9
+ST5, §4.2). These verify the mechanisms a 100 TB deployment leans on,
+exercised at smoke scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from ohlc_spark_streaming_spark.operators.ohlc import ohlc_candles
+from ohlc_spark_streaming_spark.sources.batch import load_table
+from ohlc_spark_streaming_spark.sources.stream import events_stream
+from ohlc_spark_streaming_spark.streaming.candles import (
+    run_to_memory,
+    streaming_ohlc_candles,
+)
+
+from .conftest import SF_SMOKE
+
+KW = dict(ts_col="ts", symbol_col="event_type", price_col="value", qty_col=None,
+          window_duration="1 hour")
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Tables bucketed on the join key co-locate: the sort-merge join plan
+    contains NO shuffle exchange — at 100 TB this removes the dominant
+    cost of a big-big join. (Bucket co-location is the persisted-table twin
+    of repartition-before-join. Managed tables land in the session's
+    default warehouse dir and are dropped on exit.)"""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    for name, df, key in (
+        ("b_orders", orders, "o_custkey"),
+        ("b_customer", customer, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(4, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    # Disable auto-broadcast so the join would otherwise shuffle both sides.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            spark.table("b_orders").o_custkey
+            == spark.table("b_customer").c_custkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # And it still computes the right thing.
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_rocksdb_state_store_parity(spark):
+    """The RocksDB state store (the 100 TB keyspace choice, SURVEY §4.2)
+    produces the same streaming answer as the default HDFS-backed store."""
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(
+            streaming_ohlc_candles(
+                events_stream(spark, SF_SMOKE), watermark_delay="2 minutes", **KW
+            ),
+            "rocksdb_parity",
+            output_mode="complete",
+        )
+        batch = ohlc_candles(load_table(spark, SF_SMOKE, "events"), **KW)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_concurrent_streaming_queries(spark):
+    """The reference runs 5 concurrent queries over one source
+    (/root/reference/main.py:98-216); verify independent concurrent
+    incremental plans + awaitAnyTermination semantics."""
+    stream = events_stream(spark, SF_SMOKE)
+    candles = streaming_ohlc_candles(stream, watermark_delay="2 minutes", **KW)
+    raw_tap = stream.select("event_id", "ts", "event_type")
+
+    q1 = (
+        candles.writeStream.format("memory")
+        .queryName("concurrent_candles")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        raw_tap.writeStream.format("memory")
+        .queryName("concurrent_tap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    spark.streams.awaitAnyTermination()
+    q1.awaitTermination()
+    q2.awaitTermination()
+    spark.streams.resetTerminated()
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert spark.table("concurrent_tap").count() == n_events
+    assert spark.table("concurrent_candles").count() > 0
