@@ -655,3 +655,104 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
         "c_custkey", "c_name", "o_custkey", "n_orders"
     )
+
+
+@register(
+    "join_interval_overlap",
+    """
+WITH iv AS (
+  SELECT l_orderkey * 10 + l_linenumber AS uid,
+         l_suppkey,
+         l_shipdate                    AS s,
+         l_shipdate + INTERVAL 1 DAY   AS e
+  FROM lineitem
+)
+SELECT a.uid AS uid_a, b.uid AS uid_b, a.l_suppkey AS suppkey
+FROM iv a JOIN iv b
+  ON a.l_suppkey = b.l_suppkey AND a.uid < b.uid
+ AND a.s <= b.e AND b.s <= a.e
+""",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (SURVEY §2.3): same-supplier shipment windows
+    [ship, ship+1d] that overlap — equi-join on the blocking key + band
+    predicate (s1 <= e2 AND s2 <= e1). At 100 TB the equi component keys
+    the shuffle; the band predicate filters within groups (add bucketized
+    time prejoin if groups grow hot)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    iv = l.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+        "l_suppkey",
+        F.col("l_shipdate").alias("s"),
+        F.date_add(F.col("l_shipdate"), 1).cast("timestamp_ntz").alias("e"),
+    )
+    a = iv.select(
+        F.col("uid").alias("uid_a"), F.col("l_suppkey").alias("suppkey"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        F.col("uid").alias("uid_b"), F.col("l_suppkey").alias("b_suppkey"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("suppkey") == F.col("b_suppkey"))
+            & (F.col("uid_a") < F.col("uid_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a")),
+        )
+        .select("uid_a", "uid_b", "suppkey")
+    )
+
+
+@register(
+    "window_rank_battery",
+    """
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  rank()         OVER w AS rnk,
+  dense_rank()   OVER w AS drnk,
+  ntile(4)       OVER w AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist()    OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+)
+def q_window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function battery (SURVEY §2.5): rank / dense_rank / ntile /
+    percent_rank / cume_dist over one sorted partition pass. Deterministic
+    via the unique o_orderkey tie-break; the ratio outputs are single IEEE
+    divisions (bitwise cross-engine)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register("approx_distinct_parts")  # no oracle: HLL sketches are
+# engine-specific; the rows-only driver check applies, and
+# tests/test_approx.py bounds the relative error against exact counts.
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, SURVEY §2.4): the mergeable
+    sketch that replaces exact COUNT(DISTINCT) at 100 TB (no expand, no
+    per-value shuffle — fixed-size sketches merge associatively)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
