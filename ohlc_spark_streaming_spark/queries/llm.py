@@ -598,3 +598,26 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tf_idf_ratio"),
         )
     )
+
+
+@register(
+    "multimodal_meta_entries",
+    """
+SELECT doc_id AS asset_id, 'modality' AS meta_key, 'text' AS meta_value
+FROM documents
+UNION ALL
+SELECT doc_id AS asset_id, 'source' AS meta_key, source AS meta_value
+FROM documents
+""",
+)
+def q_multimodal_meta_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType metadata surface: explode the multimodal meta map into
+    (key, value) rows (map_entries + inline explode). Demonstrates the
+    map column family (SURVEY §1.4) — the blob column is never touched,
+    so the scan stays metadata-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = attach_payloads(docs)
+    return assets.select(
+        "asset_id",
+        F.explode(F.col("meta")).alias("meta_key", "meta_value"),
+    )

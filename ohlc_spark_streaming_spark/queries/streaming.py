@@ -219,3 +219,98 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_ivjoin_{next(_counter)}"
     return run_to_memory(joined, name, output_mode="append")
+
+
+_STREAM_WIRE_ORACLE = """
+WITH trades AS (
+  SELECT
+    CASE WHEN event_id % 7 = 0 THEN 'raw-' || event_type
+         ELSE 'parsed-trades-' || event_type || '-usdt' END          AS topic,
+    upper(event_type)                                                AS from_symbol,
+    CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS TIMESTAMP) AS timestamp,
+    value                                                            AS price,
+    (event_id % 10) / 16.0 + 1.0                                     AS quantity
+  FROM events
+)
+SELECT
+  time_bucket(INTERVAL '15 minutes', timestamp)                         AS window_start,
+  time_bucket(INTERVAL '15 minutes', timestamp) + INTERVAL '15 minutes' AS window_end,
+  CASE WHEN regexp_matches(topic, 'parsed-trades-.+-usdt')
+       THEN regexp_extract(topic, 'parsed-trades-([^-]+)-usdt', 1)
+       ELSE from_symbol END                                             AS symbol,
+  min(struct_pack(t := timestamp, p := price)).p                        AS open,
+  max(price)                                                            AS high,
+  min(price)                                                            AS low,
+  max(struct_pack(t := timestamp, p := price)).p                        AS close,
+  sum(quantity)                                                         AS volume,
+  count(*)                                                              AS n_trades
+FROM trades
+GROUP BY 1, 2, 3
+"""
+
+
+@register("streaming_trade_pipeline", _STREAM_WIRE_ORACLE)
+def q_streaming_trade_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's production query end-to-end as a STREAM: wire JSON
+    → parse → typed cast + null guard → base derivation → watermarked
+    15-minute OHLCV candles (/root/reference/main.py:70-217), replayed
+    over the file stream and checked against the batch oracle."""
+    from ..operators.trades import trades_from_wire
+    from .reference import _wire_trades
+
+    stream = events_stream(spark, sf_dir)
+    trades = trades_from_wire(_wire_trades(stream)).withColumn(
+        # Watermarks need TIMESTAMP (not NTZ); UTC session → same instant.
+        "timestamp",
+        F.col("timestamp").cast("timestamp"),
+    )
+    candles = streaming_ohlc_candles(
+        trades,
+        ts_col="timestamp",
+        symbol_col="base",
+        price_col="price",
+        qty_col="quantity",
+        window_duration="15 minutes",
+        watermark_delay="2 minutes",
+    )
+    name = f"stream_wire_{next(_counter)}"
+    return run_to_memory(candles, name, output_mode="complete")
+
+
+_CATEGORY_ORACLE = """
+SELECT
+  CASE WHEN event_type IN ('view', 'click') THEN 'engagement'
+       WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+       ELSE 'ops' END AS category,
+  count(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("streaming_static_join", _CATEGORY_ORACLE)
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: the unbounded stream enriched against
+    a small static dimension (event_type → category), then aggregated.
+    The static side is planned as a broadcast per micro-batch — the
+    streaming face of the dimension-join pattern (no state, no watermark
+    needed for the join itself)."""
+    dim = spark.createDataFrame(
+        [
+            ("view", "engagement"),
+            ("click", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        ["event_type", "category"],
+    )
+    stream = events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    agg = enriched.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    name = f"stream_static_{next(_counter)}"
+    return run_to_memory(agg, name, output_mode="complete")
