@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): the OHLC tie-break contract and
+session-window merge semantics against brute-force Python models, on
+randomized inputs — the cases the fixed testdata can't be trusted to hit
+(intra-second ties, boundary gaps)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ohlc_spark_streaming_spark.operators.ohlc import ohlc_candles
+from ohlc_spark_streaming_spark.operators.sessions import session_aggregate
+
+_BASE = dt.datetime(2024, 1, 1)
+
+# Trades inside a 2-hour span: epoch-second ts (ties likely), price from a
+# small grid (ties likely), exercising the lexicographic struct ordering.
+_trades = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7199),  # seconds offset
+        st.sampled_from([1.0, 2.0, 2.5, 3.0]),  # price grid
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_trades)
+def test_ohlc_tiebreaks_match_bruteforce(spark, trades):
+    rows = [
+        (_BASE + dt.timedelta(seconds=s), "SYM", float(p)) for s, p in trades
+    ]
+    df = spark.createDataFrame(rows, ["ts", "symbol", "price"])
+    got = {
+        (r.window_start, r.symbol): (r.open, r.high, r.low, r.close, r.n_trades)
+        for r in ohlc_candles(
+            df, ts_col="ts", symbol_col="symbol", price_col="price",
+            qty_col=None, window_duration="1 hour",
+        ).collect()
+    }
+
+    # Brute-force model: open = price at min ts, ties -> LOWEST price;
+    # close = price at max ts, ties -> HIGHEST price (SURVEY §2.4).
+    buckets: dict[dt.datetime, list[tuple[dt.datetime, float]]] = {}
+    for ts, _, p in rows:
+        start = ts.replace(minute=0, second=0, microsecond=0)
+        buckets.setdefault(start, []).append((ts, p))
+    for start, items in buckets.items():
+        o = min(items)[1]
+        c = max(items)[1]
+        hi = max(p for _, p in items)
+        lo = min(p for _, p in items)
+        assert got[(start, "SYM")] == (o, hi, lo, c, len(items))
+    assert len(got) == len(buckets)
+
+
+_events = st.lists(
+    st.integers(min_value=0, max_value=3600 * 24),  # seconds over a day
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_events)
+def test_session_windows_match_bruteforce(spark, offsets):
+    gap = dt.timedelta(minutes=30)
+    rows = [
+        (_BASE + dt.timedelta(seconds=s), 1, 1.0) for s in sorted(offsets)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "user_id", "value"])
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in session_aggregate(
+            df, ts_col="ts", key_col="user_id", value_col="value",
+            gap="30 minutes",
+        ).collect()
+    )
+
+    # Model: split when diff >= gap; end = last + gap (end-exclusive).
+    sessions: list[list[dt.datetime]] = []
+    for ts, _, _ in rows:
+        if sessions and ts - sessions[-1][-1] < gap:
+            sessions[-1].append(ts)
+        else:
+            sessions.append([ts])
+    want = sorted((s[0], s[-1] + gap, len(s)) for s in sessions)
+    assert got == want
