@@ -338,3 +338,53 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup cluster assignment: connected components by iterative
+    minimum-label propagation (cluster id = smallest member id).
+
+    The driver loop is inherent to iterative graph algorithms (Pregel
+    shape): each round is one shuffle (neighbor-min groupBy); rounds =
+    graph diameter, which for near-dup clusters is tiny. Each round's
+    labels are persisted and the previous round unpersisted, so lineage
+    stays shallow. At extreme scale swap the propagation body for the
+    large-star/small-star rewrite (same driver-loop contract; fewer
+    rounds on high-diameter graphs).
+    """
+    bi = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neigh = bi.join(
+            labels, bi["dst"] == labels["node"], "inner"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.select("node", "label")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -621,3 +621,50 @@ def q_multimodal_meta_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         F.explode(F.col("meta")).alias("meta_key", "meta_value"),
     )
+
+
+def _clusters_oracle_sql() -> str:
+    """Connected components over the MinHash near-dup graph: the recursive
+    transitive-closure twin of the engine's label propagation (safe at
+    oracle scale — components are near-dup clusters, i.e. tiny)."""
+    return f"""
+WITH RECURSIVE {_minhash_sql_cte().lstrip()},
+bands AS ({_minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list(DISTINCT sh) AS units, count(DISTINCT sh) AS n_units
+  FROM shg GROUP BY doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sets sa ON sa.doc_id = id_a
+  JOIN sets sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.units, sb.units))
+      / (sa.n_units + sb.n_units - len(list_intersect(sa.units, sb.units))) >= 0.7
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+@register("dedup_clusters", _clusters_oracle_sql())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs -> connected components by
+    min-label propagation; every document gets cluster_id = smallest
+    member of its component (singletons cluster with themselves). The
+    oracle recomputes the same graph and closes it with a recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    return connected_components(pairs, docs, id_col="doc_id")

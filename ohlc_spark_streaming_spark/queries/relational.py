@@ -776,3 +776,55 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "error_streaks",
+    """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), err AS (
+  SELECT user_id, event_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM o WHERE event_type = 'error'
+)
+SELECT
+  user_id,
+  count(*)               AS streak_len,
+  arg_min(event_id, rn)  AS first_event_id,
+  arg_max(event_id, rn)  AS last_event_id
+FROM err
+GROUP BY user_id, grp
+HAVING count(*) >= 3
+""",
+)
+def q_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-run detection (gaps-and-islands): maximal runs of >= 3
+    consecutive error events per user, in two window passes + one
+    aggregation — the declarative form of a per-key state machine."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id", "event_id", "event_type", F.row_number().over(w_all).alias("rn")
+    )
+    w_err = Window.partitionBy("user_id").orderBy("rn")
+    err = o.where(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        "rn",
+        (F.col("rn") - F.row_number().over(w_err)).alias("grp"),
+    )
+    return (
+        err.groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min_by("event_id", "rn").alias("first_event_id"),
+            F.max_by("event_id", "rn").alias("last_event_id"),
+        )
+        .where(F.col("streak_len") >= 3)
+        .select("user_id", "streak_len", "first_event_id", "last_event_id")
+    )

@@ -314,3 +314,27 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_static_{next(_counter)}"
     return run_to_memory(agg, name, output_mode="complete")
+
+
+@register(
+    "streaming_stateful_error_counts",
+    """
+SELECT user_id, count(*) AS n_errors
+FROM events
+WHERE event_type = 'error'
+GROUP BY user_id
+""",
+)
+def q_streaming_stateful_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    error counts with explicit cross-batch state. Monotonic emissions make
+    max-over-emissions equal the batch aggregate exactly (see
+    streaming/stateful.py), so even the Python-stateful path is
+    value-hash-checked."""
+    from ..streaming.stateful import final_counts, stateful_event_counts
+
+    stream = events_stream(spark, sf_dir)
+    emissions = stateful_event_counts(stream)
+    name = f"stream_stateful_{next(_counter)}"
+    log = run_to_memory(emissions, name, output_mode="update")
+    return final_counts(log)

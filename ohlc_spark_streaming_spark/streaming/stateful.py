@@ -1,0 +1,60 @@
+"""Custom stateful streaming operators — ``applyInPandasWithState``
+(SURVEY §2.9: absent from the reference; this is the escape hatch for
+semantics Spark's built-in stateful operators can't express).
+
+Design rule for oracle-checkable custom state: emit MONOTONIC per-key
+values. Each micro-batch emits the key's running value; because the value
+only grows, ``max`` over all emissions equals the final state no matter
+how the input was split into batches — which makes a bounded streaming
+replay exactly comparable to a batch aggregate, without needing "last
+emission" semantics the memory sink can't provide.
+
+Scale: state is one struct per key in the state store (RocksDB-ready);
+the Python worker sees Arrow batches per key group — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _count_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (cnt,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        cnt += len(pdf)
+    state.update((cnt,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_errors": [cnt]})
+
+
+def stateful_event_counts(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    where: str = "event_type = 'error'",
+) -> DataFrame:
+    """Running per-key event counts with explicit cross-batch state.
+
+    Emits (key, running_count) every micro-batch the key appears in;
+    the running count is monotonic, so max-over-emissions = final count.
+    """
+    return (
+        stream.where(where)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _count_per_key,
+            outputStructType="user_id long, n_errors long",
+            stateStructType="cnt long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def final_counts(emissions: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Collapse the emission log to the final per-key state (valid because
+    emissions are monotonic)."""
+    return emissions.groupBy(key_col).agg(F.max("n_errors").alias("n_errors"))
