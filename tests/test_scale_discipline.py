@@ -123,3 +123,40 @@ def test_concurrent_streaming_queries(spark):
     n_events = load_table(spark, SF_SMOKE, "events").count()
     assert spark.table("concurrent_tap").count() == n_events
     assert spark.table("concurrent_candles").count() > 0
+
+
+def test_salted_aggregation_exactness(spark):
+    """Two-phase salted aggregation must be bit-identical to the direct
+    aggregation (decimal partials are associative), on a skewed input
+    where one key holds ~40% of rows."""
+    from pyspark.sql import functions as F
+    from ohlc_spark_streaming_spark.operators.skew import salted_sum_count
+
+    e = load_table(spark, SF_SMOKE, "events")
+    skewed = e.withColumn(
+        "k", F.when(F.col("event_id") % 5 < 2, "HOT").otherwise(F.col("event_type"))
+    )
+    direct = {
+        (r.k, r.sum_value, r.n_rows)
+        for r in skewed.groupBy("k")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_sum_count(
+            skewed, ["k"], "value", salt_source="event_id", n_salts=8
+        ).collect()
+    }
+    assert salted == direct
+    # The phase-1 plan really shards: distinct (k, salt) > distinct k.
+    n_shards = (
+        skewed.withColumn("_salt", F.pmod(F.hash(F.col("event_id")), F.lit(8)))
+        .select("k", "_salt")
+        .distinct()
+        .count()
+    )
+    assert n_shards > skewed.select("k").distinct().count()

@@ -86,3 +86,43 @@ def test_dedup_within_watermark_bounds(spark):
     emitted = [tuple(r) for r in out.collect()]
     assert set(emitted) == exact
     assert len(exact) <= len(emitted) <= n_rows
+
+
+def test_stateful_counts_carry_across_batches(tmp_path, spark):
+    """applyInPandasWithState must carry state across micro-batches: split
+    the events into 4 files (one per micro-batch via maxFilesPerTrigger=1)
+    and check the final per-key counts equal the batch aggregate."""
+    from pyspark.sql import functions as F
+    from ohlc_spark_streaming_spark.streaming.stateful import (
+        final_counts,
+        stateful_event_counts,
+    )
+    from ohlc_spark_streaming_spark.streaming.candles import run_to_memory
+
+    src = str(tmp_path / "events_split")
+    events = load_table(spark, SF_SMOKE, "events")
+    # 4 files -> 4 micro-batches; keys recur across files.
+    events.withColumn("part", F.col("event_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    emissions = stateful_event_counts(stream)
+    log = run_to_memory(emissions, "stateful_split_log", output_mode="update")
+    got = {
+        (r.user_id, r.n_errors) for r in final_counts(log).collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in events.where("event_type = 'error'")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # More emissions than keys proves multiple batches actually ran.
+    assert log.count() > len(want)
