@@ -668,3 +668,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.7).select("id_a", "id_b")
     return connected_components(pairs, docs, id_col="doc_id")
+
+
+@register(
+    "text_normalize",
+    r"""
+SELECT
+  doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                      ' +', ' ', 'g'))                       AS norm_text,
+  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')))               AS norm_len
+FROM documents
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-cleaning normalization (lowercase, strip non-alphanumerics,
+    collapse whitespace) — the standard pre-tokenization pass of an LLM
+    data pipeline. ASCII character classes only, so Java and RE2 regex
+    semantics agree byte-for-byte. Narrow ops, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

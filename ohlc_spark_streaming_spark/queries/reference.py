@@ -8,7 +8,7 @@ windowed OHLCV aggregation (A1-A7), and candle serialization (P7, P8).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.ohlc import ohlc_candles
@@ -234,4 +234,76 @@ def q_candle_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(',"volume":'), F.col("n_trades").cast("string"),
             F.lit("}"),
         ).alias("value"),
+    )
+
+
+_GAP_FILL_ORACLE = """
+WITH candles AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type AS symbol,
+         max(struct_pack(t := ts, p := value)).p AS close,
+         count(*) AS n_trades
+  FROM events GROUP BY 1, 2
+), bounds AS (SELECT min(ws) AS mn, max(ws) AS mx FROM candles),
+grid AS (
+  SELECT s.symbol, g.ws
+  FROM (SELECT DISTINCT symbol FROM candles) s
+  CROSS JOIN (SELECT unnest(generate_series((SELECT mn FROM bounds),
+                                            (SELECT mx FROM bounds),
+                                            INTERVAL 1 HOUR)) AS ws) g
+)
+SELECT
+  grid.symbol,
+  grid.ws                                   AS window_start,
+  COALESCE(c.n_trades, 0)                   AS n_trades,
+  CAST(c.ws IS NULL AS BOOLEAN)             AS is_gap,
+  last_value(c.close IGNORE NULLS)
+    OVER (PARTITION BY grid.symbol ORDER BY grid.ws
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled
+FROM grid LEFT JOIN candles c ON c.symbol = grid.symbol AND c.ws = grid.ws
+"""
+
+
+@register("candle_gap_fill", _GAP_FILL_ORACLE)
+def q_candle_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a complete hourly grid per symbol (sequence +
+    explode — no data skew, grid is symbols x hours), left-joined candles,
+    gaps carry volume 0 and a forward-filled close (last non-null over an
+    ordered frame). The resample/fill operator every OHLC consumer needs
+    downstream of the reference's candles."""
+    events = load_table(spark, sf_dir, "events")
+    candles = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    ).select("symbol", F.col("window_start").alias("ws"), "close", "n_trades")
+    bounds = candles.agg(
+        F.min("ws").alias("mn"), F.max("ws").alias("mx")
+    )
+    grid = (
+        candles.select("symbol").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "symbol",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("ws"),
+        )
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("ws")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(
+        candles.withColumnRenamed("ws", "c_ws").withColumnRenamed(
+            "symbol", "c_symbol"
+        ),
+        (F.col("symbol") == F.col("c_symbol")) & (F.col("ws") == F.col("c_ws")),
+        "left",
+    )
+    return joined.select(
+        "symbol",
+        F.col("ws").alias("window_start"),
+        F.coalesce(F.col("n_trades"), F.lit(0)).alias("n_trades"),
+        F.col("c_ws").isNull().alias("is_gap"),
+        F.last("close", ignorenulls=True).over(w).alias("close_filled"),
     )

@@ -828,3 +828,35 @@ def q_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("streak_len") >= 3)
         .select("user_id", "streak_len", "first_event_id", "last_event_id")
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS qty,
+         CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) AS discount,
+         CAST(SUM(CAST(l_tax AS DECIMAL(30,4))) AS DOUBLE)      AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS measure, qty AS total FROM agg
+UNION ALL
+SELECT l_returnflag, 'discount', discount FROM agg
+UNION ALL
+SELECT l_returnflag, 'tax', tax FROM agg
+""",
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of pivot, SURVEY §2.4): wide per-flag
+    measure columns to long (measure, value) rows via DataFrame.unpivot —
+    one pass, no join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        dec_sum("l_quantity").alias("qty"),
+        dec_sum("l_discount").alias("discount"),
+        dec_sum("l_tax").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["qty", "discount", "tax"], "measure", "total"
+    )
