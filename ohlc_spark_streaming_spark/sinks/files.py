@@ -64,3 +64,37 @@ def parquet_stream_writer(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     return writer
+
+
+def compact_parquet(
+    spark, path: str, target_files: int = 1, partition_by: Sequence[str] = ()
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (per partition dir when ``partition_by`` set).
+
+    Streaming sinks and incremental batch appends accumulate small files;
+    scan cost at 100 TB is dominated by file-open overhead once files drop
+    below ~100 MB. Rewrite-and-swap: the compacted copy is written beside
+    the original, then atomically moved into place (directory rename).
+    Returns the number of files after compaction.
+    """
+    import glob
+    import os
+    import shutil
+
+    tmp = f"{path}.__compact__"
+    df = spark.read.parquet(path)
+    writer_df = (
+        df.repartition(target_files, *[df[c] for c in partition_by])
+        if partition_by
+        else df.coalesce(target_files)
+    )
+    writer = writer_df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = f"{path}.__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(f"{path}/**/*.parquet", recursive=True))

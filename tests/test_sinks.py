@@ -48,3 +48,15 @@ def test_streaming_parquet_sink(tmp_path, spark):
     assert back.count() == load_table(spark, SF_SMOKE, "events").count()
     # The file sink's commit log exists (exactly-once visibility).
     assert os.path.isdir(f"{out}/_spark_metadata")
+
+
+def test_compact_parquet(tmp_path, spark):
+    from ohlc_spark_streaming_spark.sinks.files import compact_parquet
+
+    out = str(tmp_path / "many_files")
+    events = load_table(spark, SF_SMOKE, "events")
+    events.repartition(16).write.parquet(out)
+    assert len(glob.glob(f"{out}/*.parquet")) == 16
+    n = compact_parquet(spark, out, target_files=2)
+    assert n == 2
+    assert spark.read.parquet(out).count() == events.count()
