@@ -87,8 +87,17 @@ def jaccard_pairs(
     set; the bands are part of the operator's declared semantics (a pair
     split across bands is by definition not a candidate), which is what
     makes the operator subquadratic AND oracle-reproducible.
+
+    The similarity unit is the HASHED 3-gram shingle set (shingle_sets) —
+    identical to the MinHash verification unit: pairwise array_intersect
+    over int64 arrays is ~10x cheaper than over shingle strings (measured
+    46s -> 4s at sf0.1), and the hash arithmetic is replayed by the
+    oracle, so exactness is preserved cross-engine. Documents shorter than
+    ``shingle_n`` tokens yield no shingles and drop out (declared).
     """
-    sets = _token_sets(docs, id_col, text_col, shingle_n)
+    if shingle_n != 3:
+        raise ValueError("hashed shingle units are fixed at n=3 (shingle_hashes)")
+    sets = shingle_sets(docs, id_col, text_col)
     base = docs.select(id_col, *block_cols).join(sets, id_col)
     if length_band is not None:
         base = base.withColumn(
@@ -113,6 +122,15 @@ def jaccard_pairs(
     cond = F.col("id_a") < F.col("id_b")
     for c in block_keys:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+    # Lossless size-ratio prune: |A∩B| <= min(|A|,|B|) and |A∪B| >=
+    # max(|A|,|B|), so jaccard <= min/max — a pair can only pass the
+    # threshold if the smaller set is at least `threshold` of the larger.
+    # Evaluated before the O(|set|) intersection, output unchanged.
+    cond = (
+        cond
+        & (F.col("a_n") * F.lit(threshold) <= F.col("b_n"))
+        & (F.col("b_n") * F.lit(threshold) <= F.col("a_n"))
+    )
     jac = _jaccard(F.col("a_units"), F.col("b_units"), F.col("a_n"), F.col("b_n"))
     return (
         a.join(b, cond)

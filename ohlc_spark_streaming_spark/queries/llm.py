@@ -82,39 +82,6 @@ _SHINGLES = (
 )
 
 
-@register(
-    "dedup_jaccard_pairs",
-    f"""
-WITH sets AS (
-  SELECT doc_id, lang, {_SHINGLES} AS units
-  FROM documents
-), banded AS (
-  SELECT doc_id, lang, units, len(units) AS n_units,
-         CAST(floor(len(units) / 50) AS BIGINT) AS len_band
-  FROM sets
-)
-SELECT
-  a.doc_id AS id_a,
-  b.doc_id AS id_b,
-  len(list_intersect(a.units, b.units))
-    / (a.n_units + b.n_units - len(list_intersect(a.units, b.units))) AS jaccard
-FROM banded a
-JOIN banded b
-  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.units, b.units))
-    / (a.n_units + b.n_units - len(list_intersect(a.units, b.units))) >= 0.5
-""",
-)
-def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard near-dup pairs within (lang, length
-    band) blocks — the blocks bound the quadratic candidate space and are
-    part of the declared semantics."""
-    docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(
-        docs, block_cols=("lang",), shingle_n=3, threshold=0.5, length_band=50
-    )
-
-
 def _shingle_sql_cte() -> str:
     """Shared DuckDB CTEs producing per-doc shingle hashes (twin of
     operators.dedup.shingle_hashes: broadcast token dictionary + positional
@@ -136,6 +103,42 @@ toks AS (
   FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
   QUALIFY lead(th, 2) OVER w IS NOT NULL
 )"""
+
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+WITH {_shingle_sql_cte().lstrip()},
+sets AS (
+  SELECT doc_id, list(DISTINCT sh) AS units, count(DISTINCT sh) AS n_units
+  FROM shg GROUP BY doc_id
+), banded AS (
+  SELECT d.doc_id, d.lang, s.units, s.n_units,
+         CAST(floor(s.n_units / 50) AS BIGINT) AS len_band
+  FROM documents d JOIN sets s ON d.doc_id = s.doc_id
+)
+SELECT
+  a.doc_id AS id_a,
+  b.doc_id AS id_b,
+  len(list_intersect(a.units, b.units))
+    / (a.n_units + b.n_units - len(list_intersect(a.units, b.units))) AS jaccard
+FROM banded a
+JOIN banded b
+  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.units, b.units))
+    / (a.n_units + b.n_units - len(list_intersect(a.units, b.units))) >= 0.5
+""",
+)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hashed-3-gram-shingle Jaccard near-dup pairs within (lang,
+    length band) blocks — the blocks bound the quadratic candidate space
+    and are part of the declared semantics; the hashed unit makes the
+    pairwise intersections int64-array ops (see operators.dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        docs, block_cols=("lang",), shingle_n=3, threshold=0.5, length_band=50
+    )
 
 
 def _minhash_sql_cte() -> str:
