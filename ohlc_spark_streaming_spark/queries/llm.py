@@ -10,7 +10,7 @@ algorithm, not just a row count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
@@ -702,4 +702,77 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         norm.alias("norm_text"),
         F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@register(
+    "text_chunks",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS ts FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(greatest(len(ts) - 10, 1) / 30.0) AS BIGINT)))
+           AS chunk_id,
+         ts
+  FROM toks
+)
+SELECT
+  doc_id,
+  chunk_id,
+  array_to_string(ts[chunk_id*30 + 1 : chunk_id*30 + 40], ' ') AS chunk_text,
+  least(len(ts) - chunk_id*30, 40)                             AS n_tokens
+FROM chunks
+""",
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: overlapping token windows (40 tokens,
+    stride 30 → 10-token overlap) exploded to one row per chunk — the
+    standard context-window packing step of an LLM data pipeline. Narrow
+    explode, no shuffle; chunk counts are integer arithmetic so the
+    oracle replays them exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.greatest(F.size(ts) - 10, F.lit(1)) / 30.0).cast("long")
+    chunk_id = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    return (
+        docs.select("doc_id", ts.alias("ts"), chunk_id.alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.array_join(
+                F.slice(F.col("ts"), F.col("chunk_id") * 30 + 1, 40), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("ts") - F.col("chunk_id") * 30, F.lit(40)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    f"""
+SELECT token, cnt, rank FROM (
+  SELECT token, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+  FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+  GROUP BY token
+) WHERE rank <= 100
+""",
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by frequency with deterministic
+    tie-break. The global window runs over the VOCABULARY (already
+    aggregated, ≪ corpus), not the token stream — the count shuffle is
+    the only corpus-sized exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 100)
     )

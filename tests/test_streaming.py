@@ -126,3 +126,63 @@ def test_stateful_counts_carry_across_batches(tmp_path, spark):
     assert got == want
     # More emissions than keys proves multiple batches actually ran.
     assert log.count() > len(want)
+
+
+def test_checkpoint_recovery_no_reprocessing(tmp_path, spark):
+    """ST8 exactly-once: restart a checkpointed file-sink query after new
+    input arrives — only the NEW file is processed (offsets journaled in
+    the checkpoint; the file sink's commit log dedupes output)."""
+    from ohlc_spark_streaming_spark.sinks.files import parquet_stream_writer
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF_SMOKE, "events")
+    first = events.limit(400)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            parquet_stream_writer(
+                stream.select("event_id"), out, ckpt, query_name="ckpt_recovery"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 400
+
+    # New file lands; restart from the same checkpoint.
+    events.limit(700).exceptAll(first).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 700  # 400 old NOT reprocessed + 300 new
+    assert got.select("event_id").distinct().count() == 700
+
+
+def test_foreach_batch_tap(tmp_path, spark):
+    """The reference's console taps (main.py:90-99) re-expressed as an
+    assertable foreachBatch sink: every micro-batch is captured with its
+    batch id."""
+    seen = []
+
+    def tap(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    stream = events_stream(spark, SF_SMOKE).select("event_id", "event_type")
+    q = (
+        stream.writeStream.foreachBatch(tap)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 1
+    assert sum(n for _, n in seen) == load_table(spark, SF_SMOKE, "events").count()
