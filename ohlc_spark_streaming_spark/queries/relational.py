@@ -860,3 +860,117 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["qty", "discount", "tax"], "measure", "total"
     )
+
+
+@register(
+    "window_trailing_range",
+    """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4)))
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    AS DOUBLE) AS trailing_30d_spend,
+  CAST(COUNT(*)
+    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS trailing_30d_orders
+FROM orders
+""",
+)
+def q_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (SURVEY §2.5): per-customer trailing-30-day
+    spend — the frame is bounded by the ORDER BY VALUE (event time), not
+    row position, so ties and gaps behave correctly. One sort per
+    customer partition; exact-decimal running sums."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+@register(
+    "above_avg_orders",
+    """
+WITH avgs AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*)
+           AS cust_avg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, a.cust_avg
+FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > a.cust_avg
+""",
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative predicate (the correlated-subquery shape): orders
+    above their customer's average price. Decorrelated into one aggregate
+    + equi-join — what Catalyst does to the subquery form; written
+    explicitly so the plan is visible."""
+    o = load_table(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("a_custkey")).agg(
+        (dec_sum("o_totalprice") / F.count(F.lit(1))).alias("cust_avg")
+    )
+    return (
+        o.join(avgs, o.o_custkey == avgs.a_custkey)
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+@register(
+    "null_semantics",
+    """
+WITH t AS (
+  SELECT p_partkey,
+         CASE WHEN p_size % 3 = 0 THEN NULL ELSE p_size END       AS size_n,
+         CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_brand END   AS brand_n
+  FROM part
+)
+SELECT
+  p_partkey,
+  COALESCE(size_n, -1)                               AS size_or_default,
+  CAST(NULLIF(size_n, 25) AS INTEGER)                AS size_nullif_25,
+  (size_n IS NOT DISTINCT FROM NULL)                 AS size_is_null_safe,
+  (brand_n IS NOT DISTINCT FROM 'Brand#13')          AS brand_eq_null_safe,
+  CASE WHEN size_n IS NULL THEN 'missing' ELSE 'present' END AS size_bucket
+FROM t
+""",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling battery (SURVEY §2.8 predicate surface): coalesce,
+    nullif, null-safe equality (<=>), and three-valued CASE — over
+    deterministically injected nulls."""
+    p = load_table(spark, sf_dir, "part")
+    size_n = F.when(F.col("p_size") % 3 == 0, F.lit(None)).otherwise(
+        F.col("p_size")
+    )
+    brand_n = F.when(F.col("p_partkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("p_brand")
+    )
+    t = p.select("p_partkey", size_n.alias("size_n"), brand_n.alias("brand_n"))
+    return t.select(
+        "p_partkey",
+        F.coalesce(F.col("size_n"), F.lit(-1)).alias("size_or_default"),
+        F.nullif(F.col("size_n"), F.lit(25)).cast("int").alias("size_nullif_25"),
+        F.col("size_n").eqNullSafe(F.lit(None)).alias("size_is_null_safe"),
+        F.col("brand_n").eqNullSafe(F.lit("Brand#13")).alias("brand_eq_null_safe"),
+        F.when(F.col("size_n").isNull(), "missing")
+        .otherwise("present")
+        .alias("size_bucket"),
+    )
