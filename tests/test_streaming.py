@@ -186,3 +186,31 @@ def test_foreach_batch_tap(tmp_path, spark):
     q.awaitTermination()
     assert len(seen) >= 1
     assert sum(n for _, n in seen) == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_trade_candle_app_topology(tmp_path, spark):
+    """The recomposed reference application (streaming/app.py): wire
+    stream -> concurrent candle sink + debug taps, each with an isolated
+    checkpoint, all assertable via memory tables."""
+    from ohlc_spark_streaming_spark.queries.reference import _wire_trades
+    from ohlc_spark_streaming_spark.streaming.app import build_app
+    from ohlc_spark_streaming_spark.streaming.checkpoints import CheckpointManager
+
+    wire = _wire_trades(events_stream(spark, SF_SMOKE))
+    app = build_app(
+        wire,
+        CheckpointManager(str(tmp_path / "ckpts")),
+        window_duration="15 minutes",
+        available_now=True,
+    )
+    for q in [app.candle_query, *app.tap_queries]:
+        q.awaitTermination()
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert spark.table("tap_raw").count() == n_events
+    assert spark.table("tap_trades").count() == n_events
+    out = spark.table("candles_out")
+    assert out.columns == ["topic", "key", "value"]
+    assert out.count() > 0
+    # Per-row topic routing: every topic carries the prefix + base + quote.
+    topics = {r.topic for r in out.select("topic").distinct().collect()}
+    assert all(t.startswith("candles-") and t.endswith("-usdt") for t in topics)
