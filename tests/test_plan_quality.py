@@ -1,0 +1,61 @@
+"""Physical-plan regression guards: the properties that matter at 100 TB
+must be visible in the executed plan (SURVEY §4.2) — filters reaching the
+parquet scan, column pruning, broadcast choices, whole-stage codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ohlc_spark_streaming_spark.registry import QUERIES
+from ohlc_spark_streaming_spark.sources.batch import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF_SMOKE, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # Unrequested wide columns must not be read.
+    assert "l_returnflag" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_small_dims_broadcast_in_q5(spark):
+    plan = _plan(QUERIES["q5_region_revenue"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_pipeline(spark):
+    df = QUERIES["ohlc_candles"](spark, SF_SMOKE)
+    df.collect()  # AQE: the final plan (with codegen markers) exists post-run
+    plan = _plan(df)
+    # Codegen'd stages print as `*(n)` in the executed plan. The scan →
+    # project → partial-agg pipeline must be inside codegen; the OHLC
+    # aggregate itself is a SortAggregate by necessity (struct ordering
+    # keys are not hash-aggregable) and the partial+final split around the
+    # exchange is the part that matters at scale.
+    assert "*(1)" in plan
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """The union+window as-of formulation must not contain a join at all —
+    one exchange for the window sort is the entire shuffle cost."""
+    plan = _plan(QUERIES["join_asof_purchase_view"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
