@@ -35,7 +35,7 @@ from ..functions.hashing import (
     band_key,
     rolling_hash,
 )
-from ..functions.textops import shingles, tokens
+from ..functions.textops import tokens
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -57,14 +57,6 @@ def fingerprint_dedup(
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select("fp", id_col, "n_copies")
     )
-
-
-def _token_sets(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    unit = shingles(text_col, n) if n > 1 else tokens(text_col)
-    return docs.select(
-        F.col(id_col),
-        F.array_distinct(unit).alias("units"),
-    ).withColumn("n_units", F.size("units"))
 
 
 def _jaccard(a_units: Column, b_units: Column, a_n: Column, b_n: Column) -> Column:
