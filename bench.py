@@ -50,12 +50,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session(app_name="engine-bench")
 
-    # Steady-state measurement: run each query once at the smallest sf
-    # first so one-time costs (whole-stage-codegen compilation, JVM JIT,
-    # state-store init) are paid outside the timed run — the codegen cache
-    # is keyed on generated code, which is identical across sf dirs. The
-    # timed run at the target sf then measures execution, not compilation.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    # Steady-state measurement: run each query once untimed first so
+    # one-time costs (whole-stage-codegen compilation, JVM JIT, state-store
+    # init) are paid outside the timed run. Warm at the SAME sf dir: plan
+    # shape can depend on input size (adaptive source fan-out), and a
+    # different shape means a codegen-cache miss in the timed run.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", sf_dir)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
@@ -66,6 +66,10 @@ def main() -> None:
                 fn(spark, warm_dir).count()
             except Exception:
                 pass
+        # Cold data, warm code: drop any DataFrame caches the warm run
+        # populated (e.g. the MinHash shingle-set persist) so the timed
+        # run measures real execution, not a cache replay.
+        spark.catalog.clearCache()
         start = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 4)
