@@ -778,3 +778,52 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 100)
     )
+
+
+@register(
+    "sample_systematic",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {hashing.rolling_hash_sql("text")} % 20 = 0
+""",
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~5% corpus sample keyed on CONTENT hash (mod-20 of the
+    rolling hash): the sample is stable across reruns, partitionings, and
+    engines — unlike rand()-based sampling — and membership survives
+    re-ingestion of the same document. Narrow filter, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(hashing.rolling_hash("text") % 20 == 0).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "dataset_split",
+    f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN {hashing.rolling_hash_sql("text")} % 100 < 80 THEN 'train'
+              WHEN {hashing.rolling_hash_sql("text")} % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM assigned GROUP BY split
+""",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) by content hash —
+    the assignment is a pure function of the document text, so identical
+    documents land in the same split on every engine and every rerun (no
+    leakage from re-shuffled rand() splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hashing.rolling_hash("text") % 100
+    assigned = docs.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
