@@ -115,3 +115,21 @@ def asof_join(
         for c in right_payload
     )
     return matched.select(*out_cols)
+
+
+def hinted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    strategy: str | None = None,
+) -> DataFrame:
+    """Equi-join with an explicit strategy hint on the RIGHT side:
+    ``broadcast`` | ``merge`` | ``shuffle_hash`` | ``shuffle_replicate_nl``
+    (SURVEY §2.3). Hints override the planner's size-estimate choice —
+    use when statistics mislead (e.g. a filtered dim the planner still
+    thinks is big, or a big-big join where sort-merge spills and
+    shuffle-hash fits)."""
+    if strategy is not None:
+        right = right.hint(strategy)
+    return left.join(right, on, how)

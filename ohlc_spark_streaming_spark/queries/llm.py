@@ -827,3 +827,53 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
     )
+
+
+@register(
+    "quality_filter",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len({_TOKENS}) AS n_tokens,
+         len(list_distinct({_TOKENS})) / len({_TOKENS}) AS ttr,
+         len(list_filter({_TOKENS}, t -> list_contains({_STOP_SQL}, t)))
+           / len({_TOKENS}) AS stop_ratio
+  FROM documents
+)
+SELECT
+  lang,
+  count(*)                                        AS n_docs,
+  CAST(SUM(CASE WHEN n_tokens >= 30 AND ttr >= 0.3 AND stop_ratio <= 0.5
+                THEN 1 ELSE 0 END) AS BIGINT)     AS n_pass,
+  min(doc_id)                                     AS min_doc_id
+FROM scored
+GROUP BY lang
+""",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality gate: the pipeline form of text_quality — length,
+    lexical-diversity, and stopword-density thresholds folded into
+    per-language pass counts. The thresholds run on integer-exact ratios,
+    so the gate is reproducible across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        ttr.alias("ttr"),
+        stop.alias("stop_ratio"),
+    )
+    passes = (
+        (F.col("n_tokens") >= 30)
+        & (F.col("ttr") >= 0.3)
+        & (F.col("stop_ratio") <= 0.5)
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(passes, 1).otherwise(0)).alias("n_pass"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

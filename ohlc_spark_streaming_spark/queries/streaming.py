@@ -338,3 +338,23 @@ def q_streaming_stateful_error_counts(spark: SparkSession, sf_dir: str) -> DataF
     name = f"stream_stateful_{next(_counter)}"
     log = run_to_memory(emissions, name, output_mode="update")
     return final_counts(log)
+
+
+@register("streaming_sliding_candles", _SLIDING_ORACLE)
+def q_streaming_sliding_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the sliding candles: overlapping 1-hour windows
+    every 30 minutes over the watermarked stream (each event updates 2
+    window states; state per (window, symbol) stays O(1))."""
+    stream = events_stream(spark, sf_dir)
+    candles = streaming_ohlc_candles(
+        stream,
+        ts_col="ts",
+        symbol_col="event_type",
+        price_col="value",
+        qty_col=None,
+        window_duration="1 hour",
+        slide="30 minutes",
+        watermark_delay="2 minutes",
+    )
+    name = f"stream_sliding_{next(_counter)}"
+    return run_to_memory(candles, name, output_mode="complete")

@@ -59,3 +59,21 @@ def test_asof_join_is_single_shuffle(spark):
     plan = _plan(QUERIES["join_asof_purchase_view"](spark, SF_SMOKE))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_join_hints_override_planner(spark):
+    """Strategy hints must override size-based planning: a merge hint on a
+    broadcast-sized dim forces SortMergeJoin; a shuffle_hash hint forces
+    ShuffledHashJoin."""
+    from ohlc_spark_streaming_spark.operators.joins import hinted_join
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    on = o.o_custkey == c.c_custkey
+
+    merged = hinted_join(o, c, on, strategy="merge")
+    assert "SortMergeJoin" in _plan(merged)
+    hashed = hinted_join(o, c, on, strategy="shuffle_hash")
+    assert "ShuffledHashJoin" in _plan(hashed)
+    bcast = hinted_join(o, c, on, strategy="broadcast")
+    assert "BroadcastHashJoin" in _plan(bcast)
