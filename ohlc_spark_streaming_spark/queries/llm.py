@@ -877,3 +877,18 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(passes, 1).otherwise(0)).alias("n_pass"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register("similarity_topk_vectorized")  # no oracle: BLAS summation order
+# differs from the sequential fold in low-order float bits; rank parity
+# with the oracle-checked exact operator is asserted in
+# tests/test_similarity_vectorized.py.
+def q_similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force cosine top-10 (numpy matmul per batch)
+    — the throughput kernel for 100 TB scoring; same ranks as
+    similarity_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.cosine_topk_vectorized(emb, queries, k=10)
