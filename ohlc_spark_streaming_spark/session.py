@@ -92,6 +92,15 @@ def build_session(
         shuffle_partitions = default_parallelism()
 
     builder = SparkSession.builder.master(master).appName(app_name)
+    if master.startswith("local") and not (extra_confs or {}).get(
+        "spark.driver.memory"
+    ):
+        # In local mode the driver JVM IS the executor; Spark's 1g default
+        # heap GC-thrashes on multi-GB shuffles. Sized for the dev box;
+        # real clusters set executor memory through submit configs instead.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     for key, value in {**STATIC_CONFS, **RUNTIME_CONFS}.items():
         builder = builder.config(key, value)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
