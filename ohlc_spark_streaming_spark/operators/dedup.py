@@ -373,7 +373,10 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).persist()
-    labels.count()
+    # Convergence detection without a self-join: labels only ever
+    # DECREASE, so sum(label) strictly decreases until the fixpoint —
+    # one cheap aggregate per round instead of a change-count join.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neigh = bi.join(
             labels, bi["dst"] == labels["node"], "inner"
@@ -385,16 +388,12 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

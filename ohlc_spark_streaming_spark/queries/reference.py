@@ -307,3 +307,123 @@ def q_candle_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ws").isNull().alias("is_gap"),
         F.last("close", ignorenulls=True).over(w).alias("close_filled"),
     )
+
+
+@register(
+    "candle_trend_slope",
+    """
+WITH raw AS (
+  SELECT event_type AS symbol,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS x,
+         max(struct_pack(t := ts, p := value)).p AS close
+  FROM events GROUP BY 1, 2
+), candles AS (
+  SELECT symbol, x - min(x) OVER (PARTITION BY symbol) AS x, close FROM raw
+), sums AS (
+  SELECT symbol,
+         count(*)                                            AS n,
+         SUM(CAST(x AS DECIMAL(30,0)))                       AS sx,
+         SUM(CAST(close AS DECIMAL(30,6)))                   AS sy,
+         SUM(CAST(x AS DECIMAL(30,0)) * CAST(x AS DECIMAL(30,0)))      AS sxx,
+         SUM(CAST(x AS DECIMAL(30,0)) * CAST(close AS DECIMAL(30,6)))  AS sxy
+  FROM candles GROUP BY symbol
+)
+SELECT symbol, n,
+       CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(20,6))
+            - CAST(sx AS DECIMAL(15,0)) * CAST(sy AS DECIMAL(20,6)) AS DOUBLE)
+         / CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(20,0))
+            - CAST(sx AS DECIMAL(15,0)) * CAST(sx AS DECIMAL(15,0)) AS DOUBLE)
+         AS slope
+FROM sums
+""",
+)
+def q_candle_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS trend of hourly closes: slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) with every sum in exact decimal (x is an integer hour
+    index, close has fixed scale), so the only float op is the final
+    division — bit-identical cross-engine, unlike the built-in
+    regr_slope whose double accumulation is order-dependent. x is
+    centered to the symbol's first hour so every decimal product fits
+    precision 38 without rounding on either engine."""
+    events = load_table(spark, sf_dir, "events")
+    candles = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    ).select(
+        "symbol",
+        (F.col("window_start").cast("timestamp").cast("long") / 3600)
+        .cast("long")
+        .alias("x"),
+        "close",
+    )
+    w_sym = Window.partitionBy("symbol")
+    candles = candles.withColumn("x", F.col("x") - F.min("x").over(w_sym))
+    xd = F.col("x").cast("decimal(30,0)")
+    yd = F.col("close").cast("decimal(30,6)")
+    sums = candles.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    # Just-enough precisions: every product stays within DECIMAL(38)
+    # on BOTH engines (overflow would silently promote to double in
+    # DuckDB and round under precision-loss rules in Spark).
+    nd = F.col("n").cast("decimal(10,0)")
+    sx = F.col("sx").cast("decimal(15,0)")
+    sy = F.col("sy").cast("decimal(20,6)")
+    sxx = F.col("sxx").cast("decimal(20,0)")
+    sxy = F.col("sxy").cast("decimal(20,6)")
+    return sums.select(
+        "symbol",
+        "n",
+        (
+            (nd * sxy - sx * sy).cast("double")
+            / (nd * sxx - sx * sx).cast("double")
+        ).alias("slope"),
+    )
+
+
+@register(
+    "candle_minmax_norm",
+    """
+WITH candles AS (
+  SELECT event_type AS symbol,
+         date_trunc('hour', ts)                  AS window_start,
+         max(struct_pack(t := ts, p := value)).p AS close
+  FROM events GROUP BY 1, 2
+), ext AS (
+  SELECT symbol, min(close) AS lo, max(close) AS hi FROM candles GROUP BY symbol
+)
+SELECT c.symbol, c.window_start, c.close,
+       (c.close - e.lo) / (e.hi - e.lo) AS close_norm
+FROM candles c JOIN ext e ON c.symbol = e.symbol
+""",
+)
+def q_candle_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map custom operator (applyInPandas): per-symbol min-max
+    normalization of hourly closes computed inside an Arrow batch per
+    group. Min/max are exact comparisons and the scaling is one IEEE
+    division, so the pandas kernel is bit-identical to the oracle's
+    relational form — the grouped-map path is value-hash-checked like
+    everything else."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    candles = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    ).select("symbol", "window_start", "close")
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["close"].min(), pdf["close"].max()
+        out = pdf.copy()
+        out["close_norm"] = (pdf["close"] - lo) / (hi - lo)
+        return out
+
+    return candles.groupBy("symbol").applyInPandas(
+        norm,
+        schema="symbol string, window_start timestamp_ntz, close double, "
+        "close_norm double",
+    )
