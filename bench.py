@@ -42,6 +42,11 @@ HEADLINE = [
     "multimodal_features",
     "similarity_ivf_topk",
     "text_tfidf",
+    "candle_gap_fill",
+    "candle_trend_slope",
+    "error_streaks",
+    "streaming_stateful_error_counts",
+    "text_chunks",
 ]
 
 

@@ -892,3 +892,40 @@ def q_similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim_ops.cosine_topk_vectorized(emb, queries, k=10)
+
+
+@register(
+    "profile_documents",
+    f"""
+SELECT
+  count(*)                                          AS n_rows,
+  count(DISTINCT lang)                              AS n_langs,
+  count(DISTINCT source)                            AS n_sources,
+  CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT)
+                                                    AS n_empty_text,
+  min(doc_id)                                       AS min_doc_id,
+  max(doc_id)                                       AS max_doc_id,
+  min(length(text))                                 AS min_len,
+  max(length(text))                                 AS max_len,
+  CAST(SUM(CAST(length(text) AS DECIMAL(30,0))) AS BIGINT) AS total_chars
+FROM documents
+""",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling in one pass: row/cardinality/null/extent statistics
+    for the corpus — the pre-flight check of any ingestion pipeline. All
+    exact aggregates (count/min/max/integer sums), single scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).alias("n_empty_text"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        F.sum(F.length("text").cast("decimal(30,0)")).cast("long").alias("total_chars"),
+    )
