@@ -974,3 +974,39 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("present")
         .alias("size_bucket"),
     )
+
+
+@register(
+    "price_histogram",
+    """
+SELECT
+  CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+  CAST(CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000.0 AS DOUBLE) AS bin_lo,
+  count(*)                                      AS n_items,
+  min(l_extendedprice)                          AS bin_min,
+  max(l_extendedprice)                          AS bin_max
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (SURVEY §2.4 family): one hash aggregation on
+    the bin key — the distributed form of a profiling histogram; bins are
+    integer arithmetic so the layout is reproducible at any partitioning."""
+    l = load_table(spark, sf_dir, "lineitem")
+    bin_ = F.floor(F.col("l_extendedprice") / 5000)
+    return (
+        l.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("l_extendedprice").alias("bin_min"),
+            F.max("l_extendedprice").alias("bin_max"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 5000.0).alias("bin_lo"),
+            "n_items",
+            "bin_min",
+            "bin_max",
+        )
+    )
