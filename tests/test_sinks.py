@@ -60,3 +60,18 @@ def test_compact_parquet(tmp_path, spark):
     n = compact_parquet(spark, out, target_files=2)
     assert n == 2
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_adaptive_source_fanout(spark):
+    """parallelize=True must widen single-row-group scans above the size
+    floor and leave small (broadcast-candidate) tables alone."""
+    from ohlc_spark_streaming_spark.session import default_parallelism
+
+    sf01 = "/root/testdata/sf0.1"
+    wide = load_table(spark, sf01, "events", parallelize=True)
+    assert wide.rdd.getNumPartitions() == default_parallelism()
+    serial = load_table(spark, sf01, "events", parallelize=False)
+    assert serial.rdd.getNumPartitions() == 1
+    # region is tiny: no fan-out even when requested.
+    dim = load_table(spark, sf01, "region", parallelize=True)
+    assert dim.rdd.getNumPartitions() == 1
