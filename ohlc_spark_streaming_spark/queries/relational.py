@@ -1010,3 +1010,55 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_max",
         )
     )
+
+
+@register(
+    "funnel_view_purchase",
+    """
+WITH views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), converted AS (
+  SELECT DISTINCT v.user_id
+  FROM views v JOIN purchases p
+    ON v.user_id = p.user_id
+   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+)
+SELECT
+  (SELECT count(DISTINCT user_id) FROM views)     AS n_viewers,
+  (SELECT count(*) FROM converted)                AS n_converted,
+  CAST((SELECT count(*) FROM converted) AS DOUBLE)
+    / (SELECT count(DISTINCT user_id) FROM views) AS conversion_rate
+""",
+)
+def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users who purchased within 24h after a view.
+    The step join is an equi-join on user with a time band (semi-join
+    shape — each user counted once however many qualifying pairs); the
+    rate is one IEEE division of exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")),
+            "left_semi",
+        )
+        .select("user_id")
+        .distinct()
+    )
+    totals = views.agg(F.countDistinct("user_id").alias("n_viewers"))
+    conv = converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    return totals.crossJoin(conv).select(
+        "n_viewers",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_viewers")).alias(
+            "conversion_rate"
+        ),
+    )
