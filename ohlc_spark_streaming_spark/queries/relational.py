@@ -1062,3 +1062,69 @@ def q_funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@register(
+    "window_value_functions",
+    """
+SELECT
+  o_orderkey,
+  o_custkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice)  OVER w AS last_price,
+  nth_value(o_totalprice, 2) OVER w AS second_price,
+  lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+  lag(o_totalprice, 1, -1.0)  OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions (SURVEY §2.5): first/last/nth/lead/lag with
+    an explicit unbounded frame and unique-key ordering (last_value over
+    the default frame is the classic footgun — the frame is spelled out)."""
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_framed = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # lead/lag are offset functions: Spark rejects explicit frames.
+    w_offset = Window.partitionBy("o_custkey").orderBy(*order)
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w_framed).alias("first_price"),
+        F.last("o_totalprice").over(w_framed).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_framed).alias("second_price"),
+        F.lead("o_totalprice", 1, -1.0).over(w_offset).alias("next_price"),
+        F.lag("o_totalprice", 1, -1.0).over(w_offset).alias("prev_price"),
+    )
+
+
+@register(
+    "user_event_type_sets",
+    """
+SELECT
+  user_id,
+  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+  count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted set aggregation: per-user distinct event types as a
+    canonical comma-joined string (sort makes the nondeterministic
+    collect order observable-deterministic). Bounded state: the set is
+    capped by the event-type vocabulary, unlike a raw collect_list."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+    )
