@@ -102,3 +102,65 @@ def blob_stats(assets: DataFrame) -> DataFrame:
             F.countDistinct(F.sha2("payload", 256)).alias("n_distinct_payloads"),
         )
     )
+
+
+FRAME_SCHEMA = "asset_id long, frame_id long, frame_len long, frame_head string"
+
+
+def sample_frames(
+    assets: DataFrame, frame_size: int = 32, every: int = 4
+) -> DataFrame:
+    """Frame sampling over binary payloads: treat the payload as a
+    sequence of fixed-size frames and keep every ``every``-th one.
+
+    The byte-slicing plumbing is REAL (no media library needed) — a video
+    pipeline swaps the fixed-size slicer for a container demuxer and
+    keeps the same Arrow-batched shape. One pass, executor-local, output
+    rows ~ payload_bytes / (frame_size * every).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fids, lens, heads = [], [], [], []
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                data = bytes(payload)
+                n_frames = max((len(data) + frame_size - 1) // frame_size, 1)
+                for i in range(0, n_frames, every):
+                    frame = data[i * frame_size : (i + 1) * frame_size]
+                    ids.append(asset_id)
+                    fids.append(i)
+                    lens.append(len(frame))
+                    heads.append(frame[:4].hex())
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_id": fids,
+                    "frame_len": lens,
+                    "frame_head": heads,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: decode → resize → re-encode per payload via
+    the DECODERS registry ('image/resize' key). No imaging library exists
+    in this container, so the default path raises NotImplementedError —
+    the Spark-side contract (schema, batching, metadata update) is what
+    is real and tested."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = DECODERS.get("image/resize", decode_unavailable)
+        for batch in batches:
+            out = batch.copy()
+            out["payload"] = [
+                resize(bytes(p)) for p in batch["payload"]
+            ]
+            yield out
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, "asset_id long, payload binary"
+    ).withColumn("meta", F.create_map(
+        F.lit("resized_to"), F.lit(f"{width}x{height}")
+    ))

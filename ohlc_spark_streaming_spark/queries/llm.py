@@ -929,3 +929,35 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("text")).cast("long").alias("max_len"),
         F.sum(F.length("text").cast("decimal(30,0)")).cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH framed AS (
+  SELECT doc_id AS asset_id, text,
+         unnest(range(0, CAST(greatest(ceil(length(text) / 32.0), 1)
+                              AS BIGINT), 4)) AS frame_id
+  FROM documents
+)
+SELECT
+  asset_id,
+  frame_id,
+  CAST(length(substring(text, CAST(frame_id*32 + 1 AS INTEGER), 32)) AS BIGINT)
+    AS frame_len,
+  lower(hex(encode(substring(text, CAST(frame_id*32 + 1 AS INTEGER), 4))))
+    AS frame_head
+FROM framed
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (the video-pipeline shape): fixed 32-byte frames,
+    every 4th kept, via Arrow-batched mapInPandas over binary payloads.
+    DuckDB has no BLOB substring, so the oracle slices the VARCHAR —
+    byte == char positions because the corpus is pure ASCII (checked:
+    octet_length == length for every document) — and re-encodes each
+    slice; the Python worker round trip is value-checked end to end."""
+    from ..operators.multimodal import attach_payloads, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payloads(docs), frame_size=32, every=4)

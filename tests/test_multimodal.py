@@ -50,3 +50,18 @@ def test_payloads_roundtrip_bytes(spark):
             a = assets[d.doc_id]
             assert bytes(a.payload) == d.text.encode("utf-8")
             assert a.meta["modality"] == "text"
+
+
+def test_resize_requires_registered_decoder(spark):
+    """The resize path surfaces NotImplementedError without an imaging
+    library; a registered resizer flows through the same plumbing."""
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        multimodal.resize_assets(_assets(spark), 64, 64).collect()
+    multimodal.DECODERS["image/resize"] = lambda p: p[:16]
+    try:
+        out = multimodal.resize_assets(_assets(spark), 64, 64)
+        rows = out.limit(3).collect()
+        assert all(len(bytes(r.payload)) <= 16 for r in rows)
+        assert all(r.meta["resized_to"] == "64x64" for r in rows)
+    finally:
+        del multimodal.DECODERS["image/resize"]
