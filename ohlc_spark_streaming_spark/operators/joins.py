@@ -68,7 +68,9 @@ def asof_join(
     payload_prefix: str = "asof_",
 ) -> DataFrame:
     """As-of (backward, inclusive) join: for each LEFT row, the most recent
-    RIGHT row with ``right_ts <= left_ts`` per key.
+    RIGHT row with ``right_ts <= left_ts`` per key; among RIGHT rows tied
+    on (key, ts), the one with the lexicographically greatest payload
+    struct (deterministic under any partitioning).
 
     Returns all LEFT columns plus ``{payload_prefix}{col}`` for each
     ``right_payload`` column (and ``{payload_prefix}ts`` for the matched
@@ -97,9 +99,13 @@ def asof_join(
     )
     merged = r.unionByName(l, allowMissingColumns=True)
 
+    # _payload in the sort order makes ties among RIGHT rows with equal
+    # (key, ts) deterministic: the lexicographically greatest payload wins
+    # (struct ordering; left rows are unaffected — their _side sorts last
+    # at any timestamp and their payload is null).
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -97,3 +97,58 @@ def test_session_windows_match_bruteforce(spark, offsets):
             sessions.append([ts])
     want = sorted((s[0], s[-1] + gap, len(s)) for s in sessions)
     assert got == want
+
+
+_asof_rows = st.tuples(
+    st.lists(  # left (probe) rows: (ts_offset,)
+        st.integers(min_value=0, max_value=100), min_size=1, max_size=15
+    ),
+    st.lists(  # right (reference) rows: (ts_offset, payload)
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_asof_rows)
+def test_asof_join_matches_bruteforce(spark, data):
+    from ohlc_spark_streaming_spark.operators.joins import asof_join
+
+    left_offs, right_rows = data
+    left = spark.createDataFrame(
+        [("k", _BASE + dt.timedelta(seconds=s), i) for i, s in enumerate(left_offs)],
+        ["key", "lts", "row_id"],
+    )
+    right = spark.createDataFrame(
+        [("k", _BASE + dt.timedelta(seconds=s), float(p)) for s, p in right_rows],
+        ["key", "rts", "price"],
+    ) if right_rows else spark.createDataFrame([], "key string, rts timestamp, price double")
+
+    got = {
+        r.row_id: (r.asof_ts, r.asof_price)
+        for r in asof_join(
+            left, right, on=["key"], left_ts="lts", right_ts="rts",
+            right_payload=["price"],
+        ).collect()
+    }
+
+    # Model: most recent right row with rts <= lts; ties on rts -> the
+    # greatest (rts, price) struct, i.e. highest price.
+    for i, s in enumerate(left_offs):
+        lts = _BASE + dt.timedelta(seconds=s)
+        cands = [
+            (_BASE + dt.timedelta(seconds=rs), float(p))
+            for rs, p in right_rows
+            if rs <= s
+        ]
+        want = max(cands) if cands else (None, None)
+        assert got[i] == want, (i, got[i], want)
