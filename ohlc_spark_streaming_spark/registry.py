@@ -57,5 +57,6 @@ def dec_sum(col, scale: int = 4):
 # Populate the registry (import order defines no semantics; names are unique).
 from .queries import reference as _q_reference  # noqa: E402,F401
 from .queries import relational as _q_relational  # noqa: E402,F401
+from .queries import tpch as _q_tpch  # noqa: E402,F401
 from .queries import llm as _q_llm  # noqa: E402,F401
 from .queries import streaming as _q_streaming  # noqa: E402,F401
