@@ -80,17 +80,19 @@ def jaccard_pairs(
     split across bands is by definition not a candidate), which is what
     makes the operator subquadratic AND oracle-reproducible.
 
-    The similarity unit is the HASHED 3-gram shingle set (shingle_sets) —
-    identical to the MinHash verification unit: pairwise array_intersect
-    over int64 arrays is ~10x cheaper than over shingle strings (measured
-    46s -> 4s at sf0.1), and the hash arithmetic is replayed by the
-    oracle, so exactness is preserved cross-engine. Documents shorter than
-    ``shingle_n`` tokens yield no shingles and drop out (declared).
+    Execution is an inverted-index count join, not pairwise set
+    intersection: explode per-doc distinct shingle hashes, equi-join on
+    (block keys, shingle) so each shared shingle yields one row, and
+    count rows per pair — ``|A∩B|`` falls out of a groupBy. Cost is
+    Σ_sh df(sh)² *within blocks* (tiny vs |block|² array intersections;
+    measured 17.5s → ~2s at sf0.1). Documents shorter than ``shingle_n``
+    tokens yield no shingles and drop out (declared).
     """
     if shingle_n != 3:
         raise ValueError("hashed shingle units are fixed at n=3 (shingle_hashes)")
-    sets = shingle_sets(docs, id_col, text_col)
-    base = docs.select(id_col, *block_cols).join(sets, id_col)
+    per_doc = shingle_hashes(docs, id_col, text_col).distinct()
+    n = per_doc.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    base = docs.select(id_col, *block_cols).join(n, id_col)
     if length_band is not None:
         base = base.withColumn(
             "len_band", F.floor(F.col("n_units") / F.lit(length_band))
@@ -98,34 +100,114 @@ def jaccard_pairs(
         block_keys = [*block_cols, "len_band"]
     else:
         block_keys = list(block_cols)
+    toks = per_doc.join(base, id_col)
 
-    a = base.select(
+    a = toks.select(
         *[F.col(c).alias(f"a_{c}") for c in block_keys],
         F.col(id_col).alias("id_a"),
-        F.col("units").alias("a_units"),
         F.col("n_units").alias("a_n"),
+        F.col("sh").alias("a_sh"),
     )
-    b = base.select(
+    b = toks.select(
         *[F.col(c).alias(f"b_{c}") for c in block_keys],
         F.col(id_col).alias("id_b"),
-        F.col("units").alias("b_units"),
         F.col("n_units").alias("b_n"),
+        F.col("sh").alias("b_sh"),
     )
-    cond = F.col("id_a") < F.col("id_b")
+    cond = (F.col("id_a") < F.col("id_b")) & (F.col("a_sh") == F.col("b_sh"))
     for c in block_keys:
         cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
     # Lossless size-ratio prune: |A∩B| <= min(|A|,|B|) and |A∪B| >=
     # max(|A|,|B|), so jaccard <= min/max — a pair can only pass the
     # threshold if the smaller set is at least `threshold` of the larger.
-    # Evaluated before the O(|set|) intersection, output unchanged.
     cond = (
         cond
         & (F.col("a_n") * F.lit(threshold) <= F.col("b_n"))
         & (F.col("b_n") * F.lit(threshold) <= F.col("a_n"))
     )
-    jac = _jaccard(F.col("a_units"), F.col("b_units"), F.col("a_n"), F.col("b_n"))
-    return (
+    inter = (
         a.join(b, cond)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.first("a_n").alias("a_n"),
+            F.first("b_n").alias("b_n"),
+        )
+    )
+    jac = F.col("_inter") / (F.col("a_n") + F.col("b_n") - F.col("_inter"))
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_ppjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """GLOBAL exact Jaccard pairs (no blocking) via PPJoin-style prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW 2008 — public algorithm).
+
+    Order every document's shingles by (document frequency, shingle) —
+    one global total order, rarest first. For J(A,B) ≥ t it holds that
+    |A∩B| ≥ t·|A| (and ≥ t·|B|), so the smallest common element under the
+    order sits in BOTH prefixes of length |X| − ⌈t·|X|⌉ + 1. An equi-join
+    of prefixes on the shingle therefore generates every qualifying pair,
+    and prefixes hold only the RAREST shingles — join fan-out per shingle
+    is df², concentrated where df is smallest. That is what keeps the
+    operator subquadratic at 100 TB without declared length bands:
+    boilerplate shingles (huge df) never enter a prefix.
+
+    Verification recounts the FULL intersection for candidates only
+    (candidate ⋈ tokens ⋈ tokens count join) — exact, no arrays.
+    """
+    # per_doc feeds four consumers (sizes, frequencies, prefixes, verify);
+    # persisting it is the same checkpoint a 100 TB pipeline would write
+    # between the hashing and pairing stages.
+    per_doc = shingle_hashes(docs, id_col, text_col).distinct().persist()
+    n = per_doc.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    dfreq = per_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = per_doc.join(dfreq, "sh").join(n, id_col)
+    pos = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("sh").asc())
+    )
+    prefix_len = F.col("n_units") - F.ceil(F.lit(threshold) * F.col("n_units")) + 1
+    prefix = (
+        ranked.withColumn("_pos", pos)
+        .where(F.col("_pos") <= prefix_len)
+        .select(id_col, "sh", "n_units")
+    )
+    pa = prefix.select(F.col(id_col).alias("id_a"), F.col("sh").alias("a_sh"), F.col("n_units").alias("a_n"))
+    pb = prefix.select(F.col(id_col).alias("id_b"), F.col("sh").alias("b_sh"), F.col("n_units").alias("b_n"))
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a_sh") == F.col("b_sh"))
+            & (F.col("id_a") < F.col("id_b"))
+            # lossless size-ratio prune (see jaccard_pairs)
+            & (F.col("a_n") * F.lit(threshold) <= F.col("b_n"))
+            & (F.col("b_n") * F.lit(threshold) <= F.col("a_n")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = per_doc.select(F.col(id_col).alias("id_a"), "sh")
+    tb = per_doc.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = n.select(F.col(id_col).alias("id_a"), F.col("n_units").alias("a_n"))
+    nb = n.select(F.col(id_col).alias("id_b"), F.col("n_units").alias("b_n"))
+    jac = F.col("_inter") / (F.col("a_n") + F.col("b_n") - F.col("_inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )

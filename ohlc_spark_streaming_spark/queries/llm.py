@@ -20,6 +20,7 @@ from ..operators.dedup import (
     exact_dedup,
     fingerprint_dedup,
     jaccard_pairs,
+    jaccard_ppjoin_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -133,12 +134,42 @@ WHERE len(list_intersect(a.units, b.units))
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hashed-3-gram-shingle Jaccard near-dup pairs within (lang,
     length band) blocks — the blocks bound the quadratic candidate space
-    and are part of the declared semantics; the hashed unit makes the
-    pairwise intersections int64-array ops (see operators.dedup)."""
+    and are part of the declared semantics; execution is an inverted-index
+    count join (see operators.dedup.jaccard_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(
         docs, block_cols=("lang",), shingle_n=3, threshold=0.5, length_band=50
     )
+
+
+@register(
+    "dedup_jaccard_ppjoin",
+    f"""
+WITH {_shingle_sql_cte().lstrip()},
+perdoc AS (
+  SELECT DISTINCT doc_id, sh FROM shg
+), n AS (
+  SELECT doc_id, count(*) AS n FROM perdoc GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM perdoc a JOIN perdoc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.id_a, inter.id_b, inter.i / (na.n + nb.n - inter.i) AS jaccard
+FROM inter
+JOIN n na ON inter.id_a = na.doc_id
+JOIN n nb ON inter.id_b = nb.doc_id
+WHERE inter.i / (na.n + nb.n - inter.i) >= 0.5
+""",
+)
+def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact Jaccard pairs (every pair in the corpus, no blocking)
+    with PPJoin-style prefix-filtered candidate generation — the declared
+    semantics are purely 'jaccard >= 0.5', which the oracle states as the
+    plain shared-shingle count join; the prefix filter is provably
+    lossless (operators.dedup.jaccard_ppjoin_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_ppjoin_pairs(docs, threshold=0.5)
 
 
 def _minhash_sql_cte() -> str:
