@@ -25,6 +25,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.multimodal import attach_payloads, blob_stats
+from ..operators.packing import pack_sequences
 from ..operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -780,6 +781,42 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKENS}) AS n
+  FROM documents
+  WHERE len({_TOKENS}) > 0
+), c AS (
+  SELECT doc_id, n,
+    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS strt
+  FROM t
+), seg AS (
+  SELECT doc_id, n, strt,
+         unnest(range(strt // 256, (strt + n - 1) // 256 + 1)) AS chunk_id
+  FROM c
+)
+SELECT doc_id, chunk_id,
+  greatest(chunk_id * 256, strt) - strt            AS doc_tok_start,
+  greatest(chunk_id * 256, strt) - chunk_id * 256  AS chunk_tok_start,
+  least((chunk_id + 1) * 256, strt + n) - greatest(chunk_id * 256, strt)
+                                                   AS seg_len
+FROM seg
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate-then-chunk layout of the corpus into
+    256-token context windows (one row per document↔chunk segment). The
+    global running offset is a two-phase distributed prefix sum — see
+    operators.packing for the scale argument; the oracle states the same
+    semantics as one window cumsum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256)
 
 
 @register(
