@@ -444,17 +444,17 @@ def connected_components(
     The driver loop is inherent to iterative graph algorithms (Pregel
     shape): each round is one shuffle (neighbor-min groupBy); rounds =
     graph diameter, which for near-dup clusters is tiny. Each round's
-    labels are persisted and the previous round unpersisted, so lineage
-    stays shallow. At extreme scale swap the propagation body for the
-    large-star/small-star rewrite (same driver-loop contract; fewer
-    rounds on high-diameter graphs).
+    labels are localCheckpoint'ed — persist alone caches data but leaves
+    the logical plan growing ~2× per round, and Catalyst analysis becomes
+    the bottleneck long before execution does. For high-diameter graphs
+    use :func:`connected_components_star` (same contract, log² rounds).
     """
     bi = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).persist()
+    ).localCheckpoint()
     # Convergence detection without a self-join: labels only ever
     # DECREASE, so sum(label) strictly decreases until the fixpoint —
     # one cheap aggregate per round instead of a change-count join.
@@ -468,10 +468,9 @@ def connected_components(
             .union(neigh)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -479,3 +478,93 @@ def connected_components(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """One large-star round: every node's strictly-larger neighbors re-link
+    to the minimum of its closed neighborhood."""
+    bid = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = bid.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        bid.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """One small-star round: every node's smaller-or-equal neighbors link
+    to the minimum of its closed neighborhood."""
+    d = E.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = d.groupBy("u").agg(F.min("v").alias("m"))  # all v < u, so min(N∪{u}) = min(v)
+    linked = d.join(m, "u")
+    return (
+        linked.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(linked.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC 2014 — public algorithm). Same contract as
+    :func:`connected_components` (cluster id = smallest member id).
+
+    Label propagation needs diameter-many rounds; star contraction halves
+    long paths every round (O(log² n) worst case), which is the 100 TB
+    path for high-diameter near-dup graphs (chains of pairwise-similar
+    documents). Each round is two self-contained shuffles on node ids.
+
+    Convergence: a cheap (count, Σu, Σv) signature per round; on a
+    signature match, one exact set-difference confirms the fixpoint (the
+    converged edge set IS the star assignment, so no label pass follows).
+
+    Each round's edge set is localCheckpoint'ed: a star round references
+    its input four times, so without truncation the LOGICAL plan grows
+    4^rounds and Catalyst analysis, not execution, becomes the bottleneck
+    (persist caches runtime data but does not shorten the plan).
+    """
+    E = (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).collect()[0]
+        return (row.c, row.su, row.sv)
+
+    sig = signature(E)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(E)).localCheckpoint()
+        nsig = signature(nxt)
+        if nsig == sig and E.exceptAll(nxt).isEmpty():
+            break
+        E, sig = nxt, nsig
+    # At the fixpoint each non-root node carries exactly one (u, root) edge;
+    # the min-agg also makes a max_iter-truncated run well-defined.
+    lab = E.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("label"))
+    out = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(lab, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+    )
+    return out

@@ -707,6 +707,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, docs, id_col="doc_id")
 
 
+@register("dedup_clusters_star", _clusters_oracle_sql())
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as dedup_clusters (identical oracle), computed by
+    alternating large-star/small-star contraction instead of label
+    propagation — rounds scale with log² of component size, not diameter
+    (operators.dedup.connected_components_star)."""
+    from ..operators.dedup import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    return connected_components_star(pairs, docs, id_col="doc_id")
+
+
 @register(
     "text_normalize",
     r"""

@@ -15,6 +15,42 @@ def _as_set(df):
     return {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in df.collect()}
 
 
+def test_star_cc_handles_high_diameter_graphs(spark):
+    """A 200-node path is the propagation worst case (diameter 199); star
+    contraction must still collapse it to one component within its round
+    budget, proving the log-rounds claim."""
+    from ohlc_spark_streaming_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(edges, nodes, max_iter=12).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+    # And on a multi-component graph both algorithms agree.
+    edges2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (9, 5)], ["id_a", "id_b"]
+    )
+    nodes2 = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(edges2, nodes2).collect()
+    }
+    prop = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges2, nodes2).collect()
+    }
+    assert star == prop
+
+
 def test_ppjoin_prefix_filter_is_lossless(spark):
     """The PPJoin prefix filter must not drop any qualifying pair: its
     output equals the UNFILTERED global count join (no blocks, no bands)
