@@ -1042,3 +1042,67 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(attach_payloads(docs), frame_size=32, every=4)
+
+
+# --- count-min sketch -------------------------------------------------------
+
+
+def _cms_oracle_sql() -> str:
+    from ..operators.sketches import CMS_DEPTH, cms_bucket_sql
+
+    counters = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS r, {cms_bucket_sql(j, 'kh')} AS b, count(*) AS c"
+        f" FROM occh GROUP BY 2"
+        for j in range(CMS_DEPTH)
+    )
+    probes = "\n  UNION ALL\n".join(
+        f"  SELECT token, exact_count, {j} AS r, {cms_bucket_sql(j, 'kh')} AS b"
+        f" FROM exact"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH occ AS (
+  SELECT unnest({_TOKENS}) AS token FROM documents
+), dict AS (
+  SELECT token, {hashing.rolling_hash_sql('token')} AS kh
+  FROM (SELECT DISTINCT token FROM occ)
+), occh AS (
+  SELECT o.token, d.kh FROM occ o JOIN dict d USING (token)
+), counters AS (
+{counters}
+), exact AS (
+  SELECT token, kh, count(*) AS exact_count
+  FROM occh GROUP BY 1, 2 HAVING count(*) >= 20
+), probe AS (
+{probes}
+)
+SELECT p.token, min(c.c) AS cms_count, p.exact_count
+FROM probe p JOIN counters c ON p.r = c.r AND p.b = c.b
+GROUP BY p.token, p.exact_count
+"""
+
+
+@register("cms_token_counts", _cms_oracle_sql())
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–min-sketch token frequencies, reported next to the exact
+    count for every token occurring ≥ 20 times. The sketch grid AND the
+    estimates are deterministic modular arithmetic, so the oracle replays
+    the whole construction — cms_count ≥ exact_count by the CMS
+    overestimate guarantee (asserted in tests/test_sketches.py)."""
+    from ..operators.sketches import cms_counters, cms_estimates
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    dic = F.broadcast(
+        occ.select("token").distinct().withColumn("kh", hashing.rolling_hash("token"))
+    )
+    occh = occ.join(dic, "token")
+    counters = cms_counters(occh, hash_col="kh")
+    exact = (
+        occh.groupBy("token", "kh")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .where(F.col("exact_count") >= 20)
+    )
+    return cms_estimates(exact, counters, hash_col="kh").select(
+        "token", "cms_count", "exact_count"
+    )

@@ -427,3 +427,122 @@ def q_candle_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="symbol string, window_start timestamp_ntz, close double, "
         "close_norm double",
     )
+
+
+@register(
+    "vwap_candles",
+    """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(props ->> 'k' AS BIGINT)      AS qty
+  FROM events
+  WHERE CAST(props ->> 'k' AS BIGINT) > 0
+)
+SELECT
+  ws AS window_start,
+  event_type AS symbol,
+  CAST(CAST(SUM(cents * qty) AS BIGINT) AS DOUBLE) / 100.0 / SUM(qty) AS vwap,
+  CAST(SUM(qty) AS BIGINT) AS total_qty,
+  COUNT(*)                 AS n_events
+FROM e
+GROUP BY 1, 2
+""",
+)
+def q_vwap_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per (symbol, hour): the finance twin
+    of ohlc_candles with props.k as quantity (zero-quantity ticks carry no
+    volume — declared out). Prices are exact integer cents, so the
+    weighted sum is a bit-stable integer under any partitioning; the two
+    divisions run left-to-right in doubles on both engines. One shuffle
+    (partial → final hash agg), JSON parse pruned to '$.k'."""
+    events = load_table(spark, sf_dir, "events", parallelize=True)
+    qty = F.get_json_object(F.col("props"), "$.k").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.col("event_type").alias("symbol"),
+            cents.alias("cents"),
+            qty.alias("qty"),
+        )
+        .where(F.col("qty") > 0)
+        .groupBy("window_start", "symbol")
+        .agg(
+            (
+                F.sum(F.col("cents") * F.col("qty")).cast("double")
+                / F.lit(100.0)
+                / F.sum("qty")
+            ).alias("vwap"),
+            F.sum("qty").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "twap_candles",
+    """
+WITH e AS (
+  SELECT event_type, value, event_id,
+         date_trunc('hour', ts)  AS ws,
+         epoch_us(ts)            AS tsu,
+         epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS end_us
+  FROM events
+), w AS (
+  SELECT event_type, ws, value,
+         COALESCE(LEAD(tsu) OVER (PARTITION BY event_type, ws
+                                  ORDER BY tsu, event_id), end_us) - tsu AS wt
+  FROM e
+)
+SELECT
+  ws AS window_start,
+  event_type AS symbol,
+  CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT) * wt) AS BIGINT) AS DOUBLE)
+    / 100.0 / SUM(wt) AS twap,
+  COUNT(*) AS n_events
+FROM w
+GROUP BY 1, 2
+""",
+)
+def q_twap_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (symbol, hour): each observation is
+    weighted by microseconds until the next observation in the window (the
+    last one carries to the window end). The sort is one per-partition
+    window pass keyed like the final aggregation, so the plan is
+    sort → window → hash agg with a single shuffle; (ts, event_id)
+    ordering makes same-timestamp ties deterministic on both engines.
+
+    Exactness bound: the weights partition the hour, so Σwt ≤ 3.6e9 µs per
+    group no matter how many events land in it, and Σ(cents·wt) ≤
+    max_cents · 3.6e9 ≈ 2e14 ≪ 2⁶³ — the integer sum cannot overflow at
+    any event rate."""
+    events = load_table(spark, sf_dir, "events")
+    ws = F.date_trunc("hour", "ts")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    end_us = F.unix_micros(
+        (ws + F.expr("INTERVAL 1 HOUR")).cast("timestamp")
+    )
+    w = Window.partitionBy("event_type", "_ws").orderBy("_tsu", "event_id")
+    weighted = (
+        events.select(
+            "event_type", "value", "event_id",
+            ws.alias("_ws"), tsu.alias("_tsu"), end_us.alias("_end"),
+        )
+        .withColumn(
+            "_wt", F.coalesce(F.lead("_tsu").over(w), F.col("_end")) - F.col("_tsu")
+        )
+    )
+    pv = F.round(F.col("value") * 100).cast("long") * F.col("_wt")
+    return (
+        weighted.groupBy(
+            F.col("_ws").alias("window_start"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(
+            (F.sum(pv).cast("double") / F.lit(100.0) / F.sum("_wt")).alias(
+                "twap"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
