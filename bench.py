@@ -47,6 +47,11 @@ HEADLINE = [
     "error_streaks",
     "streaming_stateful_error_counts",
     "text_chunks",
+    "q18_large_volume_customers",
+    "dedup_jaccard_ppjoin",
+    "pack_sequences",
+    "vwap_candles",
+    "ohlc_rollup_candles",
 ]
 
 

@@ -136,3 +136,48 @@ def ohlc_candles(
             "n_trades",
         )
     )
+
+
+def ohlc_rollup(candles: DataFrame, coarse: str = "1 hour") -> DataFrame:
+    """Merge fine candles into coarser ones (1 min → 1 h): the continuous-
+    aggregate / hypertable-rollup pattern.
+
+    OHLCV is MERGEABLE: open of the earliest fine candle is the price at
+    the globally earliest timestamp with the reference's tie-break (the
+    earliest event lives in the earliest non-empty fine window, and the
+    fine open already applied lowest-price-on-tie); symmetrically for
+    close; high/low/volume/n_trades are max/min/sums. So a two-level
+    rollup is bit-identical to aggregating raw events directly at the
+    coarse width — the registered query proves it by sharing the direct
+    aggregation's oracle.
+
+    At 100 TB this is the pre-aggregation story: the 1-minute layer is
+    ~raw-rows/minute-rate smaller than the event stream, so downstream
+    re-windowing (1h, 1d, arbitrary dashboards) reads the rollup, not the
+    raw data — same plan class as a streaming state-store compaction.
+    """
+    w = F.window(F.col("window_start"), coarse)
+    fine_open_key = F.struct(F.col("window_start"), F.col("open"))
+    fine_close_key = F.struct(F.col("window_start"), F.col("close"))
+    return (
+        candles.groupBy(w.alias("window"), "symbol")
+        .agg(
+            F.min_by("open", fine_open_key).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", fine_close_key).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_trades").alias("n_trades"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "symbol",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )

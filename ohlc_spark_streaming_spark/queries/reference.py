@@ -546,3 +546,19 @@ def q_twap_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register("ohlc_rollup_candles", _OHLC_ORACLE)
+def q_ohlc_rollup_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level candle rollup: 1-minute candles merged into hourly ones.
+    Shares the DIRECT hourly aggregation's oracle — the hash match is the
+    proof that OHLCV merges losslessly (operators.ohlc.ohlc_rollup), which
+    is what makes pre-aggregated candle layers safe at scale."""
+    from ..operators.ohlc import ohlc_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    fine = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 minute",
+    )
+    return ohlc_rollup(fine, coarse="1 hour")

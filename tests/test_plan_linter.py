@@ -25,6 +25,15 @@ CLEAN = [
     "window_rank_battery",
     "join_interval_overlap",
     "candle_trend_slope",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "dedup_jaccard_ppjoin",
+    "pack_sequences",
+    "vwap_candles",
+    "twap_candles",
+    "ohlc_rollup_candles",
+    "cms_token_counts",
 ]
 
 
