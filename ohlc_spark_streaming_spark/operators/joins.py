@@ -139,3 +139,35 @@ def hinted_join(
     if strategy is not None:
         right = right.hint(strategy)
     return left.join(right, on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_source,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant shuffled equi-join on column ``on``.
+
+    For a hot join key that AQE's skew splitting can't fix (e.g. the skew
+    is in the RUNTIME key distribution of a stream-static join, or AQE is
+    unavailable), shard the big side deterministically: ``_salt =
+    pmod(hash(salt_source), n_salts)`` on a high-cardinality BIG-side
+    column, replicate the small side once per salt, and equi-join on
+    ``(on, _salt)``. Each hot key now occupies ``n_salts`` reducers
+    instead of one. Output is identical to the plain join because every
+    big row meets exactly the one replica carrying its salt.
+
+    The salt must be DETERMINISTIC (hash of data, never rand()): retried
+    tasks must land rows on the same shard or exactly-once breaks.
+    Replication multiplies the small side by ``n_salts`` — keep it for
+    genuinely small-but-unbroadcastable sides.
+    """
+    s = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    b = big.withColumn("_salt", F.pmod(F.hash(s), F.lit(n_salts)))
+    sm = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(sm, [on, "_salt"], how).drop("_salt")

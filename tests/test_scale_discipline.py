@@ -6,6 +6,7 @@ exercised at smoke scale."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ohlc_spark_streaming_spark.operators.ohlc import ohlc_candles
 from ohlc_spark_streaming_spark.sources.batch import load_table
@@ -160,3 +161,25 @@ def test_salted_aggregation_exactness(spark):
         .count()
     )
     assert n_shards > skewed.select("k").distinct().count()
+
+
+def test_salted_join_is_exact_and_shuffles_on_salted_key(spark):
+    """salted_join must return exactly the plain join's rows while its
+    exchange carries the salt (hot keys spread over n_salts reducers)."""
+    from ohlc_spark_streaming_spark.operators.joins import salted_join
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = l.join(o, "l_orderkey")
+    salted = salted_join(
+        l, o, on="l_orderkey", salt_source="l_partkey", n_salts=8
+    )
+    cols = sorted(plain.columns)
+    a = sorted(map(tuple, plain.select(*cols).collect()))
+    b = sorted(map(tuple, salted.select(*cols).collect()))
+    assert a == b
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
