@@ -36,6 +36,37 @@ def interval_join(
     watermarks (required for state cleanup). Column names of the two sides
     must already be disjoint apart from ``key``.
     """
+    return _interval_join(left, right, key, left_ts, right_ts, lookback, watermark, "inner")
+
+
+def interval_join_left_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like :func:`interval_join`
+    but unmatched left rows ARE emitted (right columns null) — once the
+    watermark proves no in-band right row can still arrive. The emission
+    of null-matches is therefore watermark-delayed in streaming; replayed
+    bounded input with availableNow still yields the complete answer,
+    which is what the batch-parity test checks."""
+    return _interval_join(left, right, key, left_ts, right_ts, lookback, watermark, "leftOuter")
+
+
+def _interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
@@ -49,5 +80,5 @@ def interval_join(
             >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
         )
     )
-    joined = left.alias("l").join(right.alias("r"), cond, "inner")
+    joined = left.alias("l").join(right.alias("r"), cond, how)
     return joined.drop(rk)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ohlc_spark_streaming_spark.operators.ohlc import ohlc_candles
 from ohlc_spark_streaming_spark.sources.batch import load_table
 from ohlc_spark_streaming_spark.sources.stream import events_stream
@@ -214,3 +216,74 @@ def test_trade_candle_app_topology(tmp_path, spark):
     # Per-row topic routing: every topic carries the prefix + base + quote.
     topics = {r.topic for r in out.select("topic").distinct().collect()}
     assert all(t.startswith("candles-") and t.endswith("-usdt") for t in topics)
+
+
+def test_streaming_minute_candles_roll_up_to_batch_hourly(spark):
+    """Continuous-aggregate parity: a streaming 1-minute candle layer,
+    rolled up with ohlc_rollup, must equal the DIRECT batch hourly
+    aggregation bit-for-bit — the streaming pre-agg + batch re-window
+    pattern a 100 TB deployment uses instead of re-reading raw events."""
+    from ohlc_spark_streaming_spark.operators.ohlc import ohlc_rollup
+
+    fine_kw = {**KW, "window_duration": "1 minute"}
+    stream = events_stream(spark, SF_SMOKE)
+    fine = run_to_memory(
+        streaming_ohlc_candles(stream, watermark_delay="2 minutes", **fine_kw),
+        "rollup_fine",
+        output_mode="complete",
+    )
+    hourly = ohlc_rollup(fine, coarse="1 hour")
+    batch = ohlc_candles(load_table(spark, SF_SMOKE, "events"), **KW)
+    assert sorted(map(tuple, hourly.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_streaming_left_outer_interval_join(spark):
+    """Left-outer stream-stream interval join: matched rows equal the
+    batch inner join exactly; null-matches are emitted once the watermark
+    proves no in-band right row can arrive — every emission must exist in
+    the batch left-outer answer, and null-matches must actually appear
+    (the outer path fires) for lefts older than the final watermark."""
+    from ohlc_spark_streaming_spark.streaming.joins import (
+        interval_join_left_outer,
+    )
+
+    def sides(df):
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        views = df.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        return purchases, views
+
+    kw = dict(
+        key="key_id", left_ts="purchase_ts", right_ts="view_ts",
+        lookback="2 hours", watermark="1 hour",
+    )
+    sp, sv = sides(events_stream(spark, SF_SMOKE))
+    out = run_to_memory(
+        interval_join_left_outer(sp, sv, **kw)
+        .select("purchase_id", "view_id"),
+        "loj_interval",
+        output_mode="append",
+    )
+    bp, bv = sides(load_table(spark, SF_SMOKE, "events"))
+    batch = interval_join_left_outer(bp, bv, **kw).select(
+        "purchase_id", "view_id"
+    )
+
+    got = set(map(tuple, out.collect()))
+    want = set(map(tuple, batch.collect()))
+    assert got <= want
+    # Matched pairs are never watermark-withheld: exact equality.
+    assert {t for t in got if t[1] is not None} == {
+        t for t in want if t[1] is not None
+    }
+    # The outer path must actually fire.
+    assert any(t[1] is None for t in got)
