@@ -1128,3 +1128,91 @@ def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "stats_corr_qty_price",
+    """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*)                                                   AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,0)))                     AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)))   AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(18,0))
+             * CAST(l_quantity AS DECIMAL(18,0)))                   AS sxx,
+         SUM(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+             * CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS syy,
+         SUM(CAST(l_quantity AS DECIMAL(18,0))
+             * CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CAST(CAST(n AS DECIMAL(18,0)) * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(CAST(n AS DECIMAL(18,0)) * sxx - sx * sx AS DOUBLE))
+         / sqrt(CAST(CAST(n AS DECIMAL(18,0)) * syy - sy * sy AS DOUBLE))
+         AS corr_qty_price
+FROM m
+""",
+)
+def q_stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group with EXACT integer moments: quantity
+    is integral and extendedprice is exact cents, so all five sums are
+    decimal-exact and order-independent; the only float ops are the final
+    two sqrt-divisions (IEEE-identical cross-engine, same association
+    both sides). The built-in corr() accumulates doubles and is
+    order-dependent — unusable under a value-hash gate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(18,0)")
+    yd = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(18,0)")
+    numer = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (numer / F.sqrt(dx) / F.sqrt(dy)).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "mode_order_priority",
+    """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders GROUP BY 1, 2
+)
+WHERE rn = 1
+""",
+)
+def q_mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate with a declared tie-break (most frequent value,
+    lowest value on count ties) — count + one tiny ranked window over the
+    distinct (status, priority) pairs, never over raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
