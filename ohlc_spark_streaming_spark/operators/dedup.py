@@ -161,8 +161,11 @@ def jaccard_ppjoin_pairs(
     operator subquadratic at 100 TB without declared length bands:
     boilerplate shingles (huge df) never enter a prefix.
 
-    Verification recounts the FULL intersection for candidates only
-    (candidate ⋈ tokens ⋈ tokens count join) — exact, no arrays.
+    Verification joins the candidates back to the per-doc shingle-SET
+    arrays and intersects per pair (same as MinHash verification): with C
+    candidates averaging s shingles that is O(C·s) work inside two equi-
+    joins on doc ids — versus a token-level count join whose shuffle
+    carries C·s ROWS (measured 8× slower at the 10× scale point).
     """
     # per_doc feeds four consumers (sizes, frequencies, prefixes, verify);
     # persisting it is the same checkpoint a 100 TB pipeline would write
@@ -194,20 +197,16 @@ def jaccard_ppjoin_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    ta = per_doc.select(F.col(id_col).alias("id_a"), "sh")
-    tb = per_doc.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    sets = per_doc.groupBy(id_col).agg(F.collect_set("sh").alias("units"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("units").alias("a_units"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("units").alias("b_units"))
+    inter = F.size(F.array_intersect("a_units", "b_units"))
+    jac = inter / (
+        F.size("a_units") + F.size("b_units") - inter
     )
-    na = n.select(F.col(id_col).alias("id_a"), F.col("n_units").alias("a_n"))
-    nb = n.select(F.col(id_col).alias("id_b"), F.col("n_units").alias("b_n"))
-    jac = F.col("_inter") / (F.col("a_n") + F.col("b_n") - F.col("_inter"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
