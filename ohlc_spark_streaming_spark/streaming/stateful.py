@@ -58,3 +58,57 @@ def final_counts(emissions: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Collapse the emission log to the final per-key state (valid because
     emissions are monotonic)."""
     return emissions.groupBy(key_col).agg(F.max("n_errors").alias("n_errors"))
+
+
+def tws_event_counts(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    where: str = "event_type = 'error'",
+) -> DataFrame:
+    """Running per-key counts on the ``transformWithStateInPandas`` API —
+    the Spark 4 successor to applyInPandasWithState: typed state variables
+    (ValueState/ListState/MapState), timers, TTL, and composite state per
+    key instead of one opaque tuple. Same monotonic-emission contract as
+    :func:`stateful_event_counts`, so the same max-over-emissions oracle
+    applies.
+
+    Requires the RocksDB state-store provider (the API is built on its
+    column families) — callers set
+    ``spark.sql.streaming.stateStore.providerClass`` before starting the
+    query; that is the 100 TB configuration anyway (SURVEY §4.2).
+
+    ENVIRONMENT GATE: the transformWithState driver worker imports
+    ``google.protobuf``, which this container lacks — the operator is
+    complete but its test skips when that import fails
+    (tests/test_streaming.py::test_tws_event_counts_parity); it is NOT a
+    registry entry for the same reason.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cnt = handle.getValueState("cnt", "cnt long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt = self._cnt.get()[0] if self._cnt.exists() else 0
+            for pdf in rows:
+                cnt += len(pdf)
+            self._cnt.update((cnt,))
+            yield pd.DataFrame({key_col: [key[0]], "n_errors": [cnt]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.where(where)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningCount(),
+            outputStructType=f"{key_col} long, n_errors long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -287,3 +287,54 @@ def test_streaming_left_outer_interval_join(spark):
     }
     # The outer path must actually fire.
     assert any(t[1] is None for t in got)
+
+
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithState driver worker needs google.protobuf "
+    "(absent in this container)",
+)
+def test_tws_event_counts_parity(spark):
+    """transformWithStateInPandas running counts equal the batch aggregate
+    (same monotonic-emission contract as the applyInPandasWithState twin)."""
+    from ohlc_spark_streaming_spark.streaming.stateful import (
+        final_counts,
+        tws_event_counts,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        log = run_to_memory(
+            tws_event_counts(events_stream(spark, SF_SMOKE)),
+            "tws_parity",
+            output_mode="update",
+        )
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = final_counts(log)
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .where("event_type = 'error'")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
