@@ -1216,3 +1216,86 @@ def q_mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@register(
+    "join_null_safe",
+    """
+WITH a AS (
+  SELECT CASE WHEN p_size % 3 = 0 THEN NULL ELSE p_size % 10 END AS k
+  FROM part
+), b AS (
+  SELECT CASE WHEN s_suppkey % 4 = 0 THEN NULL ELSE s_suppkey % 10 END AS k
+  FROM supplier
+)
+SELECT a.k AS k, COUNT(*) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k
+""",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi join (<=> / IS NOT DISTINCT FROM): nulls match each
+    other, so the null bucket joins as a regular key — a distinct plan
+    shape from the ordinary equi join, which drops null keys before the
+    shuffle. Spark still hash-partitions on the null-safe key, so this
+    stays a real equi join, not a nested loop."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.when(F.col("p_size") % 3 == 0, F.lit(None))
+        .otherwise(F.col("p_size") % 10)
+        .alias("ka")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_suppkey") % 4 == 0, F.lit(None))
+        .otherwise(F.col("s_suppkey") % 10)
+        .alias("kb")
+    )
+    return (
+        p.join(F.broadcast(s), F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy(F.col("ka").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "array_functions",
+    """
+WITH q AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS INTEGER))) AS qs
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT
+  l_orderkey,
+  qs,
+  len(list_filter(qs, x -> x >= 25))                         AS n_big,
+  CAST(list_reduce(list_prepend(0, list_transform(qs, x -> x * 2)),
+                   (acc, x) -> acc + x) AS BIGINT)           AS doubled_sum,
+  (len(list_filter(qs, x -> x >= 49)) > 0)                   AS any_ge_49,
+  qs[1:3]                                                    AS first3
+FROM q
+""",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function battery (SURVEY §2.8): collect →
+    sort_array (deterministic order) → filter / transform / aggregate /
+    slice, all JVM-side lambda expressions with DuckDB list_* twins.
+    Group sizes are per-order lineitem counts (bounded, ~4), so the
+    collect is not a scale hazard here — the point is the expression
+    surface, not the aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("qs")
+    )
+    qs = F.col("qs")
+    return q.select(
+        "l_orderkey",
+        "qs",
+        F.size(F.filter(qs, lambda x: x >= 25)).alias("n_big"),
+        F.aggregate(
+            F.transform(qs, lambda x: x * 2),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("doubled_sum"),
+        F.exists(qs, lambda x: x >= 49).alias("any_ge_49"),
+        F.slice(qs, 1, 3).alias("first3"),
+    )
