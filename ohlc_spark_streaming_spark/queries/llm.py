@@ -1106,3 +1106,47 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimates(exact, counters, hash_col="kh").select(
         "token", "cms_count", "exact_count"
     )
+
+
+# --- custom Python DataSource connector -------------------------------------
+
+
+def _pyds_oracle() -> str:
+    from ..sources.python_ds import tick_oracle_sql
+
+    return f"""
+WITH ticks AS ({tick_oracle_sql(4000)})
+SELECT symbol,
+       COUNT(*) AS n_ticks,
+       MIN(price) AS lo,
+       MAX(price) AS hi,
+       CAST(CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS total
+FROM ticks
+GROUP BY symbol
+"""
+
+
+@register("pyds_tick_summary", _pyds_oracle())
+def q_pyds_tick_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol tick summary read through the CUSTOM Python DataSource
+    connector (sources/python_ds.py, Spark 4 DataSource API; sf_dir unused
+    — the tape is synthetic and closed-form). The oracle regenerates the
+    identical tape from range(), so the connector's row production is
+    value-hash-checked like any operator. 8 parallel input partitions."""
+    from ..sources.python_ds import register_tick_source
+
+    register_tick_source(spark)
+    ticks = (
+        spark.read.format("synthetic_ticks")
+        .option("partitions", "8")
+        .option("rows_per_partition", "500")
+        .load()
+    )
+    cents = F.round(F.col("price") * 100).cast("long")
+    return ticks.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total"),
+    )

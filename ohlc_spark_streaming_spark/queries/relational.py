@@ -1299,3 +1299,41 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(qs, lambda x: x >= 49).alias("any_ge_49"),
         F.slice(qs, 1, 3).alias("first3"),
     )
+
+
+@register(
+    "price_histogram_equidepth",
+    """
+WITH ranked AS (
+  SELECT value,
+         ntile(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT decile,
+       COUNT(*)   AS n_events,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM ranked
+GROUP BY decile
+""",
+)
+def q_price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (deciles of the value distribution) via ntile
+    over a deterministic total order — the twin of price_histogram's
+    equi-width buckets. A global ntile funnels through ONE window
+    partition: exact and fine to ~10⁸ rows, but the 100 TB form computes
+    approx decile boundaries first (approx_percentile over a sample) and
+    range-buckets in parallel, trading exact equal depths for
+    distribution. This query keeps the exact form because its semantics
+    (and oracle) are the exact deciles."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        e.select("value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

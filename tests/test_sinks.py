@@ -75,3 +75,25 @@ def test_adaptive_source_fanout(spark):
     # region is tiny: no fan-out even when requested.
     dim = load_table(spark, sf01, "region", parallelize=True)
     assert dim.rdd.getNumPartitions() == 1
+
+
+def test_python_datasource_parallel_and_deterministic(spark):
+    """The custom Python DataSource must declare its partitioning (one
+    task per InputPartition) and produce an identical tape on re-read."""
+    from ohlc_spark_streaming_spark.sources.python_ds import (
+        register_tick_source,
+        tick_row,
+    )
+
+    register_tick_source(spark)
+    read = (
+        spark.read.format("synthetic_ticks")
+        .option("partitions", "6")
+        .option("rows_per_partition", "100")
+    )
+    df = read.load()
+    assert df.rdd.getNumPartitions() == 6
+    rows = sorted(map(tuple, df.collect()))
+    assert rows == sorted(map(tuple, read.load().collect()))
+    assert len(rows) == 600
+    assert rows[:3] == [tick_row(0), tick_row(1), tick_row(2)]
