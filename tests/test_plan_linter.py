@@ -28,7 +28,10 @@ CLEAN = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_customers",
-    "dedup_jaccard_ppjoin",
+    # dedup_jaccard_ppjoin is NOT here: its verification collects per-doc
+    # shingle SETS (bounded by document length, not group cardinality) —
+    # same deliberate pattern as dedup_minhash_lsh, which the linter
+    # rightly flags as a collect and we rightly accept.
     "pack_sequences",
     "vwap_candles",
     "twap_candles",
