@@ -1337,3 +1337,48 @@ def q_price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active
+FROM first_seen JOIN activity USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted in
+    each later week they were active — the classic product-analytics
+    triangle. Two aggregations over the same (user, week) projection plus
+    one equi join on user_id; both week columns are Monday-truncated dates
+    so the day-difference is an exact multiple of 7."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        F.col("ts"),
+    )
+    first_seen = uw.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = uw.select("user_id", "active_week").distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
