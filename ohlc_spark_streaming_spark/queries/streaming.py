@@ -364,3 +364,62 @@ def q_streaming_sliding_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_sliding_{next(_counter)}"
     return run_to_memory(candles, name, output_mode="complete")
+
+
+@register(
+    "streaming_vwap_candles",
+    """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(props ->> 'k' AS BIGINT)      AS qty
+  FROM events
+  WHERE CAST(props ->> 'k' AS BIGINT) > 0
+)
+SELECT
+  ws AS window_start,
+  event_type AS symbol,
+  CAST(CAST(SUM(cents * qty) AS BIGINT) AS DOUBLE) / 100.0 / SUM(qty) AS vwap,
+  CAST(SUM(qty) AS BIGINT) AS total_qty,
+  COUNT(*)                 AS n_events
+FROM e
+GROUP BY 1, 2
+""",
+)
+def q_streaming_vwap_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of vwap_candles: watermarked hourly windows over the
+    replayed event stream, complete mode — integer-cent weighted sums make
+    the streaming answer bit-equal to the batch oracle. State per
+    (window, symbol) is three scalars (Σcents·qty, Σqty, n)."""
+    stream = events_stream(spark, sf_dir)
+    qty = F.get_json_object(F.col("props"), "$.k").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .select(
+            F.col("ts"),
+            F.col("event_type").alias("symbol"),
+            cents.alias("cents"),
+            qty.alias("qty"),
+        )
+        .where(F.col("qty") > 0)
+        .groupBy(F.window("ts", "1 hour").alias("window"), "symbol")
+        .agg(
+            (
+                F.sum(F.col("cents") * F.col("qty")).cast("double")
+                / F.lit(100.0)
+                / F.sum("qty")
+            ).alias("vwap"),
+            F.sum("qty").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "symbol",
+            "vwap",
+            "total_qty",
+            "n_events",
+        )
+    )
+    name = f"stream_vwap_{next(_counter)}"
+    return run_to_memory(agg, name, output_mode="complete")
