@@ -1150,3 +1150,63 @@ def q_pyds_tick_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("price").alias("hi"),
         (F.sum(cents).cast("double") / F.lit(100.0)).alias("total"),
     )
+
+
+# --- lexicon sentiment ------------------------------------------------------
+
+#: Tiny fixed polarity lexicon over the synthetic vocabulary (broadcast side).
+SENTIMENT_LEXICON = (("fast", 2), ("big", 1), ("slow", -2), ("small", -1))
+
+
+def _sentiment_oracle() -> str:
+    values = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
+    return f"""
+WITH lex(word, score) AS (VALUES {values}),
+occ AS (
+  SELECT doc_id, unnest({_TOKENS}) AS token FROM documents
+), hits AS (
+  SELECT o.doc_id, CAST(SUM(l.score) AS BIGINT) AS score_sum,
+         COUNT(*) AS n_polar
+  FROM occ o JOIN lex l ON o.token = l.word
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.score_sum, 0) AS score_sum,
+       COALESCE(h.n_polar, 0)   AS n_polar,
+       CAST(COALESCE(h.score_sum, 0) AS DOUBLE) / len({_TOKENS}) AS sentiment
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("text_sentiment", _sentiment_oracle())
+def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment (SURVEY §2.11's text-analysis row): polar
+    words scored via a BROADCAST lexicon join over the exploded token
+    stream, normalized by document length. Integer score sums are exact;
+    docs with no polar words keep score 0 through the left join. The
+    lexicon is the canonical tiny-dim broadcast — no shuffle touches it."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(list(SENTIMENT_LEXICON), ["word", "score"])
+    )
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    hits = (
+        occ.join(lex, occ["token"] == lex["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("score").alias("score_sum"),
+            F.count(F.lit(1)).alias("n_polar"),
+        )
+    )
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
+            F.coalesce("n_polar", F.lit(0)).alias("n_polar"),
+            (F.coalesce("score_sum", F.lit(0)).cast("double") / n_tokens).alias(
+                "sentiment"
+            ),
+        )
+    )
