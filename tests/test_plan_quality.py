@@ -77,3 +77,25 @@ def test_join_hints_override_planner(spark):
     assert "ShuffledHashJoin" in _plan(hashed)
     bcast = hinted_join(o, c, on, strategy="broadcast")
     assert "BroadcastHashJoin" in _plan(bcast)
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """TPC-H Q6 is a pure filter+agg — every predicate must be pushed to
+    the parquet scan (PushedFilters), and the scan must prune to the four
+    referenced columns."""
+    from ohlc_spark_streaming_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["q6_forecast_revenue"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert any(
+            f"{kind}({col}" in plan
+            for kind in ("GreaterThan", "LessThan", "GreaterThanOrEqual", "IsNotNull")
+        ), (col, plan)
+    # Column pruning: l_tax is not referenced and must not be read.
+    assert "l_tax" not in plan
