@@ -1210,3 +1210,41 @@ def q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sample_weighted",
+    f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         len({_TOKENS}) AS n_tokens,
+         least(len({_TOKENS}), 300) AS accept_pmille,
+         {hashing.rolling_hash_sql("text")} % 1000 AS u
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, accept_pmille
+FROM w WHERE u < accept_pmille
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reproducible sampling: acceptance probability proportional
+    to document length (capped at 30%), decided by comparing a content-
+    hash uniform draw against the per-doc weight — the deterministic twin
+    of weighted reservoir sampling for corpus rebalancing. Pure narrow
+    filter; membership is a function of the text alone, so it is stable
+    across engines, reruns, and partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    accept = F.least(n_tokens, F.lit(300))
+    u = hashing.rolling_hash("text") % 1000
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.cast("long").alias("n_tokens"),
+            accept.cast("long").alias("accept_pmille"),
+            u.alias("_u"),
+        )
+        .where(F.col("_u") < F.col("accept_pmille"))
+        .drop("_u")
+    )
