@@ -1413,3 +1413,38 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import z_value_sql
+
+    z = z_value_sql("(l_partkey % 65536)", "(l_suppkey % 65536)")
+    return f"""
+SELECT {z} // 16777216 AS z_bucket,
+       COUNT(*) AS n_rows,
+       MIN({z}) AS z_lo,
+       MAX({z}) AS z_hi
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("zorder_bucket_counts", _zorder_oracle())
+def q_zorder_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) values over (partkey, suppkey), bucketed — the
+    clustering key behind multi-column file skipping (operators/layout.py;
+    write path tested for locality in tests/test_layout.py). The bit
+    interleave is exact integer arithmetic, replayed by the oracle."""
+    from ..operators.layout import z_value
+
+    l = load_table(spark, sf_dir, "lineitem")
+    z = z_value(F.col("l_partkey") % 65536, F.col("l_suppkey") % 65536)
+    return (
+        l.select(z.alias("z"))
+        .groupBy(F.floor(F.col("z") / 16777216).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_lo"),
+            F.max("z").alias("z_hi"),
+        )
+    )
