@@ -99,3 +99,19 @@ def test_q6_filters_reach_the_scan(spark):
         ), (col, plan)
     # Column pruning: l_tax is not referenced and must not be read.
     assert "l_tax" not in plan
+
+
+def test_q21_single_lineitem_shuffle_rest_broadcast(spark):
+    """q21's decorrelation promises: the per-order stats aggregate is the
+    only lineitem shuffle, and orders/supplier/stats all arrive broadcast
+    — no sort-merge join anywhere in the plan."""
+    from ohlc_spark_streaming_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["q21_waiting_suppliers"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
