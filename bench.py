@@ -52,6 +52,8 @@ HEADLINE = [
     "pack_sequences",
     "vwap_candles",
     "ohlc_rollup_candles",
+    "cms_token_counts",
+    "cohort_retention",
 ]
 
 
