@@ -668,3 +668,182 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --- synthetic partsupp (closes the q2/q11/q20 gap) -------------------------
+
+_PARTSUPP_SQL = """
+partsupp AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ((l_partkey * 31 + l_suppkey * 7) % 10000) / 100.0 AS ps_supplycost,
+         (l_partkey * 7 + l_suppkey * 13) % 1000           AS ps_availqty
+  FROM lineitem
+)"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slim schema has no partsupp; derive a DETERMINISTIC stand-in
+    from the observed (part, supplier) pairs with closed-form cost/stock
+    (pure integer arithmetic ÷ 100.0 — the identical IEEE op on both
+    engines, so every derived aggregate stays oracle-exact)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7) % 10000)
+                / 100.0
+            ).alias("ps_supplycost"),
+            ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 1000).alias(
+                "ps_availqty"
+            ),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+WITH {_PARTSUPP_SQL.lstrip()},
+regional AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+best AS (
+  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM regional GROUP BY 1
+)
+SELECT p_partkey, p_name, s_name, s_acctbal, ps_supplycost
+FROM part
+JOIN regional ON p_partkey = ps_partkey
+JOIN best ON best.ps_partkey = regional.ps_partkey
+         AND ps_supplycost = best.min_cost
+WHERE p_size = 14
+""",
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-cost regional supplier per part — a
+    correlated MIN subquery decorrelated into one per-part aggregate
+    joined back on cost equality. The regional partsupp is computed once
+    and reused for both the min and the equality probe."""
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 14)
+    regional = (
+        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal")
+    )
+    best = regional.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        regional.join(
+            F.broadcast(best),
+            (F.col("ps_partkey") == F.col("b_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "ps_supplycost")
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+WITH {_PARTSUPP_SQL.lstrip()},
+vals AS (
+  SELECT ps_partkey,
+         CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(30,6))) AS DOUBLE)
+           AS value
+  FROM partsupp GROUP BY 1
+)
+SELECT ps_partkey, value
+FROM vals
+WHERE value > (SELECT 0.001 * CAST(SUM(CAST(ps_supplycost * ps_availqty
+                                            AS DECIMAL(30,6))) AS DOUBLE)
+               FROM partsupp)
+""",
+)
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose stock value exceeds a fraction of the TOTAL
+    stock value — grouped decimal sums compared against a 1-row scalar
+    aggregate (broadcast), the canonical HAVING-vs-global-total shape."""
+    ps = _partsupp(spark, sf_dir)
+    val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(30,6)")
+    vals = ps.groupBy("ps_partkey").agg(
+        F.sum(val).cast("double").alias("value")
+    )
+    total = ps.agg(
+        (F.lit(0.001) * F.sum(val).cast("double")).alias("_threshold")
+    )
+    return (
+        vals.join(F.broadcast(total), F.col("value") > F.col("_threshold"))
+        .select("ps_partkey", "value")
+    )
+
+
+@register(
+    "q20_overstocked_suppliers",
+    f"""
+WITH {_PARTSUPP_SQL.lstrip()},
+red_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+sold AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS qty_sold
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT s_name, COUNT(DISTINCT ps_partkey) AS n_overstocked_parts
+FROM partsupp
+JOIN red_parts ON ps_partkey = p_partkey
+JOIN sold ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON s_suppkey = ps_suppkey
+WHERE ps_availqty > 20 * qty_sold
+GROUP BY s_name
+""",
+)
+def q_q20_overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding > 20× a year's sales of 'red'
+    parts — the nested IN/EXISTS chain decorrelated into one per-(part,
+    supplier) sales aggregate joined to the synthetic partsupp."""
+    ps = _partsupp(spark, sf_dir)
+    red = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _TS("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _TS("1997-01-01 00:00:00"))
+    )
+    sold = l.groupBy("l_partkey", "l_suppkey").agg(
+        dec_sum("l_quantity").alias("qty_sold")
+    )
+    return (
+        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            sold,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .where(F.col("ps_availqty") > 20 * F.col("qty_sold"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct("ps_partkey").alias("n_overstocked_parts"))
+    )
