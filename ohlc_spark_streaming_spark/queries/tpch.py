@@ -772,22 +772,26 @@ vals AS (
 )
 SELECT ps_partkey, value
 FROM vals
-WHERE value > (SELECT 0.001 * CAST(SUM(CAST(ps_supplycost * ps_availqty
-                                            AS DECIMAL(30,6))) AS DOUBLE)
-               FROM partsupp)
+WHERE value > (SELECT 2.0 * (CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                             / COUNT(*))
+               FROM vals)
 """,
 )
 def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11: parts whose stock value exceeds a fraction of the TOTAL
-    stock value — grouped decimal sums compared against a 1-row scalar
-    aggregate (broadcast), the canonical HAVING-vs-global-total shape."""
+    """TPC-H Q11 shape: parts whose stock value exceeds a threshold
+    derived from a scalar aggregate over the SAME grouped result —
+    HAVING-vs-global shape with the per-part table computed once and
+    reused. (The classic fixed-fraction-of-total threshold degenerates as
+    data grows — TPC-H itself divides it by SF — so the threshold here is
+    2× the average per-part value, which is scale-free. avg = exact-
+    decimal-sum / count, bit-stable on both engines.)"""
     ps = _partsupp(spark, sf_dir)
     val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(30,6)")
     vals = ps.groupBy("ps_partkey").agg(
         F.sum(val).cast("double").alias("value")
     )
-    total = ps.agg(
-        (F.lit(0.001) * F.sum(val).cast("double")).alias("_threshold")
+    total = vals.agg(
+        (F.lit(2.0) * (F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count(F.lit(1)))).alias("_threshold")
     )
     return (
         vals.join(F.broadcast(total), F.col("value") > F.col("_threshold"))
