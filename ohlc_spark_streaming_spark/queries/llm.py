@@ -1248,3 +1248,33 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_u") < F.col("accept_pmille"))
         .drop("_u")
     )
+
+
+@register(
+    "sample_stratified",
+    f"""
+SELECT doc_id, lang, rn
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {hashing.rolling_hash_sql("text")}, doc_id)
+           AS rn
+  FROM documents
+)
+WHERE rn <= 20
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED fixed-size sampling: exactly 20 docs per language,
+    chosen by content-hash order (deterministic across engines, reruns,
+    partitionings; doc_id breaks hash ties). One ranked window partitioned
+    by the stratum — shuffle on lang only, and the rank-filter prunes
+    everything past k per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hashing.rolling_hash("text").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+    )
