@@ -1448,3 +1448,28 @@ def q_zorder_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("z").alias("z_hi"),
         )
     )
+
+
+@register(
+    "orderby_limit_offset",
+    """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 15 OFFSET 30
+""",
+)
+def q_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: deterministic total order + OFFSET/LIMIT (page 3 of 15).
+    Spark plans GlobalLimit(offset+limit) over the sorted exchange and
+    drops the first `offset` rows — the skip never ships more than one
+    page past the boundary. (At scale, keyset pagination — WHERE key >
+    last-seen — beats OFFSET; this query is the OFFSET plan-class
+    witness.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(30)
+        .limit(15)
+    )
