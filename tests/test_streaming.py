@@ -338,3 +338,44 @@ def test_tws_event_counts_parity(spark):
         .agg(F.count(F.lit(1)).alias("n_errors"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_materialization_compacts_to_batch(tmp_path, spark):
+    """The changelog-materialization loop: update-mode candle emissions
+    appended to parquet by foreachBatch (with their batch id), then
+    compacted snapshot-style (latest emission per key wins) — the result
+    must equal the direct batch aggregate. This is how a 100 TB deployment
+    maintains a queryable rollup table without reprocessing raw events."""
+    from pyspark.sql import Window
+
+    out_dir = str(tmp_path / "candle_changelog")
+    stream = events_stream(spark, SF_SMOKE)
+    candles = streaming_ohlc_candles(stream, watermark_delay="2 minutes", **KW)
+
+    def sink(batch_df, batch_id):
+        (
+            batch_df.withColumn("_bid", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        candles.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    log = spark.read.parquet(out_dir)
+    w = Window.partitionBy("window_start", "symbol").orderBy(F.col("_bid").desc())
+    snapshot = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_bid")
+    )
+    batch = ohlc_candles(load_table(spark, SF_SMOKE, "events"), **KW)
+    cols = sorted(batch.columns)
+    assert sorted(map(tuple, snapshot.select(*cols).collect())) == sorted(
+        map(tuple, batch.select(*cols).collect())
+    )
