@@ -1473,3 +1473,31 @@ def q_orderby_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(30)
         .limit(15)
     )
+
+
+@register(
+    "string_agg_statuses",
+    """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+         AS statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with declared ordering: distinct values sorted
+    then joined, so the concatenation is deterministic under any
+    partitioning (collect_set order never leaks into the result). The
+    per-group distinct domain is tiny (3 statuses) — bounded state."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), "|"
+            ).alias("statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

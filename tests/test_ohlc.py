@@ -4,7 +4,10 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .conftest import SF_SMOKE
 
 from ohlc_spark_streaming_spark.operators.ohlc import OHLC_COLUMNS, ohlc_candles
 
@@ -80,3 +83,39 @@ def test_multiple_symbols_and_windows(spark):
     assert len(rows) == 3
     assert rows[("a", 1)]["open"] == 2.0
     assert rows[("b", 0)]["volume"] == 2.0
+
+
+def test_twap_weights_partition_the_hour(spark):
+    """TWAP's correctness bound: per (symbol, window), the microsecond
+    weights must sum to EXACTLY (window_end - first_event_ts) — the
+    weights tile the interval from the first observation to the window
+    edge with no gap or overlap, which is also why the integer weighted
+    sum can never overflow."""
+    from pyspark.sql import Window as W
+
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    ws = F.date_trunc("hour", "ts")
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    end_us = F.unix_micros((ws + F.expr("INTERVAL 1 HOUR")).cast("timestamp"))
+    w = W.partitionBy("event_type", "_ws").orderBy("_tsu", "event_id")
+    weighted = (
+        e.select(
+            "event_type", "event_id",
+            ws.alias("_ws"), tsu.alias("_tsu"), end_us.alias("_end"),
+        )
+        .withColumn(
+            "_wt", F.coalesce(F.lead("_tsu").over(w), F.col("_end")) - F.col("_tsu")
+        )
+    )
+    bad = (
+        weighted.groupBy("event_type", "_ws")
+        .agg(
+            F.sum("_wt").alias("wt_sum"),
+            (F.first("_end") - F.min("_tsu")).alias("span"),
+        )
+        .where(F.col("wt_sum") != F.col("span"))
+        .count()
+    )
+    assert bad == 0
