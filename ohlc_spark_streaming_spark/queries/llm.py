@@ -1278,3 +1278,69 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 20)
     )
+
+
+@register(
+    "corpus_prep_pipeline",
+    f"""
+WITH deduped AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+), kept AS (
+  SELECT d.doc_id, d.lang, d.text,
+         len({_TOKENS}) AS n_tokens
+  FROM documents d JOIN deduped USING (doc_id)
+  WHERE len({_TOKENS}) >= 30
+    AND len(list_distinct({_TOKENS})) / len({_TOKENS}) >= 0.3
+    AND len(list_filter({_TOKENS}, t -> list_contains({_STOP_SQL}, t)))
+          / len({_TOKENS}) <= 0.5
+), assigned AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN {hashing.rolling_hash_sql("text")} % 100 < 80 THEN 'train'
+              WHEN {hashing.rolling_hash_sql("text")} % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(ceil(n_tokens / 256.0) AS BIGINT)) AS BIGINT) AS n_chunks,
+       MIN(doc_id) AS min_doc_id
+FROM assigned
+GROUP BY split
+""",
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the full LLM corpus-prep DAG as one declarative query —
+    fingerprint dedup (keep lowest id per identical text) → quality gate
+    (the quality_filter thresholds) → content-hash train/valid/test split
+    → 256-token chunk accounting, reported per split. Every stage reuses
+    the semantics of its standalone operator, so the composition is
+    oracle-checked end-to-end; the only shuffles are the dedup groupBy
+    and the final 3-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = docs.groupBy(F.sha2("text", 256)).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    kept = (
+        docs.join(deduped, "doc_id")
+        .where((n >= 30) & (ttr >= 0.3) & (stop <= 0.5))
+        .select("doc_id", "lang", "text", n.alias("n_tokens"))
+    )
+    h = hashing.rolling_hash("text") % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    )
+    return (
+        kept.select("doc_id", "n_tokens", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.ceil(F.col("n_tokens") / 256.0)).cast("long").alias("n_chunks"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
