@@ -54,6 +54,7 @@ HEADLINE = [
     "ohlc_rollup_candles",
     "cms_token_counts",
     "cohort_retention",
+    "corpus_prep_pipeline",
 ]
 
 
