@@ -117,7 +117,10 @@ LIMIT 20
 def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: revenue lost to returns per customer, top 20.
 
-    lineitem⋈orders is the one real shuffle; customer and nation broadcast.
+    customer and nation broadcast; lineitem⋈orders is left to AQE — at
+    small scale it re-plans to a runtime broadcast, at 100 TB it stays a
+    shuffled join (orders is fact-sized; a compile-time broadcast hint
+    would OOM there).
     The ORDER BY carries c_custkey so LIMIT 20 is deterministic."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -128,7 +131,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
@@ -281,7 +284,7 @@ def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(F.broadcast(big), F.col("l_orderkey") == F.col("_big_orderkey"))
-        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dec_sum("l_quantity").alias("total_qty"))
@@ -430,8 +433,9 @@ GROUP BY 1, 2, 3
 def q_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
     year — the same dimension table joined twice under different roles.
-    Both nation sides and customer/supplier broadcast; the cross-nation
-    asymmetry filter runs post-join on broadcast columns."""
+    Both nation sides and customer/supplier broadcast; orders is left to
+    AQE (fact-sized at 100 TB — no compile-time broadcast hint); the
+    cross-nation asymmetry filter runs post-join on broadcast columns."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -447,7 +451,7 @@ def q_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
@@ -554,7 +558,7 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.where(F.col("l_returnflag") == "R")
-        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(
                 ord_stats.where((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
@@ -609,7 +613,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
     dec = lambda col: F.sum(col.cast("decimal(30,6)")).cast("double")  # noqa: E731
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
@@ -659,7 +663,7 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
