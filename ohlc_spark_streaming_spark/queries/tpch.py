@@ -513,7 +513,9 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(per_part), F.col("t_partkey") == F.col("l_partkey"))
+        # per_part spans ALL parts (not brand-pruned) — fact-adjacent
+        # cardinality at extreme scale, so AQE decides, not a hint.
+        .join(per_part, F.col("t_partkey") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
