@@ -562,3 +562,74 @@ def q_ohlc_rollup_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         qty_col=None, window_duration="1 minute",
     )
     return ohlc_rollup(fine, coarse="1 hour")
+
+
+@register(
+    "candle_bollinger",
+    """
+WITH candles AS (
+  SELECT event_type AS symbol,
+         date_trunc('hour', ts) AS ws,
+         CAST(round(max(struct_pack(t := ts, p := value)).p * 100) AS BIGINT)
+           AS close_cents
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT symbol, ws, close_cents,
+         COUNT(*)           OVER w AS n,
+         CAST(SUM(close_cents) OVER w AS BIGINT)                 AS sx,
+         CAST(SUM(close_cents * close_cents) OVER w AS BIGINT)   AS sxx
+  FROM candles
+  WINDOW w AS (PARTITION BY symbol ORDER BY ws
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ws AS window_start,
+  close_cents / 100.0 AS close,
+  CAST(sx AS DOUBLE) / n / 100.0 AS mid,
+  CAST(sx AS DOUBLE) / n / 100.0
+    + 2.0 * sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100.0 AS upper_band,
+  CAST(sx AS DOUBLE) / n / 100.0
+    - 2.0 * sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n / 100.0 AS lower_band,
+  n AS n_window
+FROM m
+""",
+)
+def q_candle_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over hourly closes: trailing-24-candle mean ± 2σ.
+    The window moments (Σx, Σx²) are EXACT integer cents, so the
+    population variance n·Σx² − (Σx)² is bit-stable under any
+    partitioning; sqrt and the divisions are the only float ops, applied
+    in the same left-to-right order as the oracle. One shuffle on symbol,
+    one sorted window pass — the same plan class as every analytic here."""
+    events = load_table(spark, sf_dir, "events")
+    candles = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    ).select(
+        "symbol",
+        F.col("window_start").alias("ws"),
+        F.round(F.col("close") * 100).cast("long").alias("close_cents"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("ws")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("close_cents").over(w)
+    sxx = F.sum(F.col("close_cents") * F.col("close_cents")).over(w)
+    mid = sx.cast("double") / n / F.lit(100.0)
+    dev = (
+        F.lit(2.0)
+        * F.sqrt((n * sxx - sx * sx).cast("double"))
+        / n
+        / F.lit(100.0)
+    )
+    return candles.select(
+        "symbol",
+        F.col("ws").alias("window_start"),
+        (F.col("close_cents") / F.lit(100.0)).alias("close"),
+        mid.alias("mid"),
+        (mid + dev).alias("upper_band"),
+        (mid - dev).alias("lower_band"),
+        n.alias("n_window"),
+    )
