@@ -49,6 +49,16 @@ NOTES = {
         "EXISTS + NOT EXISTS collapsed into one per-order aggregate; every "
         "join after the aggregate is a BroadcastHashJoin."
     ),
+    "candle_bollinger": (
+        "Analytic window over the candle aggregate: one shuffle on symbol "
+        "serves the OHLC groupBy, then the trailing-24 frame runs in the "
+        "same partitioning — integer-cent moments keep it bit-stable."
+    ),
+    "corpus_prep_pipeline": (
+        "The full corpus-prep DAG (dedup → quality gate → split → chunk "
+        "accounting): two aggregation exchanges total; every filter is a "
+        "narrow projection over the scan."
+    ),
 }
 
 
