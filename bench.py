@@ -55,7 +55,44 @@ HEADLINE = [
     "cms_token_counts",
     "cohort_retention",
     "corpus_prep_pipeline",
+    # round 2: the two de-bottlenecked global-order queries
+    "price_histogram_equidepth",
+    "vocab_top_tokens",
 ]
+
+#: Per-query regression gate: prior-round timings (bench_baseline.json);
+#: >1.5x slowdowns are reported on stderr (stdout stays the one JSON line).
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+)
+REGRESSION_FACTOR = 1.5
+
+
+def report_deltas(timings: dict[str, float]) -> None:
+    try:
+        with open(BASELINE_PATH) as f:
+            base = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return
+    regressions = []
+    for name, sec in timings.items():
+        prev = base.get(name)
+        if prev is None:
+            print(f"[bench] {name}: {sec:.3f}s (new; no baseline)", file=sys.stderr)
+            continue
+        ratio = sec / prev if prev > 0 else float("inf")
+        tag = " REGRESSION" if ratio > REGRESSION_FACTOR else ""
+        print(
+            f"[bench] {name}: {sec:.3f}s vs baseline {prev:.3f}s "
+            f"({ratio:.2f}x){tag}",
+            file=sys.stderr,
+        )
+        if ratio > REGRESSION_FACTOR:
+            regressions.append((name, ratio))
+    if regressions:
+        worst = ", ".join(f"{n} {r:.2f}x" for n, r in regressions)
+        print(f"[bench] {len(regressions)} regression(s) > "
+              f"{REGRESSION_FACTOR}x: {worst}", file=sys.stderr)
 
 
 def main() -> None:
@@ -94,6 +131,7 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    report_deltas(timings)
     print(
         json.dumps(
             {

@@ -157,14 +157,21 @@ def salted_join(
     pmod(hash(salt_source), n_salts)`` on a high-cardinality BIG-side
     column, replicate the small side once per salt, and equi-join on
     ``(on, _salt)``. Each hot key now occupies ``n_salts`` reducers
-    instead of one. Output is identical to the plain join because every
-    big row meets exactly the one replica carrying its salt.
+    instead of one. For ``inner``/``left`` the output is identical to the
+    plain join because every big row meets exactly the one replica
+    carrying its salt; ``right``/``full`` are rejected — an unmatched
+    small-side row would be emitted once per salt replica.
 
     The salt must be DETERMINISTIC (hash of data, never rand()): retried
     tasks must land rows on the same shard or exactly-once breaks.
     Replication multiplies the small side by ``n_salts`` — keep it for
     genuinely small-but-unbroadcastable sides.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "unmatched small-side rows would duplicate once per salt"
+        )
     s = F.col(salt_source) if isinstance(salt_source, str) else salt_source
     b = big.withColumn("_salt", F.pmod(F.hash(s), F.lit(n_salts)))
     sm = small.withColumn(

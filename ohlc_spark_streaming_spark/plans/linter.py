@@ -24,6 +24,12 @@ shapes. Codes:
                        phase.
 * ``ROW_PYTHON``     (error) — row-at-a-time Python eval (BatchEvalPython);
                        Arrow variants are fine.
+* ``GLOBAL_WINDOW``  (info)  — a Window fed by Exchange SinglePartition:
+                       every input row crosses one task. Benign when the
+                       input is provably tiny (an O(#partitions) totals
+                       table, a top-k limit); a scale-killer when it is
+                       the corpus — use operators.ranking's distributed
+                       rank instead.
 """
 
 from __future__ import annotations
@@ -95,6 +101,17 @@ def lint_plan(df: DataFrame) -> list[tuple[str, str, str]]:
                 "aggregation without a partial (map-side) phase — every row "
                 "crosses the shuffle; check for distinct-on-expression or "
                 "non-partial-able aggregates",
+            )
+        )
+
+    if "Window" in plan and "Exchange SinglePartition" in plan:
+        findings.append(
+            (
+                "info",
+                "GLOBAL_WINDOW",
+                "window over a single partition — fine for tiny inputs "
+                "(per-partition totals, post-limit top-k), a scale-killer "
+                "over the corpus; prefer operators.ranking.with_global_rank",
             )
         )
 

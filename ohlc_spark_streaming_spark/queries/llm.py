@@ -845,20 +845,21 @@ SELECT token, cnt, rank FROM (
 )
 def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-100 tokens by frequency with deterministic
-    tie-break. The global window runs over the VOCABULARY (already
-    aggregated, ≪ corpus), not the token stream — the count shuffle is
-    the only corpus-sized exchange."""
+    tie-break. The top-k itself is ``orderBy().limit(100)`` — Spark plans
+    TakeOrderedAndProject: each task keeps a local 100-row heap and only
+    the heaps travel, so no stage ever sorts or windows the full
+    vocabulary (a web-scale vocab is ~10⁸ tokens — round 1's global
+    row_number window pushed all of it through one partition). The rank
+    window then runs over exactly the 100 survivors — O(k), not O(vocab)."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(100)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 100)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 @register(

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import anti_join, asof_join, equi_join, range_join, semi_join
+from ..operators.ranking import ntile_expr, with_global_rank
 from ..registry import dec_sum, register
 from ..sources.batch import load_table
 
@@ -1266,12 +1267,12 @@ WITH q AS (
 )
 SELECT
   l_orderkey,
-  qs,
+  to_json(qs)                                                AS qs_json,
   len(list_filter(qs, x -> x >= 25))                         AS n_big,
   CAST(list_reduce(list_prepend(0, list_transform(qs, x -> x * 2)),
                    (acc, x) -> acc + x) AS BIGINT)           AS doubled_sum,
   (len(list_filter(qs, x -> x >= 49)) > 0)                   AS any_ge_49,
-  qs[1:3]                                                    AS first3
+  to_json(qs[1:3])                                           AS first3_json
 FROM q
 """,
 )
@@ -1281,7 +1282,10 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice, all JVM-side lambda expressions with DuckDB list_* twins.
     Group sizes are per-order lineitem counts (bounded, ~4), so the
     collect is not a scale hazard here — the point is the expression
-    surface, not the aggregation."""
+    surface, not the aggregation. Array-typed outputs are serialized with
+    ``to_json`` on BOTH sides (identical ``[1,2,3]`` text in Spark and
+    DuckDB) so the driver's pandas canonicalizer can sort and hash them —
+    raw array columns are unhashable there (round-1 err)."""
     l = load_table(spark, sf_dir, "lineitem")
     q = l.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(F.col("l_quantity").cast("int"))).alias("qs")
@@ -1289,7 +1293,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = F.col("qs")
     return q.select(
         "l_orderkey",
-        "qs",
+        F.to_json(qs).alias("qs_json"),
         F.size(F.filter(qs, lambda x: x >= 25)).alias("n_big"),
         F.aggregate(
             F.transform(qs, lambda x: x * 2),
@@ -1297,7 +1301,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).cast("long").alias("doubled_sum"),
         F.exists(qs, lambda x: x >= 49).alias("any_ge_49"),
-        F.slice(qs, 1, 3).alias("first3"),
+        F.to_json(F.slice(qs, 1, 3)).alias("first3_json"),
     )
 
 
@@ -1318,18 +1322,26 @@ GROUP BY decile
 """,
 )
 def q_price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram (deciles of the value distribution) via ntile
-    over a deterministic total order — the twin of price_histogram's
-    equi-width buckets. A global ntile funnels through ONE window
-    partition: exact and fine to ~10⁸ rows, but the 100 TB form computes
-    approx decile boundaries first (approx_percentile over a sample) and
-    range-buckets in parallel, trading exact equal depths for
-    distribution. This query keeps the exact form because its semantics
-    (and oracle) are the exact deciles."""
+    """Equi-DEPTH histogram (deciles of the value distribution) — the twin
+    of price_histogram's equi-width buckets, exact ntile semantics WITHOUT
+    the global-window scale-killer. Round 1 used ``ntile(10) OVER (ORDER
+    BY ...)``: one window partition swallows the whole table. This is the
+    scale path: distributed global rank (range partition → parallel local
+    row_number → O(#partitions) offset prefix-sum, operators.ranking) and
+    ntile computed arithmetically from (rank, total) — bit-identical to
+    the window function (the DuckDB oracle still states it as ntile), but
+    every corpus-sized stage is parallel."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = with_global_rank(
+        e.select("value", "event_id"),
+        ["value", "event_id"],
+        rank_col="rn",
+        total_col="_total",
+    )
     return (
-        e.select("value", F.ntile(10).over(w).alias("decile"))
+        ranked.select(
+            "value", ntile_expr("rn", "_total", 10).alias("decile")
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -414,7 +414,9 @@ def q_streaming_vwap_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
-            F.col("window.start").alias("window_start"),
+            # timestamp_ntz like every other query (registry timestamp
+            # discipline) — window.start is tz-aware session time.
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
             "symbol",
             "vwap",
             "total_qty",

@@ -54,9 +54,104 @@ def dec_sum(col, scale: int = 4):
     return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
 
 
-# Populate the registry (import order defines no semantics; names are unique).
+# Populate the registry. NOTE: registration ORDER MATTERS for the driver's
+# correctness gate — it hashes only the first 50 registered queries — so after
+# the family modules register everything, the registry is reordered below so
+# the first 50 slots span every operator family (reference parity, relational
+# battery, TPC-H plan shapes, LLM-pipeline, streaming).
 from .queries import reference as _q_reference  # noqa: E402,F401
 from .queries import relational as _q_relational  # noqa: E402,F401
 from .queries import tpch as _q_tpch  # noqa: E402,F401
 from .queries import llm as _q_llm  # noqa: E402,F401
 from .queries import streaming as _q_streaming  # noqa: E402,F401
+
+# The driver-checked window: one representative per family, every entry
+# oracle-backed and hash-able. Keep this list at exactly 50 names.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # Reference parity core (SURVEY §2.1–§2.5)
+    "ohlc_candles",
+    "ohlc_candles_faithful",
+    "trade_pipeline",
+    "derive_base",
+    "json_extract_props",
+    "candle_serialize",
+    "vwap_candles",
+    # Join family (§2.3)
+    "join_semi_anti",
+    "join_range_shipdelay",
+    "join_asof_purchase_view",
+    "join_full_outer",
+    "join_interval_overlap",
+    "join_null_safe",
+    # Analytic windows (§2.6)
+    "window_rank_battery",
+    "window_trailing_range",
+    "window_value_functions",
+    # Aggregation battery (§2.4)
+    "rollup_lineitem",
+    "pivot_linestatus",
+    "grouping_sets_orders",
+    "percentiles_quantity",
+    "set_ops_order_status",
+    # Scalar / type batteries (§2.8)
+    "scalar_functions",
+    "date_functions",
+    "array_functions",
+    "null_semantics",
+    "price_histogram_equidepth",
+    # TPC-H plan shapes (scan-agg, join-topk, filter-agg, min-subquery,
+    # outer-join distribution, agg-of-agg max, HAVING semi, multi-exists)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q2_min_cost_supplier",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    # LLM-pipeline family (§2.11)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_ppjoin",
+    "dedup_clusters",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "text_tfidf",
+    "text_sentiment",
+    "multimodal_features",
+    "pack_sequences",
+    "dataset_split",
+    "corpus_prep_pipeline",
+    "vocab_top_tokens",
+    # Streaming (§2.9 — replayed-stream queries with batch-equivalent oracles)
+    "streaming_ohlc_candles",
+    "streaming_interval_join",
+    "streaming_vwap_candles",
+)
+
+# Queries whose driver check can only ever be rows-only (no SQL oracle by
+# design) register LAST so they never occupy a hash-checkable slot.
+_NO_ORACLE_LAST: tuple[str, ...] = tuple(n for n in QUERIES if n not in ORACLES)
+
+
+def _curate() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
+    assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)) == 50
+    unoracled = [n for n in DRIVER_WINDOW if n not in ORACLES]
+    assert not unoracled, f"DRIVER_WINDOW entries without oracle: {unoracled}"
+    rest = [
+        n
+        for n in QUERIES
+        if n not in DRIVER_WINDOW and n not in _NO_ORACLE_LAST
+    ]
+    order = [*DRIVER_WINDOW, *rest, *_NO_ORACLE_LAST]
+    reordered = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+    reordered_oracles = {n: ORACLES[n] for n in order if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(reordered_oracles)
+
+
+_curate()

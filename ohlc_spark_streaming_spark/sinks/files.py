@@ -36,9 +36,20 @@ def write_parquet(
     ``target_files_per_partition`` tasks instead of every task — the
     difference between O(dirs) and O(tasks x dirs) files at scale.
     """
+    from pyspark.sql import functions as F
+
     writer_df = df
     if partition_by:
-        writer_df = df.repartition(*[df[c] for c in partition_by])
+        part_cols = [df[c] for c in partition_by]
+        k = max(1, int(target_files_per_partition))
+        if k == 1:
+            writer_df = df.repartition(*part_cols)
+        else:
+            # Deterministic salt (hash of the full row, never rand(): task
+            # retries must re-land rows on the same writer) widens each
+            # partition directory to ~k writing tasks → ~k files.
+            salt = F.pmod(F.hash(*[df[c] for c in df.columns]), F.lit(k))
+            writer_df = df.repartition(*part_cols, salt)
     writer = writer_df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -1,0 +1,99 @@
+"""Deploy-surface contract: env config (reference main.py:24-32 +
+entrypoint.sh:7-14 fail-fast) and the ``python -m`` entrypoint."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from ohlc_spark_streaming_spark.config import (
+    REQUIRED_ENV_VARS,
+    AppConfig,
+    ConfigError,
+)
+
+GOOD_ENV = {
+    "SPARK_APP_NAME": "ohlc-app",
+    "SPARK_MASTER_URL": "local[2]",
+    "KAFKA_BOOTSTRAP_SERVERS": "broker:9092",
+    "KAFKA_SUBSCRIBE_TOPICS": "trades.*",
+    "KAFKA_OUTPUT_PREFIX": "candles-",
+    "CHECKPOINT_LOCATION": "/tmp/ckpt",
+    "WINDOW_DURATION": "1 minute",
+    "WATERMARK_DELAY": "2 minutes",
+}
+
+
+def test_from_env_happy_path():
+    cfg = AppConfig.from_env(GOOD_ENV)
+    assert cfg.app_name == "ohlc-app"
+    assert cfg.window_duration == "1 minute"
+    assert cfg.subscribe_kind == "subscribePattern"
+
+
+def test_subscribe_kind_matches_source_builder():
+    for topics, kind in [
+        ("a,b,c", "subscribe"),
+        ("trades", "subscribe"),
+        ("trades.*", "subscribePattern"),
+    ]:
+        cfg = AppConfig.from_env({**GOOD_ENV, "KAFKA_SUBSCRIBE_TOPICS": topics})
+        assert cfg.subscribe_kind == kind, topics
+
+
+def test_missing_vars_all_named():
+    env = dict(GOOD_ENV)
+    del env["CHECKPOINT_LOCATION"]
+    env["WATERMARK_DELAY"] = ""
+    with pytest.raises(ConfigError) as exc:
+        AppConfig.from_env(env)
+    msg = str(exc.value)
+    assert "CHECKPOINT_LOCATION" in msg and "WATERMARK_DELAY" in msg
+
+
+@pytest.mark.parametrize("bad", ["1min", "fast", "60", "minute 1"])
+def test_bad_duration_rejected(bad):
+    with pytest.raises(ConfigError, match="WINDOW_DURATION"):
+        AppConfig.from_env({**GOOD_ENV, "WINDOW_DURATION": bad})
+
+
+def test_required_var_list_matches_reference_contract():
+    # The eight vars of /root/reference/main.py:24-32, exactly.
+    assert set(REQUIRED_ENV_VARS) == set(GOOD_ENV)
+
+
+def test_main_help_runs_without_spark():
+    out = subprocess.run(
+        [sys.executable, "-m", "ohlc_spark_streaming_spark", "--help"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0
+    assert "KAFKA_SUBSCRIBE_TOPICS" in out.stdout
+
+
+def test_main_check_config_fails_fast_on_empty_env():
+    out = subprocess.run(
+        [sys.executable, "-m", "ohlc_spark_streaming_spark", "--check-config"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        env={"PATH": "/usr/bin:/bin"},
+    )
+    assert out.returncode == 2
+    assert "SPARK_APP_NAME" in out.stderr
+
+
+def test_main_check_config_ok(monkeypatch):
+    out = subprocess.run(
+        [sys.executable, "-m", "ohlc_spark_streaming_spark", "--check-config"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        env={"PATH": "/usr/bin:/bin", **GOOD_ENV},
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout

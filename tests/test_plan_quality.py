@@ -115,3 +115,23 @@ def test_q21_single_lineitem_shuffle_rest_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_equidepth_histogram_has_no_global_ntile(spark):
+    """Round-2 scale path: the equi-depth histogram must rank via the
+    distributed range-partitioned row_number (operators.ranking), never a
+    corpus-wide ntile window. The only single-partition window allowed is
+    the O(#partitions) offsets prefix-sum."""
+    plan = _plan(QUERIES["price_histogram_equidepth"](spark, SF_SMOKE))
+    assert "ntile" not in plan
+    assert "rangepartitioning" in plan
+    # The corpus-sized window is partitioned by _pid (parallel); assert the
+    # ranking window spec carries a partition expression.
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_vocab_top_tokens_is_take_ordered(spark):
+    """The vocabulary top-k must plan as TakeOrderedAndProject (per-task
+    100-row heaps) — not a global sort or a full-vocab window."""
+    plan = _plan(QUERIES["vocab_top_tokens"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
