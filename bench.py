@@ -61,11 +61,18 @@ HEADLINE = [
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);
-#: >1.5x slowdowns are reported on stderr (stdout stays the one JSON line).
+#: slowdowns are reported on stderr (stdout stays the one JSON line).
+#: A query is flagged only when BOTH the ratio exceeds REGRESSION_FACTOR
+#: AND the absolute delta exceeds REGRESSION_MIN_DELTA_SEC: sub-second
+#: queries at sf0.1 are jitter-dominated (GC, JIT, page-cache state of a
+#: fresh VM), and a 0.3s->0.5s wobble is environment, not a plan change.
+#: Round-2 data point: re-running the identical commit on a cold-booted VM
+#: moved individual queries 0.8x-17x with zero code delta.
 BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
 )
 REGRESSION_FACTOR = 1.5
+REGRESSION_MIN_DELTA_SEC = 1.0
 
 
 def report_deltas(timings: dict[str, float]) -> None:
@@ -81,13 +88,14 @@ def report_deltas(timings: dict[str, float]) -> None:
             print(f"[bench] {name}: {sec:.3f}s (new; no baseline)", file=sys.stderr)
             continue
         ratio = sec / prev if prev > 0 else float("inf")
-        tag = " REGRESSION" if ratio > REGRESSION_FACTOR else ""
+        is_reg = ratio > REGRESSION_FACTOR and sec - prev > REGRESSION_MIN_DELTA_SEC
+        tag = " REGRESSION" if is_reg else ""
         print(
             f"[bench] {name}: {sec:.3f}s vs baseline {prev:.3f}s "
             f"({ratio:.2f}x){tag}",
             file=sys.stderr,
         )
-        if ratio > REGRESSION_FACTOR:
+        if is_reg:
             regressions.append((name, ratio))
     if regressions:
         worst = ", ".join(f"{n} {r:.2f}x" for n, r in regressions)
