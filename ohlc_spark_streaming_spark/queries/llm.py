@@ -1345,3 +1345,235 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# --- corpus hygiene: repetition, contamination, domain mixing ---------------
+
+
+@register(
+    "quality_repetition",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t
+), c AS (
+  SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg
+), m AS (
+  SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY doc_id
+), d AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         1.0 - len(list_distinct(toks)) / len(toks) AS dup_word_frac
+  FROM t
+)
+SELECT d.doc_id,
+       d.n_tokens,
+       d.dup_word_frac,
+       m.top_cnt / (d.n_tokens - 1)                   AS top_bigram_frac,
+       (d.dup_word_frac > 0.82
+        OR m.top_cnt / (d.n_tokens - 1) > 0.18)       AS is_repetitive
+FROM d JOIN m USING (doc_id)
+""",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals in the style of the Gopher corpus
+    rules (Rae et al. 2021, arXiv:2112.11446 §A1.1): per-document duplicate
+    -word fraction and most-frequent-bigram coverage, plus the combined
+    repetitiveness gate.
+
+    Scale design: the whole computation is NARROW — tokens, bigrams, and
+    the top-bigram count never leave the row. The most-frequent-bigram
+    count folds over the SORTED bigram array with a run-length
+    ``F.aggregate`` (state: previous element, current run, best run)
+    instead of explode → groupBy(doc_id, bigram) → max, so a 100 TB corpus
+    pays zero shuffles and no per-bigram row explosion; the oracle states
+    the same quantity as the explode/group/max it is equivalent to."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.sort_array(bigrams), zero, step, lambda acc: acc["best"])
+    dup = F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    scored = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup.alias("dup_word_frac"),
+        (top_cnt / (n - 1)).alias("top_bigram_frac"),
+    )
+    return scored.withColumn(
+        "is_repetitive",
+        (F.col("dup_word_frac") > 0.82) | (F.col("top_bigram_frac") > 0.18),
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+  FROM t
+), bench AS (
+  SELECT DISTINCT tg FROM g WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT c.doc_id,
+         count(*)                                                  AS n_trigrams,
+         CAST(sum(CASE WHEN b.tg IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT)                                           AS n_hits
+  FROM g c LEFT JOIN bench b USING (tg)
+  WHERE c.doc_id % 20 <> 0
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_trigrams, n_hits,
+       n_hits / n_trigrams          AS contamination_frac,
+       n_hits / n_trigrams >= 0.8   AS is_contaminated
+FROM hits
+""",
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by word-trigram overlap: documents whose
+    distinct trigrams are mostly contained in the held-out set (here the
+    deterministic pseudo-benchmark ``doc_id % 20 == 0``) are flagged, the
+    standard eval-leakage check run before LLM training.
+
+    Scale design: an eval set is tiny by nature, so its distinct-trigram
+    set is BROADCAST and the containment check is a map-side hash lookup —
+    the corpus side never shuffles for the membership test; the only wide
+    stages are the per-doc trigram distinct and the final per-doc count,
+    both keyed on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    tris = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.get(toks, i - 1), F.get(toks, i), F.get(toks, i + 1)
+        ),
+    )
+    grams = docs.select("doc_id", F.explode(tris).alias("tg")).distinct()
+    bench = (
+        grams.where(F.col("doc_id") % 20 == 0)
+        .select("tg")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hits = (
+        grams.where(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench), "tg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    frac = F.col("n_hits") / F.col("n_trigrams")
+    return hits.select(
+        "doc_id",
+        "n_trigrams",
+        "n_hits",
+        frac.alias("contamination_frac"),
+        (frac >= 0.8).alias("is_contaminated"),
+    )
+
+
+#: Target corpus mixture in basis points per language (sums to 10000).
+DOMAIN_TARGET_BPS = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+_TARGET_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in DOMAIN_TARGET_BPS.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "domain_mixture",
+    f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts
+), rates AS (
+  SELECT lang, n_docs,
+         CAST({_TARGET_CASE_SQL} AS BIGINT) AS target_bps,
+         least(10000, (CAST({_TARGET_CASE_SQL} AS BIGINT) * total) // n_docs)
+           AS rate_bps
+  FROM counts, tot
+), sampled AS (
+  SELECT d.lang, count(*) AS n_sampled
+  FROM documents d JOIN rates r USING (lang)
+  WHERE {hashing.rolling_hash_sql('text')} % 10000 < r.rate_bps
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, r.target_bps, r.rate_bps,
+       coalesce(s.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+FROM rates r LEFT JOIN sampled s USING (lang)
+""",
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixture reweighting: given a target mixture (basis
+    points per language), derive a per-language downsampling rate
+    ``min(1, target_share·total / lang_count)`` in exact integer
+    arithmetic, then take the sample by CONTENT hash so membership is
+    stable across reruns, partitionings, and engines (no rand()).
+
+    Scale design: the per-language rate table is a handful of rows —
+    broadcast back onto the corpus — so the whole reweighting is one
+    groupBy(lang) count plus one narrow filtered recount; nothing
+    corpus-sized ever sits on one partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v).cast("long"))
+            for k, v in DOMAIN_TARGET_BPS.items()
+        ],
+        F.lit(0).cast("long"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("target_bps", target)
+        .withColumn(
+            "rate_bps",
+            F.least(F.lit(10000).cast("long"), F.expr("(target_bps * total) div n_docs")),
+        )
+        .select("lang", "n_docs", "target_bps", "rate_bps")
+    )
+    sampled = (
+        docs.join(F.broadcast(rates.select("lang", "rate_bps")), "lang")
+        .where(hashing.rolling_hash("text") % 10000 < F.col("rate_bps"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return rates.join(sampled, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "target_bps",
+        "rate_bps",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+    )

@@ -86,16 +86,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Analytic windows (§2.6)
     "window_rank_battery",
     "window_trailing_range",
-    "window_value_functions",
+    "quality_repetition",  # corpus hygiene: Gopher repetition signals
     # Aggregation battery (§2.4)
     "rollup_lineitem",
-    "pivot_linestatus",
+    "domain_mixture",  # corpus hygiene: mixture reweighting
     "grouping_sets_orders",
     "percentiles_quantity",
     "set_ops_order_status",
     # Scalar / type batteries (§2.8)
     "scalar_functions",
-    "date_functions",
+    "decontaminate_ngram",  # corpus hygiene: benchmark n-gram overlap
     "array_functions",
     "null_semantics",
     "price_histogram_equidepth",

@@ -9,41 +9,42 @@ pipeline functions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..session import apply_engine_confs
 
-#: Raw (pre-normalization) parquet schema of events: ts is a nanosecond
-#: long under spark.sql.legacy.parquet.nanosAsLong (see sources/batch.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events table from parquet with normalized TIMESTAMP_NTZ ts.
+    """Stream the events table from parquet with normalized TIMESTAMP ts.
 
     ``maxFilesPerTrigger=1`` keeps micro-batches bounded; the file source
     checkpoints file names, so semantics mirror a replayed Kafka topic.
+
+    The readStream schema is taken from the file's own footer (a
+    metadata-only batch read) rather than hardcoded: driver testdata has
+    shipped ``ts`` both as parquet TIMESTAMP(NANOS) — surfaced as a
+    nanosecond long under ``spark.sql.legacy.parquet.nanosAsLong`` — and
+    as TIMESTAMP(MICROS); a fixed long-typed schema silently misreads the
+    micros variant 1000x off, which moves every event inside any join
+    band. Normalization mirrors sources/batch.py.
     """
     apply_engine_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
     # The file source requires a directory; glob-filter down to the events
     # table inside the sf dir.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # Watermarks require TIMESTAMP (not NTZ); with the session pinned to
     # UTC this is the same wall-clock instant as the batch twin's NTZ view.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # nanosecond long → truncate to micros
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
