@@ -167,19 +167,25 @@ def jaccard_ppjoin_pairs(
     joins on doc ids — versus a token-level count join whose shuffle
     carries C·s ROWS (measured 8× slower at the 10× scale point).
     """
-    # per_doc feeds four consumers (sizes, frequencies, prefixes, verify);
-    # persisting it is the same checkpoint a 100 TB pipeline would write
-    # between the hashing and pairing stages.
-    per_doc = shingle_hashes(docs, id_col, text_col).distinct().persist()
-    n = per_doc.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_units"))
+    # The persisted per-doc shingle SET feeds all three consumers
+    # (frequencies, prefixes, verification) — the same checkpoint a
+    # 100 TB pipeline would write between the hashing and pairing stages.
+    # Per-shingle rows are a narrow EXPLODE of it (already distinct, and
+    # n_units rides along for free), so the whole operator pays one
+    # doc-keyed shuffle for the sets plus the sh-keyed exchanges the
+    # frequency count and prefix self-join inherently need.
+    sets = shingle_sets(docs, id_col, text_col).persist()
+    per_doc = sets.select(
+        F.col(id_col), F.explode("units").alias("sh"), "n_units"
+    )
     dfreq = per_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = per_doc.join(dfreq, "sh").join(n, id_col)
     pos = F.row_number().over(
         Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("sh").asc())
     )
     prefix_len = F.col("n_units") - F.ceil(F.lit(threshold) * F.col("n_units")) + 1
     prefix = (
-        ranked.withColumn("_pos", pos)
+        per_doc.join(dfreq, "sh")
+        .withColumn("_pos", pos)
         .where(F.col("_pos") <= prefix_len)
         .select(id_col, "sh", "n_units")
     )
@@ -197,7 +203,6 @@ def jaccard_ppjoin_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = per_doc.groupBy(id_col).agg(F.collect_set("sh").alias("units"))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("units").alias("a_units"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("units").alias("b_units"))
     inter = F.size(F.array_intersect("a_units", "b_units"))
@@ -260,14 +265,41 @@ def shingle_sets(
 ) -> DataFrame:
     """Per-document DISTINCT shingle-hash set: (id, units, n_units).
 
-    This is the single expensive pass of the near-dup family (explode →
-    dictionary join → window → aggregate); signatures, bands, and exact
-    verification are all cheap narrow derivations of it.
+    This is the single expensive pass of the near-dup family; signatures,
+    bands, and exact verification are all cheap narrow derivations of it.
+
+    One shuffle, not two: instead of the row-level window+lead shingle
+    combination (:func:`shingle_hashes`) followed by a second doc-keyed
+    ``collect_set``, rebuild each document's ordered token-hash ARRAY with
+    a single groupBy (sort_array over (pos, th) structs) and derive the
+    shingle set array-side — the positional combination and the distinct
+    both stay inside the row. Semantics identical to
+    ``shingle_hashes(...).groupBy(id).collect_set`` (asserted in
+    tests/test_dedup.py); at 100 TB this halves the shuffled volume of
+    the near-dup family's dominant stage.
     """
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    hashed = tok.join(_token_hash_dict(tok), "tok")
+    ths = (
+        hashed.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "th"))).alias("pth"))
+        .select(id_col, F.transform("pth", lambda x: x["th"]).alias("ths"))
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("ths") - 3),
+        lambda i: (
+            F.get("ths", i) * (31 * 31) + F.get("ths", i + 1) * 31 + F.get("ths", i + 2)
+        )
+        % P,
+    )
+    units = F.when(F.size("ths") >= 3, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<long>")
+    )
     return (
-        shingle_hashes(docs, id_col, text_col)
-        .groupBy(id_col)
-        .agg(F.collect_set("sh").alias("units"))
+        ths.select(F.col(id_col), units.alias("units"))
+        .where(F.size("units") > 0)
         .withColumn("n_units", F.size("units"))
     )
 
