@@ -59,6 +59,21 @@ NOTES = {
         "accounting): two aggregation exchanges total; every filter is a "
         "narrow projection over the scan."
     ),
+    "quality_repetition": (
+        "Gopher-style repetition signals with ZERO exchanges: bigrams, the "
+        "run-length top-bigram fold, and both ratios are all computed "
+        "inside the row — a pure map-only pass at any scale."
+    ),
+    "decontaminate_ngram": (
+        "Benchmark trigram set is the build side of a BroadcastHashJoin: "
+        "the corpus never shuffles for the membership test; the only wide "
+        "stages are doc-keyed (distinct, final count)."
+    ),
+    "domain_mixture": (
+        "Per-language rate table (a handful of rows) broadcast back onto "
+        "the corpus: one groupBy(lang) count plus one filtered recount; "
+        "integer-exact rates, content-hash sample membership."
+    ),
 }
 
 
