@@ -43,6 +43,11 @@ def register(name: str, oracle: str | None = None):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        # Re-curate once the driver window is complete. Needed for the
+        # circular-import path: when a queries submodule is the FIRST
+        # package import, its registrations land AFTER this module's body
+        # (and its import-time _curate) has already run.
+        _maybe_curate()
         return fn
 
     return deco
@@ -52,6 +57,36 @@ def dec_sum(col, scale: int = 4):
     """Order-independent (exact decimal) sum of a double column, as double."""
     c = col if not isinstance(col, str) else F.col(col)
     return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def _curate() -> None:
+    """Reorder the registry: driver window first, then the remaining
+    oracle-backed queries, then the oracle-less ones (which must never
+    occupy a hash-checkable slot). Idempotent — safe to re-run as late
+    registrations arrive (see register())."""
+    assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)) == 50
+    unoracled = [n for n in DRIVER_WINDOW if n not in ORACLES]
+    assert not unoracled, f"DRIVER_WINDOW entries without oracle: {unoracled}"
+    no_oracle_last = [n for n in QUERIES if n not in ORACLES]
+    rest = [
+        n
+        for n in QUERIES
+        if n not in DRIVER_WINDOW and n in ORACLES
+    ]
+    order = [*DRIVER_WINDOW, *rest, *no_oracle_last]
+    reordered = {n: QUERIES[n] for n in order}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+    reordered_oracles = {n: ORACLES[n] for n in order if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(reordered_oracles)
+
+
+def _maybe_curate() -> None:
+    window = globals().get("DRIVER_WINDOW")
+    if window and all(n in QUERIES for n in window):
+        _curate()
+
 
 
 # Populate the registry. NOTE: registration ORDER MATTERS for the driver's
@@ -129,29 +164,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_vwap_candles",
 )
 
-# Queries whose driver check can only ever be rows-only (no SQL oracle by
-# design) register LAST so they never occupy a hash-checkable slot.
-_NO_ORACLE_LAST: tuple[str, ...] = tuple(n for n in QUERIES if n not in ORACLES)
-
-
-def _curate() -> None:
-    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
-    assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
-    assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)) == 50
-    unoracled = [n for n in DRIVER_WINDOW if n not in ORACLES]
-    assert not unoracled, f"DRIVER_WINDOW entries without oracle: {unoracled}"
-    rest = [
-        n
-        for n in QUERIES
-        if n not in DRIVER_WINDOW and n not in _NO_ORACLE_LAST
-    ]
-    order = [*DRIVER_WINDOW, *rest, *_NO_ORACLE_LAST]
-    reordered = {n: QUERIES[n] for n in order}
-    QUERIES.clear()
-    QUERIES.update(reordered)
-    reordered_oracles = {n: ORACLES[n] for n in order if n in ORACLES}
-    ORACLES.clear()
-    ORACLES.update(reordered_oracles)
-
-
-_curate()
+_maybe_curate()
+assert list(QUERIES)[:50] == list(DRIVER_WINDOW) or not all(
+    n in QUERIES for n in DRIVER_WINDOW
+), "driver window not at the head of the registry"

@@ -91,6 +91,13 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = default_parallelism()
 
+    # Optional-dependency shims must extend $PYTHONPATH BEFORE the session
+    # starts so Python workers inherit it (transformWithStateInPandas needs
+    # google.protobuf in the worker — see _compat.ensure_protobuf).
+    from ._compat import ensure_protobuf
+
+    ensure_protobuf()
+
     builder = SparkSession.builder.master(master).appName(app_name)
     if master.startswith("local") and not (extra_confs or {}).get(
         "spark.driver.memory"

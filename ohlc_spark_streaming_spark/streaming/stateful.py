@@ -77,11 +77,15 @@ def tws_event_counts(
     ``spark.sql.streaming.stateStore.providerClass`` before starting the
     query; that is the 100 TB configuration anyway (SURVEY §4.2).
 
-    ENVIRONMENT GATE: the transformWithState driver worker imports
-    ``google.protobuf``, which this container lacks — the operator is
-    complete but its test skips when that import fails
-    (tests/test_streaming.py::test_tws_event_counts_parity); it is NOT a
-    registry entry for the same reason.
+    ENVIRONMENT NOTE: the transformWithState worker imports
+    ``google.protobuf``; containers without a protobuf wheel get it from
+    ``_compat.ensure_protobuf`` (pure-python runtime discovered on the
+    machine, PYTHONPATH extended before session start — build_session does
+    this). The parity test
+    (tests/test_streaming.py::test_tws_event_counts_parity) runs wherever
+    a runtime is found and only skips when none exists. NOT a registry
+    entry: the driver owns its own (plain) session, whose workers may
+    predate the shimmed PYTHONPATH.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -290,12 +290,9 @@ def test_streaming_left_outer_interval_join(spark):
 
 
 def _protobuf_ok() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    from ohlc_spark_streaming_spark._compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 import pytest as _pytest
@@ -303,8 +300,8 @@ import pytest as _pytest
 
 @_pytest.mark.skipif(
     not _protobuf_ok(),
-    reason="transformWithState driver worker needs google.protobuf "
-    "(absent in this container)",
+    reason="transformWithState needs google.protobuf and no pure-python "
+    "runtime was found on this machine (_compat.ensure_protobuf)",
 )
 def test_tws_event_counts_parity(spark):
     """transformWithStateInPandas running counts equal the batch aggregate
