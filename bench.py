@@ -58,6 +58,11 @@ HEADLINE = [
     # round 2: the two de-bottlenecked global-order queries
     "price_histogram_equidepth",
     "vocab_top_tokens",
+    # round 3: corpus hygiene
+    "quality_repetition",
+    "decontaminate_ngram",
+    "domain_mixture",
+    "text_lm_coverage",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1577,3 +1577,78 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_bps",
         F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
     )
+
+
+@register(
+    "text_lm_coverage",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t
+), freq AS (
+  SELECT bg FROM occ GROUP BY bg HAVING count(*) >= 20
+), cov AS (
+  SELECT o.doc_id,
+         count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN f.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM occ o LEFT JOIN freq f USING (bg)
+  GROUP BY o.doc_id
+)
+SELECT doc_id, n_bigrams, n_covered,
+       n_covered / n_bigrams          AS coverage,
+       n_covered / n_bigrams >= 0.5   AS passes_lm
+FROM cov
+""",
+)
+def q_text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM coverage score: the fraction of a document's bigram
+    OCCURRENCES that are frequent (count ≥ 20) in the corpus itself — the
+    integer-exact stand-in for the n-gram-LM perplexity filter of CCNet
+    (Wenzek et al. 2020, arXiv:1911.00359): low coverage ⇒ the document's
+    word transitions are unusual for the corpus ⇒ likely noise. (A real
+    log-probability would hash-differ across engines' libm; a count
+    ratio is bit-stable.)
+
+    Scale design: the frequent-bigram table is min-count pruned BEFORE the
+    membership join (HAVING on the aggregate — at 100 TB this is the
+    difference between joining against the full bigram vocabulary and a
+    small high-frequency head), and the join is a plain equi-join AQE can
+    broadcast when the head fits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+    )
+    occ = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    freq = (
+        occ.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= 20)
+        .select("bg")
+        .withColumn("_hit", F.lit(1))
+    )
+    cov = (
+        occ.join(freq, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    coverage = F.col("n_covered") / F.col("n_bigrams")
+    return cov.select(
+        "doc_id",
+        "n_bigrams",
+        "n_covered",
+        coverage.alias("coverage"),
+        (coverage >= 0.5).alias("passes_lm"),
+    )
