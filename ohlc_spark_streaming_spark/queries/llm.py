@@ -1461,10 +1461,13 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: an eval set is tiny by nature, so its distinct-trigram
     set is BROADCAST and the containment check is a map-side hash lookup —
-    the corpus side never shuffles for the membership test; the only wide
-    stages are the per-doc trigram distinct and the final per-doc count,
-    both keyed on doc_id."""
-    docs = load_table(spark, sf_dir, "documents")
+    the corpus side never shuffles for the membership test. Per-document
+    trigram dedup happens INSIDE the row (``array_distinct`` before the
+    explode), so the corpus never pays a distinct shuffle either; the
+    only wide stage is the final per-doc count. The scan is fanned out
+    (``parallelize=True``): single-row-group testdata would otherwise run
+    the whole trigram explosion on one core."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     tris = F.transform(
@@ -1473,7 +1476,7 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.get(toks, i - 1), F.get(toks, i), F.get(toks, i + 1)
         ),
     )
-    grams = docs.select("doc_id", F.explode(tris).alias("tg")).distinct()
+    grams = docs.select("doc_id", F.explode(F.array_distinct(tris)).alias("tg"))
     bench = (
         grams.where(F.col("doc_id") % 20 == 0)
         .select("tg")
@@ -1618,8 +1621,9 @@ def q_text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership join (HAVING on the aggregate — at 100 TB this is the
     difference between joining against the full bigram vocabulary and a
     small high-frequency head), and the join is a plain equi-join AQE can
-    broadcast when the head fits."""
-    docs = load_table(spark, sf_dir, "documents")
+    broadcast when the head fits. Scan fanned out (``parallelize=True``)
+    for the same single-row-group reason as decontaminate_ngram."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     bigrams = F.transform(
