@@ -79,7 +79,7 @@ if _os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"):
         to_kafka_rows(src).write.format("kafka").option(
             "kafka.bootstrap.servers", bootstrap
         ).option("topic", topic).save()
-        back = kafka_batch_reader(spark, bootstrap, topic)
+        back = kafka_batch_reader(spark, bootstrap, topic).load()
         vals = {
             r["id"]
             for r in back.select(
