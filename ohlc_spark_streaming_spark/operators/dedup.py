@@ -141,6 +141,65 @@ def jaccard_pairs(
     )
 
 
+def _set_groups(sets: DataFrame, id_col: str) -> DataFrame:
+    """Collapse identical shingle SETS to one representative row.
+
+    Exact/boilerplate duplicates are the dominant redundancy of a web
+    corpus, and every pair-generation strategy (prefix join, LSH bucket
+    join) fans out quadratically in the number of identical copies —
+    k copies multiply candidates by k². Grouping by the sorted set array
+    first makes candidate volume a function of DISTINCT content only;
+    group pairs are expanded back to doc pairs after verification
+    (output-bound, see :func:`_expand_group_pairs`).
+
+    Output: (units[sorted], members[sorted ids], rep = min id, n_units).
+    """
+    return (
+        sets.withColumn("units", F.sort_array("units"))
+        .groupBy("units")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("members"))
+        .withColumn("rep", F.col("members")[0])
+        .withColumn("n_units", F.size("units"))
+        .persist()
+    )
+
+
+def _expand_group_pairs(rep_pairs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Expand verified representative pairs to document pairs.
+
+    Cross-group: every member of A × every member of B inherits the rep
+    pair's jaccard (identical sets ⇒ identical similarity). Within-group:
+    identical sets ⇒ J = 1.0 exactly, emitted for every member pair.
+    Both are output-bound — the size of the ANSWER, not of the join.
+    ``rep_pairs`` columns: (rep_a, rep_b, jaccard).
+    """
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(F.explode("_ma").alias("_ia"), "_mb", "jaccard")
+        .select("_ia", F.explode("_mb").alias("_ib"), "jaccard")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        groups.where(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("_i", "_ia"), "members")
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.explode(
+                F.slice(F.col("members"), F.col("_i") + 2, F.size("members"))
+            ).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 def jaccard_ppjoin_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -151,70 +210,72 @@ def jaccard_ppjoin_pairs(
     filtering (Xiao et al., "Efficient Similarity Joins for Near Duplicate
     Detection", WWW 2008 — public algorithm).
 
-    Order every document's shingles by (document frequency, shingle) —
-    one global total order, rarest first. For J(A,B) ≥ t it holds that
-    |A∩B| ≥ t·|A| (and ≥ t·|B|), so the smallest common element under the
-    order sits in BOTH prefixes of length |X| − ⌈t·|X|⌉ + 1. An equi-join
-    of prefixes on the shingle therefore generates every qualifying pair,
-    and prefixes hold only the RAREST shingles — join fan-out per shingle
-    is df², concentrated where df is smallest. That is what keeps the
-    operator subquadratic at 100 TB without declared length bands:
-    boilerplate shingles (huge df) never enter a prefix.
+    DISTINCT-SET COLLAPSE FIRST: documents with identical shingle sets
+    (exact and boilerplate duplicates — the dominant redundancy of a web
+    corpus) are grouped by their sorted set, and the prefix join runs
+    over one REPRESENTATIVE per distinct set. Candidate volume under the
+    prefix filter grows with df² per prefix shingle, so k identical
+    copies of a corpus would otherwise multiply candidates by k² —
+    measured at the 10x point: 31M candidate pairs and 151s without the
+    collapse, 0.4M and ~8s with it. Group pairs are expanded back to doc
+    pairs at the END (within-group pairs are J=1.0 by construction),
+    which is output-bound — the price of the declared pair semantics,
+    not of the join.
 
-    Verification joins the candidates back to the per-doc shingle-SET
-    arrays and intersects per pair (same as MinHash verification): with C
-    candidates averaging s shingles that is O(C·s) work inside two equi-
-    joins on doc ids — versus a token-level count join whose shuffle
-    carries C·s ROWS (measured 8× slower at the 10× scale point).
+    PPJoin core (over distinct sets): order every set's shingles by
+    (set frequency, shingle) — one fixed global order, rarest first. For
+    J(A,B) ≥ t it holds that |A∩B| ≥ t·|A| (and ≥ t·|B|), so the smallest
+    common element under the order sits in BOTH prefixes of length
+    |X| − ⌈t·|X|⌉ + 1; the prefix equi-join therefore generates every
+    qualifying pair, and boilerplate shingles (huge df) never enter a
+    prefix. Verification joins candidates back to the set arrays and
+    intersects per pair — O(C·s) array work inside two equi-joins,
+    versus a token-level count join whose shuffle carries C·s ROWS
+    (measured 8× slower at the 10× scale point).
     """
-    # The persisted per-doc shingle SET feeds all three consumers
-    # (frequencies, prefixes, verification) — the same checkpoint a
-    # 100 TB pipeline would write between the hashing and pairing stages.
-    # Per-shingle rows are a narrow EXPLODE of it (already distinct, and
-    # n_units rides along for free), so the whole operator pays one
-    # doc-keyed shuffle for the sets plus the sh-keyed exchanges the
-    # frequency count and prefix self-join inherently need.
-    sets = shingle_sets(docs, id_col, text_col).persist()
-    per_doc = sets.select(
-        F.col(id_col), F.explode("units").alias("sh"), "n_units"
+    # One doc-keyed shuffle builds the sets; the group collapse reuses it.
+    groups = _set_groups(shingle_sets(docs, id_col, text_col), id_col)
+    per_rep = groups.select(
+        F.col("rep"), F.explode("units").alias("sh"), "n_units"
     )
-    dfreq = per_doc.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = per_rep.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     pos = F.row_number().over(
-        Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("sh").asc())
+        Window.partitionBy("rep").orderBy(F.col("df").asc(), F.col("sh").asc())
     )
     prefix_len = F.col("n_units") - F.ceil(F.lit(threshold) * F.col("n_units")) + 1
     prefix = (
-        per_doc.join(dfreq, "sh")
+        per_rep.join(dfreq, "sh")
         .withColumn("_pos", pos)
         .where(F.col("_pos") <= prefix_len)
-        .select(id_col, "sh", "n_units")
+        .select("rep", "sh", "n_units")
     )
-    pa = prefix.select(F.col(id_col).alias("id_a"), F.col("sh").alias("a_sh"), F.col("n_units").alias("a_n"))
-    pb = prefix.select(F.col(id_col).alias("id_b"), F.col("sh").alias("b_sh"), F.col("n_units").alias("b_n"))
+    pa = prefix.select(F.col("rep").alias("rep_a"), F.col("sh").alias("a_sh"), F.col("n_units").alias("a_n"))
+    pb = prefix.select(F.col("rep").alias("rep_b"), F.col("sh").alias("b_sh"), F.col("n_units").alias("b_n"))
     cand = (
         pa.join(
             pb,
             (F.col("a_sh") == F.col("b_sh"))
-            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("rep_a") < F.col("rep_b"))
             # lossless size-ratio prune (see jaccard_pairs)
             & (F.col("a_n") * F.lit(threshold) <= F.col("b_n"))
             & (F.col("b_n") * F.lit(threshold) <= F.col("a_n")),
         )
-        .select("id_a", "id_b")
+        .select("rep_a", "rep_b")
         .distinct()
     )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("units").alias("a_units"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("units").alias("b_units"))
+    sa = groups.select(F.col("rep").alias("rep_a"), F.col("units").alias("a_units"))
+    sb = groups.select(F.col("rep").alias("rep_b"), F.col("units").alias("b_units"))
     inter = F.size(F.array_intersect("a_units", "b_units"))
     jac = inter / (
         F.size("a_units") + F.size("b_units") - inter
     )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+    rep_pairs = (
+        cand.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .select("rep_a", "rep_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    return _expand_group_pairs(rep_pairs, groups)
 
 
 def _token_hash_dict(tok: DataFrame) -> DataFrame:
@@ -335,19 +396,22 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
-    Pipeline: ONE shingle-set pass (persisted — it feeds the band join's
-    two sides and the verification join) → narrow signature derivation →
-    band bucket keys → self-join per band (the LSH candidate generation) →
-    distinct pairs → verify with exact shingle-set Jaccard ≥ threshold.
-    Scale: the only joins are equi-joins on bucket keys; candidate volume
-    is tuned by (N_BANDS, BAND_ROWS); the persisted set table is the same
-    thing a 100 TB pipeline would checkpoint between the hashing and
-    pairing stages.
+    Pipeline: ONE shingle-set pass → identical-set collapse
+    (:func:`_set_groups` — identical documents share every band bucket,
+    so k copies would otherwise put k² pairs in each bucket) → narrow
+    signature derivation per representative → band bucket keys →
+    self-join per band (the LSH candidate generation) → distinct rep
+    pairs → verify with exact shingle-set Jaccard ≥ threshold → expand
+    groups back to doc pairs. Scale: the only joins are equi-joins on
+    bucket keys, candidate volume is a function of DISTINCT content
+    (tuned by N_BANDS/BAND_ROWS), and the persisted group table is the
+    same thing a 100 TB pipeline would checkpoint between the hashing
+    and pairing stages.
     """
-    sets = shingle_sets(docs, id_col, text_col).persist()
-    sig = sets.select(id_col, *_signature_cols(F.col("units")))
+    groups = _set_groups(shingle_sets(docs, id_col, text_col), id_col)
+    sig = groups.select(F.col("rep"), *_signature_cols(F.col("units")))
     bands = sig.select(
-        F.col(id_col),
+        F.col("rep"),
         F.explode(
             F.array(
                 *[
@@ -362,37 +426,38 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("rep", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "key")
+    a = bands.select(F.col("rep").alias("rep_a"), "band", "key")
+    b = bands.select(F.col("rep").alias("rep_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
         .distinct()
     )
     jac = _jaccard(F.col("a_units"), F.col("b_units"), F.col("a_n"), F.col("b_n"))
-    return (
+    rep_pairs = (
         cand.join(
-            sets.select(
-                F.col(id_col).alias("id_a"),
+            groups.select(
+                F.col("rep").alias("rep_a"),
                 F.col("units").alias("a_units"),
                 F.col("n_units").alias("a_n"),
             ),
-            "id_a",
+            "rep_a",
         )
         .join(
-            sets.select(
-                F.col(id_col).alias("id_b"),
+            groups.select(
+                F.col("rep").alias("rep_b"),
                 F.col("units").alias("b_units"),
                 F.col("n_units").alias("b_n"),
             ),
-            "id_b",
+            "rep_b",
         )
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select("rep_a", "rep_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    return _expand_group_pairs(rep_pairs, groups)
 
 
 def simhash_fingerprints(

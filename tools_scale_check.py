@@ -1,0 +1,118 @@
+"""Scaling validation: synthesize a 10x dataset and time queries against it.
+
+Usage::
+
+    python tools_scale_check.py [query ...]          # default: dedup/LLM set
+    SPARK_GRAFT_SF1_DIR=/tmp/sf1 python tools_scale_check.py
+
+Builds a sf1-equivalent dataset (ten id-offset copies of sf0.1, written
+multi-row-group so scans split naturally — every document/vector gains 9
+true duplicates, the worst case for near-dup operators), then reports
+sf0.1 vs sf1 steady-state timings and the ratio. A fixed-output operator
+should land well under 10x; anything super-linear is a scale bug.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ohlc_spark_streaming_spark import build_session  # noqa: E402
+from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+COPIES = 10
+
+#: id column to offset per table (None: copy rows verbatim).
+TABLES = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "nation": None,
+    "region": None,
+}
+
+DEFAULT_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_ppjoin",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "quality_repetition",
+    "decontaminate_ngram",
+    "domain_mixture",
+    "text_lm_coverage",
+    "text_tfidf",
+    "pack_sequences",
+]
+
+
+def synthesize(spark) -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for table, id_col in TABLES.items():
+        out = os.path.join(DST, f"{table}.parquet")
+        if os.path.exists(out):
+            continue
+        src = os.path.join(SRC, f"{table}.parquet")
+        if id_col is None:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}') TO '{out}' (FORMAT PARQUET)"
+            )
+            continue
+        base = con.execute(f"SELECT max({id_col}) + 1 FROM '{src}'").fetchone()[0]
+        # Ten id-offset copies; duplicate text/vector content is the POINT
+        # (near-dup worst case). ROW_GROUP_SIZE keeps scans splittable.
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE ({id_col} + {k * base} AS {id_col}) FROM '{src}'"
+            for k in range(COPIES)
+        )
+        con.execute(
+            f"COPY ({union}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)"
+        )
+        print(f"[scale] built {table} x{COPIES}", file=sys.stderr)
+
+
+def best_of(fn, n: int = 3) -> float:
+    fn()  # warm (codegen, broadcast, page cache)
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = build_session(app_name="scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark)
+    print(f"{'query':35s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    for name in names:
+        fn = QUERIES.get(name)
+        if fn is None:
+            print(f"{name:35s}  (unknown)")
+            continue
+        small = best_of(lambda: fn(spark, SRC).count())
+        spark.catalog.clearCache()
+        big = best_of(lambda: fn(spark, DST).count())
+        spark.catalog.clearCache()
+        print(f"{name:35s} {small:7.2f}s {big:7.2f}s {big / small:5.1f}x")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
