@@ -153,6 +153,13 @@ def _set_groups(sets: DataFrame, id_col: str) -> DataFrame:
     (output-bound, see :func:`_expand_group_pairs`).
 
     Output: (units[sorted], members[sorted ids], rep = min id, n_units).
+
+    Boundary: the members array is bounded by the duplication
+    multiplicity of one distinct text. If a corpus carries million-fold
+    identical boilerplate, the PAIR SEMANTICS themselves are the problem
+    (g identical docs = g² output pairs) — run :func:`exact_dedup` first
+    and near-dup only the survivors; the collapse keeps the JOIN safe
+    either way.
     """
     return (
         sets.withColumn("units", F.sort_array("units"))
