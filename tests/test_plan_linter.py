@@ -37,6 +37,12 @@ CLEAN = [
     "twap_candles",
     "ohlc_rollup_candles",
     "cms_token_counts",
+    # round 3 corpus hygiene (domain_mixture's only finding is the
+    # 1-row-total NL_BROADCAST info, which is the intended scalar attach)
+    "quality_repetition",
+    "decontaminate_ngram",
+    "domain_mixture",
+    "text_lm_coverage",
 ]
 
 
