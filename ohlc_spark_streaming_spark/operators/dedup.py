@@ -415,6 +415,23 @@ def minhash_lsh_pairs(
     same thing a 100 TB pipeline would checkpoint between the hashing
     and pairing stages.
     """
+    groups, rep_pairs = minhash_group_pairs(docs, id_col, text_col, threshold)
+    return _expand_group_pairs(rep_pairs, groups)
+
+
+def minhash_group_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """The collapsed core of :func:`minhash_lsh_pairs`: returns
+    ``(groups, rep_pairs)`` — the identical-set group table and the
+    verified near-dup pairs between group REPRESENTATIVES. Consumers
+    that only need group-level structure (connected components,
+    cluster statistics) should build on this and never materialize the
+    expanded doc-pair list, which is quadratic within duplicate groups
+    by declared semantics."""
     groups = _set_groups(shingle_sets(docs, id_col, text_col), id_col)
     sig = groups.select(F.col("rep"), *_signature_cols(F.col("units")))
     bands = sig.select(
@@ -464,7 +481,50 @@ def minhash_lsh_pairs(
         .select("rep_a", "rep_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    return _expand_group_pairs(rep_pairs, groups)
+    return groups, rep_pairs
+
+
+def minhash_components(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    cc_fn=None,
+) -> DataFrame:
+    """Near-dup cluster assignment over the COLLAPSED minhash graph.
+
+    Connected components run on the representative graph (one node per
+    distinct shingle set); members inherit their group's component, and
+    documents outside every group (fewer than 3 tokens — no shingles)
+    cluster with themselves. Exactly equals CC over the expanded pair
+    list — within-group pairs fully connect each group, and each
+    group's rep is its minimum member, so min-label per component is
+    the same — while the graph size is a function of DISTINCT content,
+    not duplication.
+    """
+    cc = cc_fn if cc_fn is not None else connected_components
+    groups, rep_pairs = minhash_group_pairs(docs, id_col, text_col, threshold)
+    reps = groups.select(F.col("rep").alias(id_col))
+    rep_cc = cc(
+        rep_pairs.select(
+            F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b")
+        ),
+        reps,
+        id_col=id_col,
+    )
+    member_cc = (
+        groups.select(F.col("rep").alias(id_col), F.explode("members").alias("_m"))
+        .join(rep_cc, id_col)
+        .select(F.col("_m").alias(id_col), "cluster_id")
+    )
+    return (
+        docs.select(id_col)
+        .join(member_cc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
 
 
 def simhash_fingerprints(

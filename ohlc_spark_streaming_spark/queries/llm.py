@@ -700,11 +700,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation; every document gets cluster_id = smallest
     member of its component (singletons cluster with themselves). The
     oracle recomputes the same graph and closes it with a recursive CTE."""
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import minhash_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.7).select("id_a", "id_b")
-    return connected_components(pairs, docs, id_col="doc_id")
+    return minhash_components(docs, threshold=0.7)
 
 
 @register("dedup_clusters_star", _clusters_oracle_sql())
@@ -713,11 +712,10 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternating large-star/small-star contraction instead of label
     propagation — rounds scale with log² of component size, not diameter
     (operators.dedup.connected_components_star)."""
-    from ..operators.dedup import connected_components_star
+    from ..operators.dedup import connected_components_star, minhash_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.7).select("id_a", "id_b")
-    return connected_components_star(pairs, docs, id_col="doc_id")
+    return minhash_components(docs, threshold=0.7, cc_fn=connected_components_star)
 
 
 @register(
