@@ -137,7 +137,7 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     length band) blocks — the blocks bound the quadratic candidate space
     and are part of the declared semantics; execution is an inverted-index
     count join (see operators.dedup.jaccard_pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return jaccard_pairs(
         docs, block_cols=("lang",), shingle_n=3, threshold=0.5, length_band=50
     )
@@ -169,7 +169,7 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are purely 'jaccard >= 0.5', which the oracle states as the
     plain shared-shingle count join; the prefix filter is provably
     lossless (operators.dedup.jaccard_ppjoin_pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return jaccard_ppjoin_pairs(docs, threshold=0.5)
 
 
@@ -222,7 +222,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact-Jaccard verification —
     the subquadratic 100 TB dedup path. The oracle replays the identical
     signature arithmetic, validating the LSH itself."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.7)
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents", parallelize=True), threshold=0.7)
 
 
 def _simhash_sql_cte(bits: int = hashing.SIMHASH_BITS) -> str:
@@ -267,7 +267,7 @@ WHERE a.doc_id < b.doc_id
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 16-bit frequency-weighted bit votes, banded
     candidate generation, hamming ≤ 3 filter."""
-    out = simhash_pairs(load_table(spark, sf_dir, "documents"))
+    out = simhash_pairs(load_table(spark, sf_dir, "documents", parallelize=True))
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -612,7 +612,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (tf groupBy, df groupBy) + one equi-join on token; df and
     n_docs are broadcast-sized at any corpus scale (vocabulary ≪ corpus).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
@@ -702,7 +702,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same graph and closes it with a recursive CTE."""
     from ..operators.dedup import minhash_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return minhash_components(docs, threshold=0.7)
 
 
@@ -714,7 +714,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.connected_components_star)."""
     from ..operators.dedup import connected_components_star, minhash_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return minhash_components(docs, threshold=0.7, cc_fn=connected_components_star)
 
 
@@ -849,7 +849,7 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (a web-scale vocab is ~10⁸ tokens — round 1's global
     row_number window pushed all of it through one partition). The rank
     window then runs over exactly the 100 survivors — O(k), not O(vocab)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     counts = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("token")

@@ -30,6 +30,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE's 1 MiB coalesce floor assumes byte-bound work; this engine runs
+    # CPU-heavy array/HOF expressions (shingle signatures, set
+    # intersections) DOWNSTREAM of small exchanges, where collapsing a
+    # 2 MiB shuffle to 2 partitions serializes minutes of CPU onto 2
+    # cores. 64 KiB keeps parallelism-first actually parallelism-first on
+    # small inputs; at real scale per-partition bytes dwarf either floor
+    # and the setting is inert.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -84,10 +84,14 @@ def synthesize(spark) -> None:
         print(f"[scale] built {table} x{COPIES}", file=sys.stderr)
 
 
-def best_of(fn, n: int = 3) -> float:
+def best_of(spark, fn, n: int = 3) -> float:
     fn()  # warm (codegen, broadcast, page cache)
     best = None
     for _ in range(n):
+        # Drop DataFrame persists between runs: operators that persist an
+        # intermediate (shingle sets, group tables) would otherwise replay
+        # the cache and report only the post-checkpoint cost.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
@@ -106,9 +110,9 @@ def main() -> None:
         if fn is None:
             print(f"{name:35s}  (unknown)")
             continue
-        small = best_of(lambda: fn(spark, SRC).count())
+        small = best_of(spark, lambda: fn(spark, SRC).count())
         spark.catalog.clearCache()
-        big = best_of(lambda: fn(spark, DST).count())
+        big = best_of(spark, lambda: fn(spark, DST).count())
         spark.catalog.clearCache()
         print(f"{name:35s} {small:7.2f}s {big:7.2f}s {big / small:5.1f}x")
     spark.stop()
