@@ -45,6 +45,8 @@ DEFAULT_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_ppjoin",
+    "dedup_clusters",
+    "dedup_clusters_star",
     "similarity_topk",
     "similarity_lsh_topk",
     "quality_repetition",
