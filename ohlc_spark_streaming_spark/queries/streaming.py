@@ -425,3 +425,61 @@ def q_streaming_vwap_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_vwap_{next(_counter)}"
     return run_to_memory(agg, name, output_mode="complete")
+
+
+@register(
+    "streaming_quality_filter",
+    """
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS ttr,
+         len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'], t)))
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT
+  lang,
+  count(*)                                        AS n_docs,
+  CAST(SUM(CASE WHEN n_tokens >= 30 AND ttr >= 0.3 AND stop_ratio <= 0.5
+                THEN 1 ELSE 0 END) AS BIGINT)     AS n_pass,
+  min(doc_id)                                     AS min_doc_id
+FROM scored
+GROUP BY lang
+""",
+)
+def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene ON A STREAM: the quality_filter gate (length,
+    lexical diversity, stopword density → per-language pass counts) over
+    the documents table replayed as a file stream. The scoring is a
+    stateless narrow projection — identical expressions to the batch
+    twin — and the per-language aggregate keeps 5 rows of state in
+    complete mode (documents carry no event time, so completeness comes
+    from availableNow, not a watermark). Demonstrates that the LLM-data
+    operators run unchanged under Structured Streaming."""
+    from ..functions.textops import STOPWORDS
+    from ..sources.stream import documents_stream
+
+    docs = documents_stream(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    passes = (n >= 30) & (ttr >= 0.3) & (stop <= 0.5)
+    agg = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.when(passes, 1).otherwise(0).alias("_pass"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_pass").cast("long").alias("n_pass"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+    name = f"stream_quality_{next(_counter)}"
+    return run_to_memory(agg, name, output_mode="complete")

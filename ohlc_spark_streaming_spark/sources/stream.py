@@ -48,3 +48,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":  # nanosecond long → truncate to micros
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the documents table from parquet (schema from the footer —
+    same round-robustness rationale as :func:`events_stream`; documents
+    has no event-time column, so consumers aggregate in complete/update
+    mode rather than with watermarks)."""
+    apply_engine_confs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
