@@ -63,6 +63,7 @@ HEADLINE = [
     "decontaminate_ngram",
     "domain_mixture",
     "text_lm_coverage",
+    "rag_retrieve_chunks",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1654,3 +1654,79 @@ def q_text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         coverage.alias("coverage"),
         (coverage >= 0.5).alias("passes_lm"),
     )
+
+
+@register(
+    "rag_retrieve_chunks",
+    """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id, list_cosine_similarity(e, qe) AS cos_sim
+  FROM d, q WHERE vec_id != query_id
+), top AS (
+  SELECT query_id, vec_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 3
+), toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+chunks AS (
+  SELECT t.query_id, t.vec_id AS doc_id, t.cos_sim, t.rank,
+         unnest(range(0, CAST(ceil(greatest(len(k.ts) - 10, 1) / 30.0)
+                              AS BIGINT))) AS chunk_id,
+         k.ts
+  FROM top t JOIN toks k ON k.doc_id = t.vec_id
+)
+SELECT
+  query_id, doc_id, cos_sim, rank, chunk_id,
+  md5(array_to_string(ts[chunk_id*30 + 1 : chunk_id*30 + 40], ' ')) AS chunk_md5,
+  least(len(ts) - chunk_id*30, 40)                                  AS n_tokens
+FROM chunks
+""",
+)
+def q_rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval capstone: exact cosine top-3 documents per query
+    vector (embeddings.vec_id doubles as documents.doc_id in the
+    testdata) joined to the text side and exploded into the standard
+    40-token / stride-30 chunks, chunk text fingerprinted with md5.
+    Composes the similarity and chunking operators end-to-end under one
+    oracle.
+
+    Scale design: the query set is broadcast (bounded by construction);
+    the retrieved doc set is ≤ queries×k rows, so the text join is a
+    broadcast of the TOP TABLE against documents — the corpus is scanned
+    once, never shuffled; chunking stays inside the row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = (
+        cosine_topk(emb, queries, k=3)
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+    ts = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.greatest(F.size(ts) - 10, F.lit(1)) / 30.0).cast("long")
+    with_toks = docs.select("doc_id", ts.alias("ts"), n_chunks.alias("_nc"))
+    joined = with_toks.join(F.broadcast(top), "doc_id")
+    chunk_id = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+    return (
+        joined.select(
+            "query_id", "doc_id", "cos_sim", "rank", "ts", chunk_id.alias("chunk_id")
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "cos_sim",
+            "rank",
+            "chunk_id",
+            F.md5(
+                F.array_join(F.slice(F.col("ts"), F.col("chunk_id") * 30 + 1, 40), " ")
+            ).alias("chunk_md5"),
+            F.least(F.size("ts") - F.col("chunk_id") * 30, F.lit(40))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
