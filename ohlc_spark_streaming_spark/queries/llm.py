@@ -1366,6 +1366,7 @@ WITH t AS (
   SELECT doc_id, len(toks) AS n_tokens,
          1.0 - len(list_distinct(toks)) / len(toks) AS dup_word_frac
   FROM t
+  WHERE len(toks) >= 2
 )
 SELECT d.doc_id,
        d.n_tokens,
@@ -1392,10 +1393,17 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
-    )
+    # Guarded like shingle_sets: for n < 2, F.sequence(1, n-1) would DESCEND
+    # ([1, 0]) and concat_ws would skip the null F.get lookups, fabricating
+    # bogus bigrams. Docs with no bigram are unscorable and are dropped
+    # explicitly on both sides (the oracle's d CTE filters len(toks) >= 2).
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     zero = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -1412,7 +1420,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top_cnt = F.aggregate(F.sort_array(bigrams), zero, step, lambda acc: acc["best"])
     dup = F.lit(1.0) - F.size(F.array_distinct(toks)) / n
-    scored = docs.select(
+    scored = docs.where(n >= 2).select(
         "doc_id",
         n.alias("n_tokens"),
         dup.alias("dup_word_frac"),
@@ -1468,12 +1476,19 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    tris = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.get(toks, i - 1), F.get(toks, i), F.get(toks, i + 1)
+    # Guarded like shingle_sets: for n < 3, F.sequence(1, n-2) would DESCEND
+    # and fabricate bogus trigrams from concat_ws-skipped null lookups, while
+    # the oracle's range(1, len-1) yields an empty list. An empty array on
+    # both sides drops short docs identically (explode of [] emits no rows).
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i - 1), F.get(toks, i), F.get(toks, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     grams = docs.select("doc_id", F.explode(F.array_distinct(tris)).alias("tg"))
     bench = (
         grams.where(F.col("doc_id") % 20 == 0)
@@ -1624,10 +1639,15 @@ def q_text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
-    )
+    # Guarded like shingle_sets (see decontaminate_ngram): 1-token docs get
+    # an empty bigram array, matching the oracle's empty range(1, len(toks)).
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     occ = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     freq = (
         occ.groupBy("bg")
