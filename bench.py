@@ -79,14 +79,9 @@ BASELINE_PATH = os.path.join(
 )
 REGRESSION_FACTOR = 1.5
 REGRESSION_MIN_DELTA_SEC = 1.0
-
-
-def _baseline_sec(name: str) -> float | None:
-    try:
-        with open(BASELINE_PATH) as f:
-            return json.load(f).get("queries", {}).get(name)
-    except (OSError, ValueError):
-        return None
+#: Timed samples per query; the reported number is the MINIMUM of all N
+#: (same estimator for improvements and regressions — see run loop).
+N_SAMPLES = 3
 
 
 def report_deltas(timings: dict[str, float]) -> None:
@@ -140,29 +135,21 @@ def main() -> None:
                 pass
         # Cold data, warm code: drop any DataFrame caches the warm run
         # populated (e.g. the MinHash shingle-set persist) so the timed
-        # run measures real execution, not a cache replay. Best-of-2
-        # because single-shot timings at this granularity carry +-50%
-        # GC/JIT jitter in a 32-thread JVM.
+        # run measures real execution, not a cache replay.
         def run_once() -> float:
             spark.catalog.clearCache()
             start = time.perf_counter()
             fn(spark, sf_dir).count()
             return time.perf_counter() - start
 
-        best = min(run_once() for _ in range(2))
-        # Outlier re-check: identical commits have measured 1.5s one run
-        # and 7.7s the next on this VM (GC / page-cache weather). Before
-        # letting a would-be regression into the report, give the query
-        # two more samples — a true regression stays slow, an environment
-        # blip does not.
-        prev = _baseline_sec(name)
-        if (
-            prev is not None
-            and best / prev > REGRESSION_FACTOR
-            and best - prev > REGRESSION_MIN_DELTA_SEC
-        ):
-            best = min(best, *(run_once() for _ in range(2)))
-        timings[name] = round(best, 4)
+        # Sampling policy: min-of-N for EVERY query, symmetric by design.
+        # Identical commits have measured 1.5s one run and 7.7s the next
+        # on this VM (GC / page-cache weather), so single-shot numbers are
+        # not comparable round-over-round. Re-sampling only would-be
+        # regressions (the old policy) biased the report optimistic —
+        # improvements kept their lucky sample while regressions got
+        # retries; min-of-N applies the same estimator to both directions.
+        timings[name] = round(min(run_once() for _ in range(N_SAMPLES)), 4)
 
     total = round(sum(timings.values()), 4)
     report_deltas(timings)

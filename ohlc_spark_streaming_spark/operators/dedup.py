@@ -37,6 +37,31 @@ from ..functions.hashing import (
 )
 from ..functions.textops import tokens
 
+#: Persisted DataFrames created by the near-dup operators (shingle-set and
+#: group tables are reused across several joins of one logical query, so
+#: they are cached). Cache lifetime contract: the handles stay live until
+#: the caller invokes :func:`release_caches` — bench/scale harnesses call
+#: ``spark.catalog.clearCache()`` instead, which is equivalent; library
+#: callers embedding these operators in a long-lived session should call
+#: :func:`release_caches` once the returned DataFrame is materialized.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame cached by the near-dup operators; returns
+    the number released. Safe to call at any time — subsequent use of a
+    returned DataFrame recomputes instead of reading cache."""
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the lowest id per identical text; report the copy count."""
@@ -160,6 +185,9 @@ def _set_groups(sets: DataFrame, id_col: str) -> DataFrame:
     (g identical docs = g² output pairs) — run :func:`exact_dedup` first
     and near-dup only the survivors; the collapse keeps the JOIN safe
     either way.
+
+    Not persisted here — callers cache via :func:`_persist_tracked` (the
+    group table feeds several joins) and release via :func:`release_caches`.
     """
     return (
         sets.withColumn("units", F.sort_array("units"))
@@ -167,7 +195,6 @@ def _set_groups(sets: DataFrame, id_col: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("members"))
         .withColumn("rep", F.col("members")[0])
         .withColumn("n_units", F.size("units"))
-        .persist()
     )
 
 
@@ -207,44 +234,29 @@ def _expand_group_pairs(rep_pairs: DataFrame, groups: DataFrame) -> DataFrame:
     return cross.unionByName(within)
 
 
-def jaccard_ppjoin_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """GLOBAL exact Jaccard pairs (no blocking) via PPJoin-style prefix
-    filtering (Xiao et al., "Efficient Similarity Joins for Near Duplicate
-    Detection", WWW 2008 — public algorithm).
+#: Collapse identical shingle sets only when more than this fraction of
+#: documents are redundant copies. Below it, the collapse's extra joins
+#: (group table + pair expansion) cost more than the k² candidate
+#: fan-out they prevent.
+COLLAPSE_DUP_FRACTION = 0.10
 
-    DISTINCT-SET COLLAPSE FIRST: documents with identical shingle sets
-    (exact and boilerplate duplicates — the dominant redundancy of a web
-    corpus) are grouped by their sorted set, and the prefix join runs
-    over one REPRESENTATIVE per distinct set. Candidate volume under the
-    prefix filter grows with df² per prefix shingle, so k identical
-    copies of a corpus would otherwise multiply candidates by k² —
-    measured at the 10x point: 31M candidate pairs and 151s without the
-    collapse, 0.4M and ~8s with it. Group pairs are expanded back to doc
-    pairs at the END (within-group pairs are J=1.0 by construction),
-    which is output-bound — the price of the declared pair semantics,
-    not of the join.
 
-    PPJoin core (over distinct sets): order every set's shingles by
-    (set frequency, shingle) — one fixed global order, rarest first. For
-    J(A,B) ≥ t it holds that |A∩B| ≥ t·|A| (and ≥ t·|B|), so the smallest
-    common element under the order sits in BOTH prefixes of length
-    |X| − ⌈t·|X|⌉ + 1; the prefix equi-join therefore generates every
-    qualifying pair, and boilerplate shingles (huge df) never enter a
-    prefix. Verification joins candidates back to the set arrays and
-    intersects per pair — O(C·s) array work inside two equi-joins,
-    versus a token-level count join whose shuffle carries C·s ROWS
-    (measured 8× slower at the 10× scale point).
+def _ppjoin_rep_pairs(reps: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin core over ``(rep, units, n_units)`` rows with DISTINCT reps:
+    returns ``(rep_a, rep_b, jaccard)`` for every pair with exact
+    set-Jaccard ≥ threshold (rep_a < rep_b).
+
+    Order every set's shingles by (set frequency, shingle) — one fixed
+    global order, rarest first. For J(A,B) ≥ t it holds that
+    |A∩B| ≥ t·|A| (and ≥ t·|B|), so the smallest common element under the
+    order sits in BOTH prefixes of length |X| − ⌈t·|X|⌉ + 1; the prefix
+    equi-join therefore generates every qualifying pair, and boilerplate
+    shingles (huge df) never enter a prefix. Verification joins candidates
+    back to the set arrays and intersects per pair — O(C·s) array work
+    inside two equi-joins, versus a token-level count join whose shuffle
+    carries C·s ROWS (measured 8× slower at the 10× scale point).
     """
-    # One doc-keyed shuffle builds the sets; the group collapse reuses it.
-    groups = _set_groups(shingle_sets(docs, id_col, text_col), id_col)
-    per_rep = groups.select(
-        F.col("rep"), F.explode("units").alias("sh"), "n_units"
-    )
+    per_rep = reps.select(F.col("rep"), F.explode("units").alias("sh"), "n_units")
     dfreq = per_rep.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     pos = F.row_number().over(
         Window.partitionBy("rep").orderBy(F.col("df").asc(), F.col("sh").asc())
@@ -270,19 +282,66 @@ def jaccard_ppjoin_pairs(
         .select("rep_a", "rep_b")
         .distinct()
     )
-    sa = groups.select(F.col("rep").alias("rep_a"), F.col("units").alias("a_units"))
-    sb = groups.select(F.col("rep").alias("rep_b"), F.col("units").alias("b_units"))
+    sa = reps.select(F.col("rep").alias("rep_a"), F.col("units").alias("a_units"))
+    sb = reps.select(F.col("rep").alias("rep_b"), F.col("units").alias("b_units"))
     inter = F.size(F.array_intersect("a_units", "b_units"))
-    jac = inter / (
-        F.size("a_units") + F.size("b_units") - inter
-    )
-    rep_pairs = (
+    jac = inter / (F.size("a_units") + F.size("b_units") - inter)
+    return (
         cand.join(sa, "rep_a")
         .join(sb, "rep_b")
         .select("rep_a", "rep_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
-    return _expand_group_pairs(rep_pairs, groups)
+
+
+def jaccard_ppjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    collapse: bool | None = None,
+) -> DataFrame:
+    """GLOBAL exact Jaccard pairs (no blocking) via PPJoin-style prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW 2008 — public algorithm).
+
+    ADAPTIVE DISTINCT-SET COLLAPSE: documents with identical shingle sets
+    (exact and boilerplate duplicates — the dominant redundancy of a web
+    corpus) can be grouped by their sorted set so the prefix join runs
+    over one REPRESENTATIVE per distinct set. Candidate volume under the
+    prefix filter grows with df² per prefix shingle, so k identical
+    copies of a corpus would otherwise multiply candidates by k² —
+    measured at the 10x point: 31M candidate pairs and 151s without the
+    collapse, 0.4M and ~8s with it. But on a LOW-duplication corpus the
+    collapse only adds cost — a full-array groupBy shuffle plus the
+    group-pair expansion joins (measured 1.65× at sf0.1, where nearly
+    every set is unique) — so a 1-row aggregate over the cached set table
+    (count vs count-distinct of the sorted-set hash) decides per input:
+    collapse only when more than ``COLLAPSE_DUP_FRACTION`` of documents
+    are redundant copies. ``collapse=True/False`` forces a path (tests /
+    known-shape pipelines); the decision aggregate doubles as the cache
+    warm-up, so the expensive shingle pass runs once either way.
+
+    Group pairs are expanded back to doc pairs at the END (within-group
+    pairs are J=1.0 by construction), which is output-bound — the price
+    of the declared pair semantics, not of the join. PPJoin core: see
+    :func:`_ppjoin_rep_pairs`. Cache lifetime: see :func:`release_caches`.
+    """
+    # One doc-keyed shuffle builds the sets; every later stage reuses it.
+    sets = _persist_tracked(shingle_sets(docs, id_col, text_col))
+    if collapse is None:
+        n_docs, n_distinct = sets.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.xxhash64(F.sort_array("units"))),
+        ).first()
+        collapse = n_distinct < (1.0 - COLLAPSE_DUP_FRACTION) * n_docs
+    if not collapse:
+        singles = sets.select(F.col(id_col).alias("rep"), "units", "n_units")
+        return _ppjoin_rep_pairs(singles, threshold).select(
+            F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"), "jaccard"
+        )
+    groups = _persist_tracked(_set_groups(sets, id_col))
+    return _expand_group_pairs(_ppjoin_rep_pairs(groups, threshold), groups)
 
 
 def _token_hash_dict(tok: DataFrame) -> DataFrame:
@@ -431,8 +490,9 @@ def minhash_group_pairs(
     that only need group-level structure (connected components,
     cluster statistics) should build on this and never materialize the
     expanded doc-pair list, which is quadratic within duplicate groups
-    by declared semantics."""
-    groups = _set_groups(shingle_sets(docs, id_col, text_col), id_col)
+    by declared semantics. The group table is cached (it feeds the band,
+    verify, and expansion joins) — lifetime per :func:`release_caches`."""
+    groups = _persist_tracked(_set_groups(shingle_sets(docs, id_col, text_col), id_col))
     sig = groups.select(F.col("rep"), *_signature_cols(F.col("units")))
     bands = sig.select(
         F.col("rep"),
