@@ -100,69 +100,86 @@ from .queries import tpch as _q_tpch  # noqa: E402,F401
 from .queries import llm as _q_llm  # noqa: E402,F401
 from .queries import streaming as _q_streaming  # noqa: E402,F401
 
-# The driver-checked window: one representative per family, every entry
-# oracle-backed and hash-able. Keep this list at exactly 50 names.
-DRIVER_WINDOW: tuple[str, ...] = (
+# The driver-checked window: ANCHORS + ROTATION, every entry oracle-backed
+# and hash-able. Keep this list at exactly 50 names.
+#
+# The driver hashes only the first 50 registry slots each round, so a
+# static window would leave the rest of the registry with pytest-only
+# verification forever. Policy from round 4 on: 20 ANCHOR slots (the
+# reference-parity core plus one representative per operator family) stay
+# every round; the other 30 slots ROTATE over queries that have not yet
+# produced a driver CORRECTNESS row, until every oracle-backed query has
+# one (tracked in ROTATION.md — regenerate with tools_rotation.py).
+
+#: Permanent window slots: reference parity + one per family.
+DRIVER_ANCHORS: tuple[str, ...] = (
     # Reference parity core (SURVEY §2.1–§2.5)
     "ohlc_candles",
     "ohlc_candles_faithful",
     "trade_pipeline",
     "derive_base",
-    "json_extract_props",
     "candle_serialize",
     "vwap_candles",
-    # Join family (§2.3)
+    # One per family
     "join_semi_anti",
-    "join_range_shipdelay",
     "join_asof_purchase_view",
-    "join_full_outer",
-    "join_interval_overlap",
-    "join_null_safe",
-    # Analytic windows (§2.6)
     "window_rank_battery",
-    "window_trailing_range",
-    "quality_repetition",  # corpus hygiene: Gopher repetition signals
-    # Aggregation battery (§2.4)
     "rollup_lineitem",
-    "domain_mixture",  # corpus hygiene: mixture reweighting
-    "grouping_sets_orders",
-    "percentiles_quantity",
-    "set_ops_order_status",
-    # Scalar / type batteries (§2.8)
     "scalar_functions",
-    "decontaminate_ngram",  # corpus hygiene: benchmark n-gram overlap
-    "array_functions",
-    "null_semantics",
-    "price_histogram_equidepth",
-    # TPC-H plan shapes (scan-agg, join-topk, filter-agg, min-subquery,
-    # outer-join distribution, agg-of-agg max, HAVING semi, multi-exists)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q2_min_cost_supplier",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    # LLM-pipeline family (§2.11)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_jaccard_ppjoin",
-    "dedup_clusters",
+    "dedup_jaccard_ppjoin",  # adaptive-collapse rewrite in r4 — keep checked
     "similarity_topk",
-    "similarity_lsh_topk",
     "text_tfidf",
-    "text_sentiment",
-    "multimodal_features",
-    "pack_sequences",
-    "dataset_split",
     "corpus_prep_pipeline",
-    "vocab_top_tokens",
-    # Streaming (§2.9 — replayed-stream queries with batch-equivalent oracles)
     "streaming_ohlc_candles",
-    "streaming_interval_join",
-    "streaming_vwap_candles",
 )
+
+#: Round-4 rotation: 30 never-driver-checked names (VERDICT r3 item 1) —
+#: the remaining TPC-H plan shapes, the uncovered dedup/sampling/text
+#: members, and the windowed streaming modes beyond tumbling.
+DRIVER_ROTATION: tuple[str, ...] = (
+    # TPC-H shapes never driver-checked (r1-r3 windows held 8 of 22)
+    "q4_order_priority",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_status",
+    "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_overstocked_suppliers",
+    "q22_dormant_customers",
+    # Dedup family members outside earlier windows
+    "dedup_simhash",
+    "dedup_clusters_star",
+    "dedup_fingerprint",
+    "embedding_near_dup",
+    # Sessionized / sliding aggregation
+    "ohlc_sliding_candles",
+    "session_windows_user",
+    # Sampling / quality family
+    "sample_systematic",
+    "sample_weighted",
+    "sample_stratified",
+    "quality_filter",
+    # Text / sketch / capstone
+    "text_quality",
+    "text_langid",
+    "cms_token_counts",
+    "text_lm_coverage",
+    "rag_retrieve_chunks",
+    # Windowed streaming beyond tumbling (VERDICT r3 item 7)
+    "streaming_sliding_candles",
+    "streaming_session_windows",
+)
+
+DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)
 
 _maybe_curate()
 assert list(QUERIES)[:50] == list(DRIVER_WINDOW) or not all(
