@@ -959,19 +959,42 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_topk_vectorized")  # no oracle: BLAS summation order
-# differs from the sequential fold in low-order float bits; rank parity
-# with the oracle-checked exact operator is asserted in
-# tests/test_similarity_vectorized.py.
+@register(
+    "similarity_topk_vectorized",
+    """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, vec_id, list_cosine_similarity(e, qe) AS cos_sim
+  FROM d, q WHERE vec_id != query_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
 def q_similarity_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized brute-force cosine top-10 (numpy matmul per batch)
     — the throughput kernel for 100 TB scoring; same ranks as
-    similarity_topk."""
+    similarity_topk.
+
+    Oracle strategy: BLAS summation order differs from a sequential fold
+    in low-order float bits, so the raw score can't hash-match — the
+    oracle checks (query_id, vec_id, rank) only, which IS the operator's
+    contract (who is in the top-k, in what order). Bitwise score parity
+    for the sequential kernel is covered by similarity_topk's oracle;
+    rank parity between the two kernels by
+    tests/test_similarity_vectorized.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim_ops.cosine_topk_vectorized(emb, queries, k=10)
+    return sim_ops.cosine_topk_vectorized(emb, queries, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 @register(

@@ -765,18 +765,43 @@ def q_window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_parts")  # no oracle: HLL sketches are
-# engine-specific; the rows-only driver check applies, and
-# tests/test_approx.py bounds the relative error against exact counts.
+@register(
+    "approx_distinct_parts",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)  AS exact_parts,
+       count(*)                   AS n_rows,
+       TRUE                       AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, SURVEY §2.4): the mergeable
     sketch that replaces exact COUNT(DISTINCT) at 100 TB (no expand, no
-    per-value shuffle — fixed-size sketches merge associatively)."""
+    per-value shuffle — fixed-size sketches merge associatively).
+
+    Oracle strategy: HLL sketches are engine-specific, so the raw
+    estimate can't hash-match another engine. Instead the error BOUND is
+    made relational: the query emits the exact distinct count plus
+    ``approx_ok = |estimate - exact| <= 5% * exact`` (rsd 0.02 keeps the
+    estimate far inside 5%), and the oracle asserts the same exact counts
+    with ``approx_ok`` literally TRUE — a wrong sketch flips the boolean
+    and fails the hash. The exact count exists only as the oracle's
+    yardstick; the operator under test is the sketch."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    est = (
+        l.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
+    ok = (
+        F.abs(F.col("_approx") - F.col("exact_parts"))
+        <= F.lit(0.05) * F.col("exact_parts")
+    )
+    return est.select("l_returnflag", "exact_parts", "n_rows", ok.alias("approx_ok"))
 
 
 @register(
