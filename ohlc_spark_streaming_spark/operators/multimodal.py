@@ -6,17 +6,19 @@ never read unless the payload column is selected — which is the entire
 point of the layout at 100 TB (metadata-only scans stay cheap).
 
 The decode/feature-extract steps run as Arrow-batched ``mapInPandas``
-UDFs — the Spark-side plumbing (schema, batch iteration, partition
-independence) is real and tested; the actual media decoding is stubbed
-behind ``DECODERS`` because no image/audio libraries exist in this
-container. A real deployment registers decoders; everything else is
-unchanged.
+UDFs. Image decoding is REAL in-container: a pure-numpy parser for
+binary PPM/PGM (netpbm P6/P5) and uncompressed 24-bit BMP backs the
+default image decode, stats, and nearest-neighbor resize paths — no
+third-party imaging wheel required. ``DECODERS`` stays the extension
+point where a deployment registers richer codecs (PIL/libjpeg-class);
+registered entries take precedence over the built-ins.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,22 +28,111 @@ FEATURE_SCHEMA = (
     "feature string"
 )
 
-#: modality → decoder(payload bytes) -> feature string. Real deployments
-#: register e.g. image size extraction here; the default fake decoder is
-#: deterministic so pipelines are testable end-to-end.
+#: modality → decoder(payload bytes) -> feature string. Pre-populated with
+#: the pure-numpy image decoder below; deployments may override any entry
+#: (e.g. a PIL-backed decoder) — the registry always wins over built-ins.
 DECODERS: dict[str, Callable[[bytes], str]] = {}
 
 
 def _fake_decode(payload: bytes) -> str:
-    """Deterministic stand-in for a media decoder (no media libs here)."""
+    """Deterministic byte-stats feature for modalities with no registered
+    decoder — keeps unknown-modality pipelines testable end-to-end."""
     return f"len={len(payload)};head={payload[:4].hex()}"
 
 
-def decode_unavailable(payload: bytes) -> str:
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "environment; register a decoder in multimodal.DECODERS"
-    )
+# --- pure-numpy image codecs (PPM/PGM + BMP) --------------------------------
+
+
+def _parse_netpbm(data: bytes) -> tuple[np.ndarray, str]:
+    """Binary netpbm (P6 → HxWx3, P5 → HxWx1) to a uint8 array.
+
+    Full header grammar: whitespace-separated width/height/maxval with
+    ``#`` comments, one whitespace byte before the raster.
+    """
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte separating header from raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    n = w * h * channels
+    arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, channels), ("ppm" if channels == 3 else "pgm")
+
+
+def _parse_bmp(data: bytes) -> tuple[np.ndarray, str]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) to an HxWx3 RGB array.
+    Handles 4-byte row padding and both bottom-up and top-down rasters."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP is supported")
+    bottom_up, h_abs = h > 0, abs(h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h_abs, offset=off)
+    arr = arr.reshape(h_abs, row_bytes)[:, : w * 3].reshape(h_abs, w, 3)
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[:, :, ::-1], "bmp"  # BGR storage → RGB
+
+
+def image_array(payload: bytes) -> tuple[np.ndarray, str]:
+    """Decode a PPM/PGM/BMP payload to (uint8 array HxWxC, format name);
+    raises ValueError for any other byte stream."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _parse_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
+    raise ValueError("unsupported image payload (expected PPM/PGM/BMP)")
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 HxWx3 (or HxWx1 → P5) array back to binary netpbm bytes."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + arr.tobytes()
+
+
+def decode_image(payload: bytes) -> str:
+    """Default image feature: format, dimensions, exact mean pixel value.
+    The mean is an integer sum divided once — bit-stable everywhere."""
+    arr, fmt = image_array(payload)
+    h, w, _c = arr.shape
+    mean = int(arr.sum(dtype=np.int64)) / arr.size
+    return f"{fmt};{w}x{h};mean={mean:.6f}"
+
+
+def resize_nearest(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a PPM/PGM/BMP payload, re-encoded as
+    netpbm. Pure numpy fancy indexing — the deterministic in-container
+    resizer (a deployment registers an interpolating codec for quality)."""
+    arr, _fmt = image_array(payload)
+    h, w, _c = arr.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_ppm(arr[rows][:, cols])
+
+
+DECODERS["image"] = decode_image
 
 
 def attach_payloads(df: DataFrame, text_col: str = "text", modality: str = "text") -> DataFrame:
@@ -144,14 +235,18 @@ def sample_frames(
 
 
 def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Image-resize plumbing: decode → resize → re-encode per payload via
-    the DECODERS registry ('image/resize' key). No imaging library exists
-    in this container, so the default path raises NotImplementedError —
-    the Spark-side contract (schema, batching, metadata update) is what
-    is real and tested."""
+    """Image resize: decode → resize → re-encode per payload, Arrow-batched
+    and executor-local (no shuffle). Default codec is the pure-numpy
+    nearest-neighbor :func:`resize_nearest` over PPM/PGM/BMP; a deployment
+    registers an interpolating library codec under ``DECODERS
+    ['image/resize']`` (signature ``(payload) -> payload``, pre-bound to
+    its target size) to take precedence."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        resize = DECODERS.get("image/resize", decode_unavailable)
+        registered = DECODERS.get("image/resize")
+        resize = registered if registered is not None else (
+            lambda p: resize_nearest(p, width, height)
+        )
         for batch in batches:
             out = batch.copy()
             out["payload"] = [
@@ -164,3 +259,87 @@ def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
     ).withColumn("meta", F.create_map(
         F.lit("resized_to"), F.lit(f"{width}x{height}")
     ))
+
+
+SYNTH_PPM_WIDTH, SYNTH_PPM_HEIGHT = 8, 6
+
+
+def synth_ppm_assets(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    width: int = SYNTH_PPM_WIDTH,
+    height: int = SYNTH_PPM_HEIGHT,
+) -> DataFrame:
+    """Deterministic REAL image payloads from an id column: pixel i of
+    asset d is ``(d*31 + i) mod 256``, encoded as binary PPM (P6). The
+    container ships no image files, so this is the in-repo stand-in for
+    an image-blob scan — the bytes are genuine netpbm that any external
+    tool decodes, and the closed-form pixel rule lets a SQL oracle state
+    the expected decode statistics arithmetically. Executor-local
+    (mapInPandas over the id column; no shuffle)."""
+    n = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n, dtype=np.int64)
+        for batch in batches:
+            payloads = [
+                encode_ppm(
+                    (((int(d) * 31 + idx) % 256).astype(np.uint8)).reshape(
+                        height, width, 3
+                    )
+                )
+                for d in batch[id_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch[id_col],
+                    "modality": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(
+        run, "asset_id long, modality string, payload binary"
+    )
+
+
+IMAGE_STATS_SCHEMA = (
+    "asset_id long, fmt string, width long, height long, n_bytes long, "
+    "mean_pixel double"
+)
+
+
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """Decode every payload with the pure-numpy image parser and emit
+    relational statistics (format, dimensions, byte size, exact mean
+    pixel). The mean is an integer sum divided once, so it is bit-stable
+    across engines and partitionings — hash-checkable by a SQL oracle.
+    Executor-local Arrow pass; blobs never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, fmts, ws, hs, sizes, means = [], [], [], [], [], []
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                data = bytes(payload)
+                arr, fmt = image_array(data)
+                h, w, _c = arr.shape
+                ids.append(asset_id)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                sizes.append(len(data))
+                means.append(int(arr.sum(dtype=np.int64)) / arr.size)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "fmt": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": sizes,
+                    "mean_pixel": means,
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, IMAGE_STATS_SCHEMA
+    )

@@ -546,6 +546,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_decode",
+    """
+SELECT doc_id  AS asset_id,
+       'ppm'   AS fmt,
+       8       AS width,
+       6       AS height,
+       155     AS n_bytes,
+       list_sum(list_transform(range(0, 144),
+                               i -> (doc_id * 31 + i) % 256)) / 144.0
+               AS mean_pixel
+FROM documents
+""",
+)
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: deterministic binary PPM payloads are
+    synthesized per document (pixel i of asset d is ``(d*31+i) mod 256``
+    — genuine netpbm bytes any external tool can open), then parsed by
+    the pure-numpy image decoder into relational stats. The oracle states
+    the expected width/height/byte-size and the exact mean pixel in
+    closed form from the pixel rule, so a wrong header parse, raster
+    offset, or channel order hash-fails.
+
+    Scale design: synth and decode are both executor-local Arrow passes
+    over the id column — zero shuffles, and at 100 TB the blobs would
+    stream batch-wise through the Python worker exactly like this
+    (column pruning keeps them unread until the decode stage projects
+    the payload)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    from ..operators.multimodal import decode_image_stats, synth_ppm_assets
+
+    return decode_image_stats(synth_ppm_assets(docs))
+
+
+@register(
     "similarity_ivf_topk",
     """
 WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
