@@ -123,6 +123,105 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    how: str = "left",
+    payload_prefix: str = "asof_",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """:func:`asof_join` for HOT keys: identical semantics, window
+    partitions bounded by (key, time bucket) instead of key.
+
+    Why: the plain as-of is one window over ``partitionBy(key)``, so a
+    key with 100× the rows makes one 100×-sized window partition — and
+    AQE cannot help (its skew optimization splits oversized SORT-MERGE
+    JOIN partitions; window partitions are never split because each must
+    see all its rows). The scale fix is structural: partition by
+    (key, floor(ts / bucket)) so a hot key spreads over its time range.
+
+    Mechanics: per (key, bucket), an intra-bucket window finds the most
+    recent right row ≤ each left ts; a per-bucket summary (``max`` of the
+    (ts, payload) struct — exactly the tie rule of :func:`asof_join`)
+    rolls forward across buckets with an exclusive running max to give
+    each bucket its carry-in; the result is ``coalesce(intra, carry)``.
+    The carry table is rows = distinct (key, bucket) — tiny — and its
+    join back is a plain equi-join AQE can split if even (key, bucket)
+    skews. Pick ``bucket_seconds`` so one bucket of the hottest key fits
+    an executor partition (at 100 TB: minutes for tick data).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join_bucketed supports how='left'|'inner', got {how!r}")
+
+    l_cols = left.columns
+    payload = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in right_payload]
+    )
+
+    def bkt(ts_col: str):
+        return F.floor(
+            F.unix_seconds(F.col(ts_col).cast("timestamp")) / F.lit(bucket_seconds)
+        )
+
+    r = right.select(
+        *[F.col(k) for k in on],
+        bkt(right_ts).alias("_bkt"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+    )
+    l = left.select(
+        *[F.col(k) for k in on],
+        bkt(left_ts).alias("_bkt"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("_lrow"),
+    )
+    merged = r.unionByName(l, allowMissingColumns=True)
+
+    w_intra = (
+        Window.partitionBy(*on, "_bkt")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = merged.withColumn(
+        "_intra", F.last("_payload", ignorenulls=True).over(w_intra)
+    ).where(F.col("_side") == 1)
+
+    # Exclusive running max over per-bucket summaries: each (key, bucket)
+    # learns the greatest (ts, payload) from STRICTLY earlier buckets.
+    summary = r.groupBy(*on, "_bkt").agg(F.max("_payload").alias("_mx"))
+    universe = merged.select(*on, "_bkt").distinct()
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        universe.join(summary, [*on, "_bkt"], "left")
+        .withColumn("_carry", F.max("_mx").over(w_carry))
+        .select(*on, "_bkt", "_carry")
+    )
+
+    matched = intra.join(carry, [*on, "_bkt"], "left").withColumn(
+        "_match", F.coalesce("_intra", "_carry")
+    )
+    if how == "inner":
+        matched = matched.where(F.col("_match").isNotNull())
+    out_cols = [F.col("_lrow").getField(c).alias(c) for c in l_cols]
+    out_cols.append(F.col("_match").getField("ts").alias(f"{payload_prefix}ts"))
+    out_cols.extend(
+        F.col("_match").getField(c).alias(f"{payload_prefix}{c}")
+        for c in right_payload
+    )
+    return matched.select(*out_cols)
+
+
 def hinted_join(
     left: DataFrame,
     right: DataFrame,

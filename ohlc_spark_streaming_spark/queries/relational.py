@@ -6,7 +6,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.joins import anti_join, asof_join, equi_join, range_join, semi_join
+from ..operators.joins import (
+    anti_join,
+    asof_join,
+    asof_join_bucketed,
+    equi_join,
+    range_join,
+    semi_join,
+)
 from ..operators.ranking import ntile_expr, with_global_rank
 from ..registry import dec_sum, register
 from ..sources.batch import load_table
@@ -234,6 +241,59 @@ def q_join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         right_payload=["value"],
         how="left",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        "asof_ts",
+        F.col("asof_value"),
+    )
+
+
+@register(
+    "join_asof_bucketed",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  p.value  AS purchase_value,
+  v.ts     AS asof_ts,
+  v.value  AS asof_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def q_join_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY as-of join: identical semantics (and identical oracle)
+    to join_asof_purchase_view, but window partitions are bounded by
+    (key, time bucket) so a key with 100× the rows cannot create one
+    100×-sized window partition — AQE never splits window partitions,
+    so the skew fix is structural (operators/joins.py
+    asof_join_bucketed; equivalence on a hot-key corpus asserted in
+    tests/test_scale_discipline.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value")
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join_bucketed(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["value"],
+        how="left",
+        bucket_seconds=6 * 3600,
     )
     return out.select(
         "event_id",

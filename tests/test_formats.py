@@ -111,5 +111,10 @@ def test_csv_failfast_raises_on_malformed(spark, tmp_path):
         f.write("1,2,O,10.5,2024-01-01,HIGH\n")
         f.write("oops,not,a,number,row,x\n")
     df = read_csv(spark, path, ORDERS_SCHEMA, mode="FAILFAST")
-    with pytest.raises((Py4JJavaError, Exception)):
+    # Catch ONLY the JVM-side error and pin the message to the malformed
+    # -record failure: a bare Exception would let a path or schema bug
+    # masquerade as the FAILFAST behavior under test.
+    with pytest.raises(Py4JJavaError) as exc_info:
         df.collect()
+    msg = str(exc_info.value)
+    assert "Malformed" in msg or "FAILFAST" in msg, msg[:500]

@@ -183,3 +183,97 @@ def test_salted_join_is_exact_and_shuffles_on_salted_key(spark):
 
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_asof_hot_key_bucketed_equivalence(spark):
+    """As-of join under key skew: one hot symbol carries 100x the quotes
+    of each cold one. The plain as-of puts the whole hot key in ONE
+    window partition (AQE only splits skewed sort-merge-join partitions,
+    never window partitions), so the scale path is asof_join_bucketed,
+    whose partitions are (key, time bucket). Assert (a) exact result
+    equivalence on the skewed corpus, (b) the bucketed plan really
+    windows on the bucket column."""
+    from datetime import datetime, timedelta
+
+    from ohlc_spark_streaming_spark.operators.joins import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    quotes = [
+        ("HOT", t0 + timedelta(seconds=7 * i), float(i % 97)) for i in range(2000)
+    ] + [
+        (sym, t0 + timedelta(seconds=600 * i), float(i))
+        for sym in ("COLD_A", "COLD_B")
+        for i in range(20)
+    ]
+    trades = [
+        (sym, t0 + timedelta(seconds=13 * i + 3), 1.0 + i)
+        for sym in ("HOT", "COLD_A", "COLD_B")
+        for i in range(150)
+    ]
+    qdf = spark.createDataFrame(quotes, "symbol string, ts timestamp, quote double")
+    tdf = spark.createDataFrame(trades, "symbol string, ts timestamp, qty double")
+
+    kw = dict(
+        on=["symbol"], left_ts="ts", right_ts="ts", right_payload=["quote"]
+    )
+    plain = asof_join(tdf, qdf, **kw)
+    bucketed = asof_join_bucketed(tdf, qdf, bucket_seconds=300, **kw)
+
+    cols = sorted(plain.columns)
+    assert sorted(bucketed.columns) == cols
+    a = sorted(map(tuple, plain.select(*cols).collect()))
+    b = sorted(map(tuple, bucketed.select(*cols).collect()))
+    assert a == b
+    assert len(a) == 450
+
+    # Hot rows really spread: the bucketed window partitions on _bkt.
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
+    # And the hot key spans many buckets at this bucket size.
+    n_hot_buckets = (
+        qdf.where(F.col("symbol") == "HOT")
+        .select((F.unix_seconds(F.col("ts").cast("timestamp")) / 300).cast("long"))
+        .distinct()
+        .count()
+    )
+    assert n_hot_buckets > 40
+
+
+def test_asof_bucketed_inner_and_unmatched(spark):
+    """how='inner' drops unmatched left rows; how='left' keeps them with
+    null payloads — including left rows in buckets with no right rows at
+    all (the carry-in path) and before any right row exists."""
+    from datetime import datetime
+
+    from ohlc_spark_streaming_spark.operators.joins import asof_join_bucketed
+
+    ts = lambda h, m=0: datetime(2024, 3, 1, h, m)  # noqa: E731
+    right = spark.createDataFrame(
+        [("A", ts(1), 10.0), ("A", ts(2), 20.0)],
+        "k string, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [
+            ("A", ts(0, 30), 1.0),   # before any right row -> null
+            ("A", ts(1, 30), 2.0),   # intra-bucket? no: bucket of 01:30 has no right row if 30-min buckets... use carry
+            ("A", ts(9), 3.0),       # far later bucket -> carry-in = 20.0
+            ("B", ts(5), 4.0),       # key with no right rows at all
+        ],
+        "k string, ts timestamp, q double",
+    )
+    kw = dict(on=["k"], left_ts="ts", right_ts="ts", right_payload=["v"],
+              bucket_seconds=1800)
+    out = {
+        (r.k, r.ts): r.asof_v
+        for r in asof_join_bucketed(left, right, how="left", **kw).collect()
+    }
+    assert out[("A", ts(0, 30))] is None
+    assert out[("A", ts(1, 30))] == 10.0
+    assert out[("A", ts(9))] == 20.0
+    assert out[("B", ts(5))] is None
+
+    inner = asof_join_bucketed(left, right, how="inner", **kw).collect()
+    assert {(r.k, r.ts) for r in inner} == {("A", ts(1, 30)), ("A", ts(9))}
