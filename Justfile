@@ -1,0 +1,28 @@
+# Developer entry points (mirrors the reference's Justfile surface with
+# this repo's own deployment layout).
+
+default:
+    just --list
+
+# Bring the spark-submit runner up against external spark/kafka networks.
+up:
+    docker compose -f docker/compose.yml up -d --build
+
+down:
+    docker compose -f docker/compose.yml down --volumes
+
+logs:
+    docker compose -f docker/compose.yml logs --follow
+
+# Validate the eight-variable environment contract without starting Spark.
+check-config:
+    python3 -m ohlc_spark_streaming_spark --check-config
+
+test:
+    python3 -m pytest tests/ -x -q
+
+bench:
+    python3 bench.py
+
+scale-check:
+    python3 tools_scale_check.py --window --md

@@ -97,3 +97,23 @@ def test_main_check_config_ok(monkeypatch):
     )
     assert out.returncode == 0, out.stderr
     assert "ok" in out.stdout
+
+
+def test_compose_env_keys_match_code_contract():
+    """docker/compose.yml must pass exactly the REQUIRED_ENV_VARS the
+    typed config loader validates — a drifted deploy file would fail at
+    container start, not at review time."""
+    import os
+    import re
+
+    from ohlc_spark_streaming_spark.config import REQUIRED_ENV_VARS
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docker",
+        "compose.yml",
+    )
+    with open(path) as f:
+        text = f.read()
+    passed = set(re.findall(r"- ([A-Z_]+)=\$\{([A-Z_]+)\}", text))
+    assert passed == {(v, v) for v in REQUIRED_ENV_VARS}
