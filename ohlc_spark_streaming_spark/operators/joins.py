@@ -66,19 +66,37 @@ def asof_join(
     right_payload: list[str],
     how: str = "left",
     payload_prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """As-of (backward, inclusive) join: for each LEFT row, the most recent
-    RIGHT row with ``right_ts <= left_ts`` per key; among RIGHT rows tied
-    on (key, ts), the one with the lexicographically greatest payload
-    struct (deterministic under any partitioning).
+    """As-of (inclusive) join: for each LEFT row, the nearest RIGHT row per
+    key — ``backward`` (default) picks the most recent RIGHT row with
+    ``right_ts <= left_ts``, ``forward`` the earliest with
+    ``right_ts >= left_ts``; among RIGHT rows tied on (key, ts), the one
+    with the lexicographically greatest payload struct (deterministic
+    under any partitioning).
+
+    ``tolerance`` (an interval Column, e.g. ``F.expr("INTERVAL 10
+    MINUTES")``) bounds the match distance: a matched RIGHT row further
+    than the tolerance from ``left_ts`` is nulled out (and dropped under
+    ``how='inner'``) — pandas ``merge_asof(tolerance=...)`` semantics.
 
     Returns all LEFT columns plus ``{payload_prefix}{col}`` for each
     ``right_payload`` column (and ``{payload_prefix}ts`` for the matched
     right timestamp); unmatched LEFT rows keep nulls (``how='left'``) or are
     dropped (``how='inner'``).
+
+    Scale: ONE hash exchange on the key (union both sides, running
+    ``last(payload, ignorenulls)`` over a (key, ts)-sorted window) — no
+    range join, no per-key collect. Both directions share the plan; the
+    forward pass just reverses the sort.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join supports direction='backward'|'forward', got {direction!r}"
+        )
 
     l_cols = left.columns
     payload = F.struct(
@@ -102,16 +120,29 @@ def asof_join(
     # _payload in the sort order makes ties among RIGHT rows with equal
     # (key, ts) deterministic: the lexicographically greatest payload wins
     # (struct ordering; left rows are unaffected — their _side sorts last
-    # at any timestamp and their payload is null).
+    # at any timestamp and their payload is null). Forward direction
+    # reverses the ts sort, so the running last-seen RIGHT payload at a
+    # LEFT row is the earliest right_ts >= left_ts.
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_payload").asc())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
         merged.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
     )
+    if tolerance is not None:
+        m_ts = F.col("_match").getField("ts")
+        in_tol = (
+            m_ts >= F.col("_ts") - tolerance
+            if direction == "backward"
+            else m_ts <= F.col("_ts") + tolerance
+        )
+        matched = matched.withColumn(
+            "_match", F.when(in_tol, F.col("_match"))
+        )
     if how == "inner":
         matched = matched.where(F.col("_match").isNotNull())
     out_cols = [F.col("_lrow").getField(c).alias(c) for c in l_cols]

@@ -98,6 +98,7 @@ from .queries import reference as _q_reference  # noqa: E402,F401
 from .queries import relational as _q_relational  # noqa: E402,F401
 from .queries import tpch as _q_tpch  # noqa: E402,F401
 from .queries import llm as _q_llm  # noqa: E402,F401
+from .queries import analytics as _q_analytics  # noqa: E402,F401
 from .queries import streaming as _q_streaming  # noqa: E402,F401
 
 # The driver-checked window: ANCHORS + ROTATION, every entry oracle-backed
