@@ -64,6 +64,11 @@ HEADLINE = [
     "domain_mixture",
     "text_lm_coverage",
     "rag_retrieve_chunks",
+    # round 4: analytics family
+    "dedup_span_windows",
+    "skyline_orders",
+    "anomaly_zscore_events",
+    "join_asof_forward",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -131,29 +131,79 @@ def embedding_near_dup_pairs(
     threshold: float = 0.99,
 ) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold, blocked to keep
-    the pair space bounded (block membership is part of the semantics)."""
+    the pair space bounded (block membership is part of the semantics).
+
+    Duplication-invariant (round 4 — SCALE.md caught the unguarded
+    version at 101x on the 10x-duplication corpus): identical vectors
+    collapse to ONE representative per (block, vector) before the
+    pairwise join, so k copies of a vector cost one cosine, not k² —
+    the same distinct-content collapse as operators/dedup.py
+    ``_set_groups``. Representative pairs expand back to id pairs by an
+    output-bound members join; expanded pairs inherit the rep cosine
+    bitwise (identical arrays ⇒ identical fold), and within-group pairs
+    carry ``cosine(v, v)`` computed once per group — the exact
+    expression value, never a ``lit(1.0)`` shortcut the oracle would
+    disagree with in the last ulp."""
+    blk = [block_col] if block_col else []
     base = embeddings.select(
         F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
+        *[F.col(c) for c in blk],
         as_double_array(vec_col).alias("_v"),
     )
-    a = base.select(
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        F.col(id_col).alias("id_a"),
+    groups = (
+        base.groupBy(*blk, "_v")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_members"))
+        .withColumn("_rep", F.col("_members")[0])
+    )
+
+    a = groups.select(
+        *[F.col(c).alias(f"_blk_{c}") for c in blk],
+        F.col("_rep").alias("_rep_a"),
         F.col("_v").alias("_va"),
+        F.col("_members").alias("_ma"),
     )
-    b = base.select(
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        F.col(id_col).alias("id_b"),
+    b = groups.select(
+        *[F.col(c).alias(f"_blk_{c}") for c in blk],
+        F.col("_rep").alias("_rep_b"),
         F.col("_v").alias("_vb"),
+        F.col("_members").alias("_mb"),
     )
-    on = (F.col("id_a") < F.col("id_b"))
-    joined = a.join(b, ["_blk"]) if block_col else a.crossJoin(b)
-    return (
-        joined.where(on)
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+    joined = (
+        a.join(b, [f"_blk_{c}" for c in blk])
+        if block_col
+        else a.crossJoin(b)
+    )
+    cross = (
+        joined.where(F.col("_rep_a") < F.col("_rep_b"))
+        .select(
+            "_ma", "_mb", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+        )
         .where(F.col("cos_sim") >= threshold)
+        .select(F.explode("_ma").alias("_ia"), "_mb", "cos_sim")
+        .select("_ia", F.explode("_mb").alias("_ib"), "cos_sim")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "cos_sim",
+        )
     )
+    within = (
+        groups.where(F.size("_members") >= 2)
+        .select(
+            "_members",
+            cosine(F.col("_v"), F.col("_v")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.posexplode("_members").alias("_i", "_ia"), "_members", "cos_sim")
+        .select(
+            F.col("_ia").alias("id_a"),
+            F.explode(
+                F.slice(F.col("_members"), F.col("_i") + 2, F.size("_members"))
+            ).alias("id_b"),
+            "cos_sim",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def ivf_cosine_topk(

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join
-from ..registry import register
+from ..operators.skyline import skyline_2d_min
+from ..registry import ORACLES, register
 from ..sources.batch import load_table
 
 _TOKENS = "string_split(text, ' ')"
@@ -68,10 +69,12 @@ def q_dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows that also appear in some other document.
 
     Scale: the explode is O(tokens) rows (same budget as shingling);
-    the window-string groupBy is one hash shuffle with partial
-    aggregation (hot common phrases combine map-side), and the join
-    back is window-keyed — no pairwise comparison anywhere, so 100 TB
-    costs scan + 2 exchanges, not O(docs^2)."""
+    per-doc distinctness is IN-ROW (``array_distinct`` before the
+    explode — no doc-keyed shuffle); the window-string groupBy is one
+    hash shuffle with partial aggregation (hot common phrases combine
+    map-side), and the join back is window-keyed — no pairwise
+    comparison anywhere, so 100 TB costs scan + 2 exchanges, not
+    O(docs^2)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
@@ -82,9 +85,8 @@ def q_dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, _SPAN_K)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pairs = (
-        docs.select("doc_id", F.explode(wins).alias("win"))
-        .distinct()
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("win")
     )
     counts = pairs.groupBy("win").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
@@ -412,3 +414,169 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_ts",
         F.col("asof_event_id"),
     )
+
+
+# --- time-series gap filling ----------------------------------------------------
+
+ANOMALY_ZSCORE_ORACLE = ORACLES["anomaly_zscore_events"]
+
+
+@register(
+    "candles_gap_fill",
+    """
+WITH candles AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         event_type             AS symbol,
+         max(struct_pack(t := ts, p := value)).p AS close
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT symbol, min(window_start) AS a, max(window_start) AS b
+  FROM candles GROUP BY symbol
+),
+grid AS (
+  SELECT symbol, unnest(generate_series(a, b, INTERVAL 1 HOUR)) AS window_start
+  FROM spans
+)
+SELECT g.symbol, g.window_start,
+       c.close,
+       last_value(c.close IGNORE NULLS)
+         OVER (PARTITION BY g.symbol ORDER BY g.window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_close,
+       c.close IS NULL AS is_gap
+FROM grid g LEFT JOIN candles c USING (symbol, window_start)
+""",
+)
+def q_candles_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly grid per symbol (the
+    testdata has ~5%% missing hours) with the close price carried
+    forward — the resample/ffill step every candle consumer needs
+    before charting or joining to a calendar.
+
+    Scale: the grid comes from per-symbol min/max spans (one tiny
+    aggregate) exploded via ``sequence()`` — rows generated
+    executor-side, proportional to the OUTPUT; the forward fill is
+    ``last(close, ignorenulls)`` over a per-symbol window — one hash
+    exchange on symbol, no driver materialization."""
+    ev = load_table(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type").alias("symbol"),
+    ).agg(
+        F.max_by("value", F.struct(F.col("ts").alias("t"), F.col("value").alias("p")))
+        .alias("close")
+    )
+    spans = candles.groupBy("symbol").agg(
+        F.min("window_start").alias("a"), F.max("window_start").alias("b")
+    )
+    grid = spans.select(
+        "symbol",
+        F.explode(
+            F.sequence(F.col("a"), F.col("b"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(candles, ["symbol", "window_start"], "left").select(
+        "symbol",
+        "window_start",
+        "close",
+        F.last("close", ignorenulls=True).over(w).alias("fill_close"),
+        F.col("close").isNull().alias("is_gap"),
+    )
+
+
+# --- 2D skyline (Pareto frontier) ------------------------------------------------
+
+
+@register(
+    "skyline_orders",
+    """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders b
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders a
+  WHERE a.o_totalprice < b.o_totalprice AND a.o_orderdate < b.o_orderdate
+)
+""",
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline: orders Pareto-minimal in (price, date) — no other
+    order is BOTH strictly cheaper AND strictly earlier.
+
+    The oracle is the textbook NOT EXISTS (quadratic); the engine runs
+    the two-phase distributed prefix-min from operators/skyline.py —
+    two hash exchanges plus a #buckets-sized global window, never a
+    self-join. The pattern generalizes to any min-min/max-max frontier
+    (cost vs latency, loss vs size, ...)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return skyline_2d_min(
+        orders, x_col="o_totalprice", y_col="o_orderdate", bucket_width=10_000.0
+    )
+
+
+# --- blocked fuzzy matching (entity resolution) -----------------------------------
+
+
+@register(
+    "fuzzy_match_parts",
+    """
+WITH p AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+),
+pairs AS (
+  SELECT a.p_partkey AS pk, b.p_partkey AS other,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM p a JOIN p b
+    ON a.blk = b.blk AND a.p_partkey != b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+)
+SELECT pk AS p_partkey,
+       count(*)        AS n_matches,
+       min(dist)       AS min_dist,
+       min(struct_pack(d := dist, k := other)).k AS best_match
+FROM pairs GROUP BY pk
+""",
+)
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching: parts whose names
+    are within levenshtein distance 4 of another part in the same
+    block (first name token). Per part: match count, closest distance,
+    and the deterministic best match (min (dist, key) struct).
+
+    Scale: the BLOCKING KEY equi-join is the whole point — candidate
+    pairs are generated per block, never corpus x corpus; the edit
+    distance runs JVM-side (built-in levenshtein) on the blocked
+    candidates only. Same shape as production ER blocking."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = p.select(
+        F.col("blk"),
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("blk"),
+        F.col("p_partkey").alias("other"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    pairs = (
+        a.join(b, "blk")
+        .where((F.col("pk") != F.col("other")) & (dist <= 4))
+        .select("pk", "other", dist.alias("dist"))
+    )
+    best = F.struct(F.col("dist").alias("d"), F.col("other").alias("k"))
+    return pairs.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.min(best).getField("k").alias("best_match"),
+    ).withColumnRenamed("pk", "p_partkey")

@@ -483,3 +483,48 @@ def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_quality_{next(_counter)}"
     return run_to_memory(agg, name, output_mode="complete")
+
+
+from .analytics import ANOMALY_ZSCORE_ORACLE as _ANOMALY_ORACLE  # noqa: E402
+
+
+@register("streaming_anomaly_zscore", _ANOMALY_ORACLE)
+def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection ON A STREAM: the batch z-score bounds (tiny,
+    decimal-exact — see anomaly_zscore_events) are computed once from
+    the static table and STREAM-STATIC joined to the live events feed;
+    per-type totals aggregate in complete mode. This is the deployed
+    shape: bounds refresh on a slow batch cadence, flagging runs on the
+    stream with a broadcast-sized static side and 5 rows of state."""
+    from ..sources.stream import events_stream
+
+    ev_static = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,6)")
+    stats = ev_static.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    bounds = stats.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(
+            F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(0.0))
+        ).alias("sd"),
+    )
+
+    stream = events_stream(spark, sf_dir)
+    flagged = F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd")
+    agg = (
+        stream.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("n")).alias("n_events"),
+            F.sum(F.when(flagged, 1).otherwise(0)).alias("n_anomalies"),
+            F.min(F.when(flagged, F.col("event_id"))).alias("first_anomaly_id"),
+        )
+    )
+    name = f"stream_anomaly_{next(_counter)}"
+    return run_to_memory(agg, name, output_mode="complete")
