@@ -69,6 +69,8 @@ HEADLINE = [
     "skyline_orders",
     "anomaly_zscore_events",
     "join_asof_forward",
+    "bm25_search",
+    "split_leakage_audit",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -41,6 +41,7 @@ from ..operators.text import (
 )
 from ..registry import register
 from ..sources.batch import load_table
+from . import _oracles as _shared_oracles
 
 # --- deduplication ----------------------------------------------------------
 
@@ -84,27 +85,9 @@ _SHINGLES = (
 )
 
 
-def _shingle_sql_cte() -> str:
-    """Shared DuckDB CTEs producing per-doc shingle hashes (twin of
-    operators.dedup.shingle_hashes: broadcast token dictionary + positional
-    combination, parallel-unnest zipping for token positions)."""
-    th = hashing.rolling_hash_sql("tok")
-    return f"""
-toks AS (
-  SELECT doc_id, {_TOKENS} AS ts FROM documents
-), tokh AS (
-  SELECT tok, {th} AS th
-  FROM (SELECT DISTINCT unnest({_TOKENS}) AS tok FROM documents)
-), tp AS (
-  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos FROM toks
-), tk AS (
-  SELECT doc_id, pos, th FROM tp JOIN tokh USING (tok)
-), shg AS (
-  SELECT doc_id,
-         (th * 961 + lead(th, 1) OVER w * 31 + lead(th, 2) OVER w) % {hashing.P} AS sh
-  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-  QUALIFY lead(th, 2) OVER w IS NOT NULL
-)"""
+# Shared shingle/MinHash oracle builders live in _oracles.py (no registry
+# import there, so queries/analytics.py can reuse them without a cycle).
+_shingle_sql_cte = _shared_oracles.shingle_sql_cte
 
 
 
@@ -173,51 +156,12 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_ppjoin_pairs(docs, threshold=0.5)
 
 
-def _minhash_sql_cte() -> str:
-    """Per-doc MinHash signatures over shingle hashes."""
-    mins = ", ".join(
-        f"{expr} AS mh{i}" for i, expr in enumerate(hashing.minhash_sql("sh"))
-    )
-    return f"""{_shingle_sql_cte()},
-sig AS (
-  SELECT doc_id, {mins} FROM shg GROUP BY doc_id
-)"""
+_minhash_sql_cte = _shared_oracles.minhash_sql_cte
+_minhash_bands_sql = _shared_oracles.minhash_bands_sql
+_minhash_pairs_sql = _shared_oracles.minhash_pairs_sql
 
 
-def _minhash_bands_sql() -> str:
-    parts = []
-    for j in range(hashing.N_BANDS):
-        key = hashing.band_key_sql(
-            f"mh{j * hashing.BAND_ROWS}", f"mh{j * hashing.BAND_ROWS + 1}"
-        )
-        parts.append(f"SELECT doc_id, {j} AS band, {key} AS key FROM sig")
-    return " UNION ALL ".join(parts)
-
-
-@register(
-    "dedup_minhash_lsh",
-    f"""
-WITH {_minhash_sql_cte()},
-bands AS ({_minhash_bands_sql()}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id
-), sets AS (
-  SELECT doc_id, list(DISTINCT sh) AS units, count(DISTINCT sh) AS n_units
-  FROM shg GROUP BY doc_id
-)
-SELECT
-  id_a, id_b,
-  len(list_intersect(sa.units, sb.units))
-    / (sa.n_units + sb.n_units - len(list_intersect(sa.units, sb.units))) AS jaccard
-FROM cand
-JOIN sets sa ON sa.doc_id = id_a
-JOIN sets sb ON sb.doc_id = id_b
-WHERE len(list_intersect(sa.units, sb.units))
-    / (sa.n_units + sb.n_units - len(list_intersect(sa.units, sb.units))) >= 0.7
-""",
-)
+@register("dedup_minhash_lsh", _minhash_pairs_sql(0.7))
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs with exact-Jaccard verification —
     the subquadratic 100 TB dedup path. The oracle replays the identical

@@ -485,7 +485,7 @@ def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, name, output_mode="complete")
 
 
-from .analytics import ANOMALY_ZSCORE_ORACLE as _ANOMALY_ORACLE  # noqa: E402
+from ._oracles import ANOMALY_ZSCORE_ORACLE as _ANOMALY_ORACLE  # noqa: E402
 
 
 @register("streaming_anomaly_zscore", _ANOMALY_ORACLE)

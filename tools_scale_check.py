@@ -62,6 +62,19 @@ DEFAULT_QUERIES = [
     "text_lm_coverage",
     "text_tfidf",
     "pack_sequences",
+    # round 4 additions
+    "embedding_near_dup",
+    "dedup_span_windows",
+    "bm25_search",
+    "split_leakage_audit",
+    "skyline_orders",
+    "fuzzy_match_parts",
+    "candles_gap_fill",
+    "funnel_conversion",
+    "anomaly_zscore_events",
+    "join_asof_forward",
+    "lm_bigram_topk",
+    "quality_classifier_bucket",
 ]
 
 
