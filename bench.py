@@ -71,6 +71,7 @@ HEADLINE = [
     "join_asof_forward",
     "bm25_search",
     "split_leakage_audit",
+    "cdc_merge_orders",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -74,6 +74,33 @@ NOTES = {
         "the corpus: one groupBy(lang) count plus one filtered recount; "
         "integer-exact rates, content-hash sample membership."
     ),
+    "dedup_span_windows": (
+        "Substring-span dedup: in-row distinct windows exploded once, ONE "
+        "count exchange with map-side partials, probe joins only the "
+        "filtered duplicated keys (n_docs >= 2) — hot boilerplate phrases "
+        "combine before the shuffle instead of skewing a window partition."
+    ),
+    "skyline_orders": (
+        "2D Pareto frontier as a two-phase distributed prefix-min: per-x "
+        "collapse exchange, a #buckets-sized global window (tiny), an "
+        "in-bucket partitioned window, broadcast threshold join back — "
+        "the quadratic NOT-EXISTS of the oracle never executes."
+    ),
+    "cdc_merge_orders": (
+        "MERGE INTO without a table format: target and change batch flow "
+        "through ONE hash exchange on the key; row_number(tag DESC, op "
+        "ASC) resolves versions exactly like MoR compaction."
+    ),
+    "anomaly_zscore_events": (
+        "Two-pass z-score: decimal-exact stats (5 rows) broadcast back to "
+        "a shuffle-free flagging scan — never a window over the 5-value "
+        "event_type key."
+    ),
+    "bm25_search": (
+        "BM25 for literal terms: in-row tf, one broadcast stats row, "
+        "TakeOrderedAndProject top-20 — no inverted-index shuffle, no "
+        "global sort."
+    ),
 }
 
 
