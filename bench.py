@@ -72,6 +72,7 @@ HEADLINE = [
     "bm25_search",
     "split_leakage_audit",
     "cdc_merge_orders",
+    "scd2_user_state",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

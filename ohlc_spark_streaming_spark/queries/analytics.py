@@ -894,3 +894,65 @@ def q_cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+# --- SCD2 state history ------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_state
+  FROM events
+),
+changes AS (
+  SELECT user_id, state, ts AS valid_from
+  FROM ordered
+  WHERE prev_state IS NULL OR state != prev_state
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) IS NULL AS is_current
+FROM changes
+""",
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: each user's event stream
+    collapsed into state intervals — consecutive identical states
+    merge, each surviving row carries [valid_from, valid_to) and an
+    is_current flag. The dimension-table historization every
+    warehouse needs.
+
+    Scale: both window layers (change detection, interval close-off)
+    share ONE hash exchange on user_id — the change filter preserves
+    the partitioning and sort order, so the second WindowExec runs in
+    place without a new shuffle. valid_from is unique per user after
+    the change filter (it is an event ts), so the lead() is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w_ord).alias("prev_state"),
+        )
+        .where(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .select("user_id", "state", F.col("ts").alias("valid_from"))
+    )
+    w_iv = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w_iv)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
