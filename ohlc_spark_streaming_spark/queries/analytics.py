@@ -1,7 +1,7 @@
 """Event-analytics + corpus-forensics queries (round 4 widening).
 
-Adds the operator shapes a production pipeline team reaches for next,
-after the SURVEY §2 core is covered:
+The operator shapes a production pipeline team reaches for next, after
+the SURVEY §2 core is covered:
 
 * substring-span dedup (token-window collisions across documents — the
   scalable analogue of suffix-array training-data dedup),
@@ -10,9 +10,22 @@ after the SURVEY §2 core is covered:
   projection with broadcast weights),
 * ordered funnel conversion over the events stream,
 * two-pass z-score anomaly detection (tiny stats aggregate broadcast
-  back — never a window over a 5-partition skewed key),
+  back — never a window over a 5-partition skewed key; streaming twin
+  in queries/streaming.py),
 * forward as-of join with a match tolerance (the other half of the
-  reference domain's nearest-event join; operators/joins.py).
+  reference domain's nearest-event join; operators/joins.py),
+* time-series gap fill / forward fill over the candle grid,
+* 2D skyline via operators/skyline.py's two-phase distributed
+  prefix-min (the quadratic NOT EXISTS never executes),
+* blocked fuzzy matching with identical-name collapse (entity
+  resolution that stays duplication-invariant),
+* BM25 sparse retrieval (log-free odds-ratio idf for cross-engine bit
+  parity),
+* train/test split leakage audit (MinHash near-dup pairs crossing
+  content-hash splits),
+* CDC MERGE apply (one union + per-key row_number shuffle — the MoR
+  row-version resolution shape),
+* SCD2 state historization (both window layers on one exchange).
 
 Every query is oracle-backed; determinism discipline follows
 registry.py (decimal-exact sums, shared scalar expression shapes).

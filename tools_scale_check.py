@@ -75,6 +75,8 @@ DEFAULT_QUERIES = [
     "join_asof_forward",
     "lm_bigram_topk",
     "quality_classifier_bucket",
+    "cdc_merge_orders",
+    "scd2_user_state",
 ]
 
 
