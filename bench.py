@@ -73,6 +73,7 @@ HEADLINE = [
     "split_leakage_audit",
     "cdc_merge_orders",
     "scd2_user_state",
+    "join_asof_nearest",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -72,9 +72,10 @@ def asof_join(
     """As-of (inclusive) join: for each LEFT row, the nearest RIGHT row per
     key — ``backward`` (default) picks the most recent RIGHT row with
     ``right_ts <= left_ts``, ``forward`` the earliest with
-    ``right_ts >= left_ts``; among RIGHT rows tied on (key, ts), the one
-    with the lexicographically greatest payload struct (deterministic
-    under any partitioning).
+    ``right_ts >= left_ts``, ``nearest`` whichever of the two is closer
+    in absolute time (exact tie → backward, pandas-style); among RIGHT
+    rows tied on (key, ts), the one with the lexicographically greatest
+    payload struct (deterministic under any partitioning).
 
     ``tolerance`` (an interval Column, e.g. ``F.expr("INTERVAL 10
     MINUTES")``) bounds the match distance: a matched RIGHT row further
@@ -88,14 +89,17 @@ def asof_join(
 
     Scale: ONE hash exchange on the key (union both sides, running
     ``last(payload, ignorenulls)`` over a (key, ts)-sorted window) — no
-    range join, no per-key collect. Both directions share the plan; the
-    forward pass just reverses the sort.
+    range join, no per-key collect. All three directions share the single
+    exchange: forward reverses the sort; nearest runs BOTH window passes
+    over the same partitioning (the second WindowExec only re-sorts
+    locally, no new shuffle) and picks per-row.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join supports direction='backward'|'forward', got {direction!r}"
+            "asof_join supports direction='backward'|'forward'|'nearest',"
+            f" got {direction!r}"
         )
 
     l_cols = left.columns
@@ -123,25 +127,53 @@ def asof_join(
     # at any timestamp and their payload is null). Forward direction
     # reverses the ts sort, so the running last-seen RIGHT payload at a
     # LEFT row is the earliest right_ts >= left_ts.
-    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("_side").asc(), F.col("_payload").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        merged.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
-        .where(F.col("_side") == 1)
-    )
-    if tolerance is not None:
-        m_ts = F.col("_match").getField("ts")
+    def running_match(ts_order):
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ts_order, F.col("_side").asc(), F.col("_payload").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("_payload", ignorenulls=True).over(w)
+
+    def clip(match, side: str):
+        if tolerance is None:
+            return match
+        m_ts = match.getField("ts")
         in_tol = (
             m_ts >= F.col("_ts") - tolerance
-            if direction == "backward"
+            if side == "backward"
             else m_ts <= F.col("_ts") + tolerance
         )
-        matched = matched.withColumn(
-            "_match", F.when(in_tol, F.col("_match"))
+        return F.when(in_tol, match)
+
+    if direction == "nearest":
+        # Both passes share the hash exchange: the second window has the
+        # same partitioning and only adds a per-partition re-sort.
+        back = clip(running_match(F.col("_ts").asc()), "backward")
+        fwd = clip(running_match(F.col("_ts").desc()), "forward")
+        matched = (
+            merged.withColumn("_mb", back)
+            .withColumn("_mf", fwd)
+            .where(F.col("_side") == 1)
+        )
+        d_back = F.col("_ts") - F.col("_mb").getField("ts")
+        d_fwd = F.col("_mf").getField("ts") - F.col("_ts")
+        pick = (
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            # exact-distance tie prefers backward (<=)
+            .when(d_back <= d_fwd, F.col("_mb"))
+            .otherwise(F.col("_mf"))
+        )
+        matched = matched.withColumn("_match", pick)
+    else:
+        ts_order = (
+            F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+        )
+        matched = (
+            merged.withColumn("_match", running_match(ts_order))
+            .where(F.col("_side") == 1)
+            .withColumn("_match", clip(F.col("_match"), direction))
         )
     if how == "inner":
         matched = matched.where(F.col("_match").isNotNull())

@@ -25,7 +25,9 @@ the SURVEY §2 core is covered:
   content-hash splits),
 * CDC MERGE apply (one union + per-key row_number shuffle — the MoR
   row-version resolution shape),
-* SCD2 state historization (both window layers on one exchange).
+* SCD2 state historization (both window layers on one exchange),
+* nearest as-of with tolerance (completing the merge_asof triad —
+  both directional passes share one exchange).
 
 Every query is oracle-backed; determinism discipline follows
 registry.py (decimal-exact sums, shared scalar expression shapes).
@@ -969,3 +971,67 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# --- nearest as-of join ------------------------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+cand AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         min(CASE WHEN e.event_id IS NULL THEN NULL ELSE
+           struct_pack(d := abs(epoch_us(e.ts) - epoch_us(p.ts)),
+                       s := CASE WHEN e.ts <= p.ts THEN 0 ELSE 1 END,
+                       t := e.ts,
+                       nid := -e.event_id) END) AS m
+  FROM purchases p
+  LEFT JOIN errors e
+    ON p.user_id = e.user_id
+   AND e.ts >= p.ts - INTERVAL 10 MINUTE
+   AND e.ts <= p.ts + INTERVAL 10 MINUTE
+  GROUP BY p.event_id, p.user_id, p.ts
+)
+SELECT event_id, user_id, ts,
+       m.t    AS asof_ts,
+       -m.nid AS asof_event_id
+FROM cand
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of with tolerance: each purchase matched to the
+    CLOSEST error event within ±10 minutes, exact-distance ties to the
+    backward side (pandas ``merge_asof(direction='nearest')``). The
+    as-of triad is complete: backward (join_asof_purchase_view),
+    forward (join_asof_forward), nearest.
+
+    Scale: still ONE hash exchange — both directional window passes
+    run over the same partitioning (the second WindowExec re-sorts
+    locally, no new shuffle; operators/joins.py), and the oracle's
+    ±range join + argmin never executes. Tie policy replayed in the
+    oracle as an argmin over (distance, side, -event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        how="left",
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", F.col("asof_event_id"))

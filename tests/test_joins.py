@@ -126,3 +126,54 @@ def test_asof_backward_tolerance(spark):
     )
     row = out.collect()[0]
     assert row["asof_ts"] is None and row["asof_rv"] is None
+
+
+def _run_nearest(spark, left_rows, right_rows, tolerance=None):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(left_rows, LEFT_SCHEMA)
+    right = spark.createDataFrame(right_rows, RIGHT_SCHEMA)
+    tol = F.expr(f"INTERVAL {tolerance} SECONDS") if tolerance is not None else None
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_payload=["rv"], direction="nearest", tolerance=tol,
+    )
+    return {(r["k"], r["ts"]): (r["asof_ts"], r["asof_rv"]) for r in out.collect()}
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    res = _run_nearest(
+        spark,
+        [("a", TS(10), 1.0), ("a", TS(26), 2.0)],
+        [("a", TS(0), 100.0), ("a", TS(13), 200.0), ("a", TS(30), 300.0)],
+    )
+    assert res[("a", TS(10))] == (TS(13), 200.0)   # forward closer (3 < 10)
+    assert res[("a", TS(26))] == (TS(30), 300.0)   # forward closer (4 < 13)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    res = _run_nearest(
+        spark,
+        [("a", TS(10), 1.0)],
+        [("a", TS(5), 100.0), ("a", TS(15), 200.0)],
+    )
+    assert res[("a", TS(10))] == (TS(5), 100.0)
+
+
+def test_asof_nearest_tolerance_each_side(spark):
+    # backward candidate outside tolerance, forward inside -> forward wins
+    res = _run_nearest(
+        spark,
+        [("a", TS(100), 1.0)],
+        [("a", TS(0), 100.0), ("a", TS(140), 200.0)],
+        tolerance=60,
+    )
+    assert res[("a", TS(100))] == (TS(140), 200.0)
+    # both outside -> null
+    res2 = _run_nearest(
+        spark,
+        [("a", TS(100), 1.0)],
+        [("a", TS(0), 100.0), ("a", TS(200), 200.0)],
+        tolerance=30,
+    )
+    assert res2[("a", TS(100))] == (None, None)
