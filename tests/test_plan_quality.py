@@ -61,6 +61,16 @@ def test_asof_join_is_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_asof_nearest_still_single_shuffle(spark):
+    """direction='nearest' runs BOTH directional window passes but must
+    still cost exactly one hash exchange — the second WindowExec only
+    re-sorts within the same partitioning."""
+    plan = _plan(QUERIES["join_asof_nearest"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 2  # two directional passes present
+
+
 def test_join_hints_override_planner(spark):
     """Strategy hints must override size-based planning: a merge hint on a
     broadcast-sized dim forces SortMergeJoin; a shuffle_hash hint forces
