@@ -74,6 +74,8 @@ HEADLINE = [
     "cdc_merge_orders",
     "scd2_user_state",
     "join_asof_nearest",
+    "pyds_stream_tick_summary",
+    "basket_part_pairs",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

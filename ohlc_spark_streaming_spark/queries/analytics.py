@@ -1035,3 +1035,95 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=F.expr("INTERVAL 10 MINUTES"),
     )
     return out.select("event_id", "user_id", "ts", "asof_ts", F.col("asof_event_id"))
+
+
+# --- market-basket co-occurrence ----------------------------------------------------
+
+
+@register(
+    "basket_part_pairs",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pc AS (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS pair_cnt
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+),
+part_cnt AS (SELECT p, count(*) AS cnt FROM op GROUP BY p),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+scored AS (
+  SELECT pa, pb, pair_cnt,
+         CAST(pair_cnt * n.n_orders AS DOUBLE) / (ca.cnt * cb.cnt) AS lift
+  FROM pc
+  JOIN part_cnt ca ON ca.p = pc.pa
+  JOIN part_cnt cb ON cb.p = pc.pb
+  CROSS JOIN n
+),
+top AS (SELECT * FROM scored ORDER BY lift DESC, pa ASC, pb ASC LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY lift DESC, pa ASC, pb ASC) AS BIGINT)
+         AS rank,
+       pa, pb, pair_cnt, lift
+FROM top
+""",
+)
+def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: the top-20 part pairs by LIFT
+    (P(a,b) / (P(a)P(b))) over order baskets — the co-occurrence mining
+    shape behind recommendations and prompt-template mining alike.
+
+    Scale: baskets are generated IN-ROW from each order's sorted
+    distinct-part array (higher-order transform over slice — O(k²) per
+    order with k bounded by basket size, ~7 in TPC-H, never corpus²);
+    one exchange builds the baskets, one counts pairs (map-side
+    partials), the part-frequency table and the 1-row order count are
+    broadcast; the top-20 runs through TakeOrderedAndProject. Lift is
+    exact-integer products under a single double division — bitwise
+    reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("pr")
+    ).select("pr.pa", "pr.pb")
+    pc = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    part_cnt = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    n_orders = op.agg(F.countDistinct("o").alias("n_orders"))
+    ca = part_cnt.select(F.col("p").alias("pa"), F.col("cnt").alias("cnt_a"))
+    cb = part_cnt.select(F.col("p").alias("pb"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        pc.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .join(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "pair_cnt",
+            (
+                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("lift").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "pa",
+        "pb",
+        "pair_cnt",
+        "lift",
+    )

@@ -528,3 +528,66 @@ def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_anomaly_{next(_counter)}"
     return run_to_memory(agg, name, output_mode="complete")
+
+
+def _pyds_stream_oracle() -> str:
+    from ..sources.python_ds import tick_oracle_sql
+
+    return f"""
+WITH ticks AS ({tick_oracle_sql(2000)})
+SELECT symbol,
+       COUNT(*) AS n_ticks,
+       MIN(tick_id) AS first_tick,
+       MAX(tick_id) AS last_tick,
+       CAST(CAST(SUM(CAST(round(price * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / 100.0 AS total
+FROM ticks
+GROUP BY symbol
+"""
+
+
+@register("pyds_stream_tick_summary", _pyds_stream_oracle())
+def q_pyds_stream_tick_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource AS A STREAM (sf_dir unused — the
+    tape is synthetic): `readStream.format("synthetic_ticks")` drives
+    the SimpleDataSourceStreamReader through real micro-batches (2000
+    rows / 600-row batches => 4 batches), complete-mode per-symbol
+    aggregate, `processAllAvailable()` terminates on the connector's
+    empty-batch signal. Offsets are row indices into the closed-form
+    tape, so ANY batching replays identical rows — the oracle
+    regenerates the tape from range() and value-hash-checks the whole
+    connector+stream path, which the reference's console sink never
+    could (/root/reference/main.py:90-99)."""
+    from ..sources.python_ds import register_tick_source
+    from ..streaming.candles import stream_state_partitions
+
+    register_tick_source(spark)
+    ticks = (
+        spark.readStream.format("synthetic_ticks")
+        .option("total_rows", "2000")
+        .option("rows_per_batch", "600")
+        .load()
+    )
+    cents = F.round(F.col("price") * 100).cast("long")
+    agg = ticks.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min("tick_id").alias("first_tick"),
+        F.max("tick_id").alias("last_tick"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total"),
+    )
+    name = f"pyds_stream_{next(_counter)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions()))
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

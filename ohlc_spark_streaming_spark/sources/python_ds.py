@@ -18,7 +18,12 @@ The multiplier is Knuth's 2654435761 (golden-ratio hash); the modulus
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 MULT = 2654435761
 MOD = 2147483647
@@ -46,9 +51,41 @@ class _TickReader(DataSourceReader):
             yield tick_row(base + j)
 
 
+class _TickStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the tick tape: offsets are plain row indices
+    into the SAME closed-form sequence, so any batching (one micro-batch
+    or fifty) replays identical rows — exactly what checkpoint recovery
+    demands of a real streaming connector. ``read(start)`` hands out the
+    next ``rows_per_batch`` rows and advances the offset; past
+    ``total_rows`` it returns an empty batch with an unchanged offset,
+    which is the "no new data" signal ``processAllAvailable()`` needs to
+    terminate a bounded drive."""
+
+    def __init__(self, options):
+        self.total = int(options.get("total_rows", 2000))
+        self.chunk = int(options.get("rows_per_batch", 600))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = start["i"]
+        if i >= self.total:
+            return (iter([]), start)
+        end = min(i + self.chunk, self.total)
+        return (iter([tick_row(j) for j in range(i, end)]), {"i": end})
+
+    def readBetweenOffsets(self, start, end):
+        # Replay path (failure recovery): offsets fully determine rows.
+        return iter([tick_row(j) for j in range(start["i"], end["i"])])
+
+
 class SyntheticTickSource(DataSource):
     """``spark.read.format("synthetic_ticks")`` — options:
-    ``partitions`` (default 8), ``rows_per_partition`` (default 500)."""
+    ``partitions`` (default 8), ``rows_per_partition`` (default 500).
+    Also streamable: ``spark.readStream.format("synthetic_ticks")`` with
+    ``total_rows`` / ``rows_per_batch`` (micro-batch offsets are row
+    indices into the same closed-form tape)."""
 
     @classmethod
     def name(cls) -> str:
@@ -59,6 +96,9 @@ class SyntheticTickSource(DataSource):
 
     def reader(self, schema):
         return _TickReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _TickStreamReader(self.options)
 
 
 def register_tick_source(spark) -> None:

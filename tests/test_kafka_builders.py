@@ -89,3 +89,29 @@ if _os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"):
             ).collect()
         }
         assert set(range(100)) <= vals
+
+
+def test_pyds_stream_reader_offsets_replay_identically():
+    """The streaming tick reader's recovery path (readBetweenOffsets)
+    must replay exactly the rows the live path (read) produced — offsets
+    are row indices into a closed-form tape, so this is pure arithmetic,
+    testable without a SparkSession."""
+    from ohlc_spark_streaming_spark.sources.python_ds import _TickStreamReader
+
+    r = _TickStreamReader({"total_rows": "50", "rows_per_batch": "7"})
+    live, offsets = [], [r.initialOffset()]
+    while True:
+        rows, nxt = r.read(offsets[-1])
+        rows = list(rows)
+        if not rows:
+            break
+        live.append(rows)
+        offsets.append(nxt)
+    assert sum(len(b) for b in live) == 50
+    assert len(live) == 8  # ceil(50 / 7) micro-batches
+    for start, end, batch in zip(offsets, offsets[1:], live):
+        assert list(r.readBetweenOffsets(start, end)) == batch
+    # past-the-end read: empty batch, offset unchanged (the termination
+    # signal processAllAvailable relies on)
+    rows, nxt = r.read(offsets[-1])
+    assert list(rows) == [] and nxt == offsets[-1]
