@@ -277,3 +277,51 @@ def test_asof_bucketed_inner_and_unmatched(spark):
 
     inner = asof_join_bucketed(left, right, how="inner", **kw).collect()
     assert {(r.k, r.ts) for r in inner} == {("A", ts(1, 30)), ("A", ts(9))}
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """At 100 TB the dim side can exceed the broadcast threshold; Spark's
+    runtime row-level filtering then injects a bloom filter built from the
+    selective dim keys into the FACT scan side (InjectRuntimeFilter). This
+    pins the conditions under which it fires on this engine: shuffle join
+    (no broadcast), creation side selective, thresholds permitting — so a
+    100 TB deployment knows the knob exists and works."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # test-scale data is far below the 10 GB application-side default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        # force the shuffle join: broadcast joins don't need a runtime filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select("l_extendedprice")
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt[:2000]
+        assert "might_contain" in opt, opt[:2000]
+        # and the result is unaffected by the filter (it only prunes)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert j.count() == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
