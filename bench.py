@@ -76,6 +76,8 @@ HEADLINE = [
     "join_asof_nearest",
     "pyds_stream_tick_summary",
     "basket_part_pairs",
+    "dq_expectations",
+    "split_drift_tvd",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

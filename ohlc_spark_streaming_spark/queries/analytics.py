@@ -1127,3 +1127,205 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_cnt",
         "lift",
     )
+
+
+# --- data-quality expectation battery -----------------------------------------------
+
+
+@register(
+    "dq_expectations",
+    """
+WITH checks AS (
+  SELECT 'orders_orderkey_not_null' AS check_name,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations,
+         count(*) AS n_rows
+  FROM orders
+  UNION ALL
+  SELECT 'orders_orderkey_unique',
+         CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT),
+         CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
+  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'orders_status_accepted_values',
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkeys',
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem_qty_positive',
+         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events_ts_in_range',
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2020-01-01 00:00:00'
+                         OR ts > TIMESTAMP '2030-01-01 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM events
+)
+SELECT check_name, n_violations, n_rows,
+       n_violations = 0 AS passed
+FROM checks
+""",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style data-quality expectations as ONE relational
+    battery: not-null, uniqueness (duplicate-key count), accepted
+    values, referential integrity (orphan fact keys), range checks —
+    each a (check_name, n_violations, n_rows, passed) row. The shape a
+    pipeline gate runs before promoting a dataset.
+
+    Scale: every check is either a scan-shaped conditional aggregate
+    (map-side partials, 1-row output) or one key-shuffle (uniqueness
+    groupBy, orphan left join); the union of six tiny aggregates is
+    free. No check materializes violating ROWS — counts only — so the
+    gate's cost is bounded by the scans regardless of how dirty the
+    data is."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def check(name, df, violation, n_rows=None):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(violation, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            (n_rows if n_rows is not None else F.count(F.lit(1))).alias("n_rows"),
+        )
+
+    not_null = check(
+        "orders_orderkey_not_null", orders, F.col("o_orderkey").isNull()
+    )
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.lit("orders_orderkey_unique").alias("check_name"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_rows"),
+        )
+    )
+    accepted = check(
+        "orders_status_accepted_values",
+        orders,
+        ~F.col("o_orderstatus").isin("O", "F", "P"),
+    )
+    orphans = check(
+        "lineitem_orphan_orderkeys",
+        li.join(
+            orders.select(F.col("o_orderkey")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        ),
+        F.col("o_orderkey").isNull(),
+    )
+    qty = check("lineitem_qty_positive", li, F.col("l_quantity") <= 0)
+    ts_range = check(
+        "events_ts_in_range",
+        ev,
+        (F.col("ts") < F.lit("2020-01-01 00:00:00").cast("timestamp_ntz"))
+        | (F.col("ts") > F.lit("2030-01-01 00:00:00").cast("timestamp_ntz")),
+    )
+    out = (
+        not_null.unionByName(dup)
+        .unionByName(accepted)
+        .unionByName(orphans)
+        .unionByName(qty)
+        .unionByName(ts_range)
+    )
+    return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+# --- train/test distribution drift ---------------------------------------------------
+
+
+@register(
+    "split_drift_tvd",
+    f"""
+WITH assigned AS (
+  SELECT len({_TOKENS}) AS n_tokens,
+         CASE WHEN {hashing.rolling_hash_sql("text")} % 100 < 80 THEN 'train'
+              WHEN {hashing.rolling_hash_sql("text")} % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+),
+bucketed AS (
+  SELECT split, CAST(least(n_tokens // 20, 9) AS BIGINT) AS bucket
+  FROM assigned
+),
+dist AS (
+  SELECT split, bucket, count(*) AS n,
+         CAST(count(*) AS DOUBLE)
+           / SUM(count(*)) OVER (PARTITION BY split) AS frac
+  FROM bucketed GROUP BY split, bucket
+),
+tr AS (SELECT bucket, frac AS f_train FROM dist WHERE split = 'train'),
+te AS (SELECT bucket, frac AS f_test FROM dist WHERE split = 'test')
+SELECT b.bucket,
+       COALESCE(tr.f_train, 0.0) AS f_train,
+       COALESCE(te.f_test, 0.0)  AS f_test,
+       abs(COALESCE(tr.f_train, 0.0) - COALESCE(te.f_test, 0.0)) AS abs_diff
+FROM (SELECT DISTINCT bucket FROM bucketed) b
+LEFT JOIN tr USING (bucket)
+LEFT JOIN te USING (bucket)
+""",
+)
+def q_split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the train and test splits: document
+    length bucketed to 10 fixed-width bins, per-split proportions, and
+    the per-bucket |p_train - p_test| whose half-sum is the total
+    variation distance — the log-free drift metric (PSI's ln() cannot
+    hash-match across engines; TVD is exact-count division only).
+
+    Scale: one scan computes split + bucket in-row; one (split, bucket)
+    count with map-side partials; the proportion window runs over the
+    ≤30-row distribution table. Drift monitoring at 100 TB costs one
+    aggregation pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    h = hashing.rolling_hash("text") % 100
+    assigned = docs.select(
+        F.size(toks).alias("n_tokens"),
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+    bucketed = assigned.select(
+        "split",
+        F.least(F.floor(F.col("n_tokens") / 20), F.lit(9)).cast("long").alias("bucket"),
+    )
+    wsplit = Window.partitionBy("split")
+    dist = (
+        bucketed.groupBy("split", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "frac", F.col("n").cast("double") / F.sum("n").over(wsplit)
+        )
+    )
+    tr = dist.where(F.col("split") == "train").select(
+        "bucket", F.col("frac").alias("f_train")
+    )
+    te = dist.where(F.col("split") == "test").select(
+        "bucket", F.col("frac").alias("f_test")
+    )
+    buckets = bucketed.select("bucket").distinct()
+    f_train = F.coalesce(F.col("f_train"), F.lit(0.0))
+    f_test = F.coalesce(F.col("f_test"), F.lit(0.0))
+    return (
+        buckets.join(tr, "bucket", "left")
+        .join(te, "bucket", "left")
+        .select(
+            "bucket",
+            f_train.alias("f_train"),
+            f_test.alias("f_test"),
+            F.abs(f_train - f_test).alias("abs_diff"),
+        )
+    )
