@@ -101,6 +101,16 @@ NOTES = {
         "TakeOrderedAndProject top-20 — no inverted-index shuffle, no "
         "global sort."
     ),
+    "join_asof_nearest": (
+        "Nearest as-of: BOTH directional window passes over ONE hash "
+        "exchange (the second WindowExec re-sorts locally), per-side "
+        "tolerance clip, in-row pick — no join operator in the plan."
+    ),
+    "basket_part_pairs": (
+        "Market-basket lift: in-row pair generation from sorted basket "
+        "arrays (O(basket^2) per order), one pair-count exchange with "
+        "partials, broadcast frequency tables, TakeOrderedAndProject."
+    ),
 }
 
 
