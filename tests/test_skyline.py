@@ -63,3 +63,13 @@ def test_skyline_single_bucket_and_wide_bucket(spark):
     points = [(i, float(i), float(10 - i)) for i in range(10)]  # anti-chain
     run(spark, points, bucket_width=100.0)  # all in one bucket
     run(spark, points, bucket_width=0.5)    # one point per bucket
+
+
+def test_skyline_negative_coordinates(spark):
+    # floor-bucketing must order correctly for negative x too
+    rng = random.Random(7)
+    points = [
+        (i, round(rng.uniform(-10, 10), 2), round(rng.uniform(-10, 10), 2))
+        for i in range(150)
+    ]
+    run(spark, points, bucket_width=2.5)
