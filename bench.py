@@ -78,6 +78,7 @@ HEADLINE = [
     "basket_part_pairs",
     "dq_expectations",
     "split_drift_tvd",
+    "session_funnel",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

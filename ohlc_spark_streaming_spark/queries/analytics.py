@@ -1329,3 +1329,88 @@ def q_split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(f_train - f_test).alias("abs_diff"),
         )
     )
+
+
+# --- sessionized funnel ---------------------------------------------------------------
+
+
+@register(
+    "session_funnel",
+    """
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), stages AS (
+  SELECT user_id, sid,
+         min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM s GROUP BY user_id, sid
+)
+SELECT
+  count(*) AS n_sessions,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+  CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchase_after
+FROM stages
+""",
+)
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion WITHIN activity sessions: gap-based
+    sessionization (4-hour inactivity, same islands as
+    session_windows_user) composed with the ordered view -> click ->
+    purchase funnel, per (user, session) — "did the visit convert",
+    not "did the user ever convert".
+
+    Scale: sessionization (lag + running sum) and the per-session
+    conditional-min aggregate all run on ONE user_id exchange — the
+    windows and the groupBy share partitioning; the funnel reduction
+    is a 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts")
+    gap_break = (
+        F.lag("ts").over(w_ord).isNull()
+        | (
+            F.col("ts") - F.lag("ts").over(w_ord)
+            >= F.expr("INTERVAL 4 HOURS")
+        )
+    )
+    with_sid = ev.select(
+        "user_id", "ts", "event_type",
+        F.when(gap_break, 1).otherwise(0).alias("new_s"),
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stages = with_sid.groupBy("user_id", "sid").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        flag(s1).alias("n_view"),
+        flag(s2).alias("n_click_after"),
+        flag(s3).alias("n_purchase_after"),
+    )
