@@ -79,6 +79,7 @@ HEADLINE = [
     "dq_expectations",
     "split_drift_tvd",
     "session_funnel",
+    "interarrival_stats",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

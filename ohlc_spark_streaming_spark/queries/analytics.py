@@ -1414,3 +1414,55 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag(s2).alias("n_click_after"),
         flag(s3).alias("n_purchase_after"),
     )
+
+
+# --- inter-arrival gap statistics ----------------------------------------------------
+
+
+@register(
+    "interarrival_stats",
+    """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(gap_us)                               AS n_gaps,
+       quantile_cont(gap_us / 1000000.0, 0.5)      AS p50_gap_s,
+       quantile_cont(gap_us / 1000000.0, 0.95)     AS p95_gap_s,
+       max(gap_us / 1000000.0)                     AS max_gap_s
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: exact p50/p95/max
+    of the per-user gap between consecutive events of the same type —
+    the latency/heartbeat profile behind SLO monitoring and
+    sessionization-gap tuning.
+
+    Scale: gaps are a lag window on (user, type) — one hash exchange;
+    the percentile aggregate groups by the 5-value type over scalar
+    gaps (exact percentile sorts within each small group; at 100 TB
+    swap in approx_percentile's mergeable t-digest, same query shape).
+    Gaps are computed in exact integer microseconds and divided once —
+    bit-stable across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    gaps = ev.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " lag(ts) OVER (PARTITION BY user_id, event_type"
+            " ORDER BY ts, event_id), ts)"
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    gap_s = F.col("gap_us") / F.lit(1000000.0)
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.percentile(gap_s, F.lit(0.5)).alias("p50_gap_s"),
+        F.percentile(gap_s, F.lit(0.95)).alias("p95_gap_s"),
+        F.max(gap_s).alias("max_gap_s"),
+    )
