@@ -80,6 +80,7 @@ HEADLINE = [
     "split_drift_tvd",
     "session_funnel",
     "interarrival_stats",
+    "candle_mad_outliers",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1466,3 +1466,76 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(gap_s, F.lit(0.95)).alias("p95_gap_s"),
         F.max(gap_s).alias("max_gap_s"),
     )
+
+
+# --- robust (MAD) anomaly detection on candles ---------------------------------------
+
+
+@register(
+    "candle_mad_outliers",
+    """
+WITH candles AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         event_type             AS symbol,
+         count(*)               AS n_trades
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT symbol, quantile_cont(n_trades, 0.5) AS med FROM candles GROUP BY symbol
+),
+mad AS (
+  SELECT c.symbol, any_value(m.med) AS med,
+         quantile_cont(abs(c.n_trades - m.med), 0.5) AS mad
+  FROM candles c JOIN med m USING (symbol)
+  GROUP BY c.symbol
+)
+SELECT c.symbol,
+       count(*) AS n_hours,
+       CAST(SUM(CASE WHEN abs(c.n_trades - d.med) > 3 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       min(CASE WHEN abs(c.n_trades - d.med) > 3 * d.mad
+                THEN c.window_start END) AS first_outlier
+FROM candles c JOIN mad d USING (symbol)
+GROUP BY c.symbol
+""",
+)
+def q_candle_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the candle series: hourly trade
+    counts more than 3 MAD (median absolute deviation) from the
+    per-symbol median — the heavy-tail-safe complement to
+    anomaly_zscore_events (a single spike inflates a z-score's sd but
+    barely moves MAD).
+
+    Scale: candles are one exchange; the median and MAD tables are
+    per-symbol TINY aggregates joined back broadcast-style; the exact
+    medians sort only per-symbol hourly counts (at 100 TB swap
+    approx_percentile in — same shape). All arithmetic is exact
+    integer counts under interpolated quantiles shared by both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type").alias("symbol"),
+    ).agg(F.count(F.lit(1)).alias("n_trades"))
+    med = candles.groupBy("symbol").agg(
+        F.percentile("n_trades", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        candles.join(F.broadcast(med), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.any_value(F.col("med")).alias("med"),
+            F.percentile(F.abs(F.col("n_trades") - F.col("med")), F.lit(0.5))
+            .alias("mad"),
+        )
+    )
+    out = F.abs(F.col("n_trades") - F.col("med")) > 3 * F.col("mad")
+    return (
+        candles.join(F.broadcast(mad), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(out, 1).otherwise(0)).alias("n_outliers"),
+            F.min(F.when(out, F.col("window_start"))).alias("first_outlier"),
+        )
+    )
