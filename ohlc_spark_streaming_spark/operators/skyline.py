@@ -34,7 +34,19 @@ def skyline_2d_min(
     df: DataFrame, x_col: str, y_col: str, bucket_width: float
 ) -> DataFrame:
     """Rows of ``df`` not strictly dominated in (min ``x_col``, min
-    ``y_col``); all input columns pass through."""
+    ``y_col``); all input columns pass through.
+
+    NULL ``x_col`` rows are preserved: a NULL x can never be strictly
+    dominated (no x compares strictly smaller than NULL under the stated
+    semantics), so they are passed through untouched rather than fed to
+    the bucketed join.
+    """
+    if not bucket_width > 0:
+        raise ValueError(
+            f"bucket_width must be > 0, got {bucket_width!r}"
+        )
+    null_x = df.where(F.col(x_col).isNull())
+    df = df.where(F.col(x_col).isNotNull())
     per_x = (
         df.groupBy(x_col)
         .agg(F.min(y_col).alias("_ymin"))
@@ -70,8 +82,9 @@ def skyline_2d_min(
     dominated: Column = F.col("_thr").isNotNull() & (
         F.col("_thr") < F.col(y_col)
     )
-    return (
+    survivors = (
         df.join(thresholds, x_col)
         .where(~dominated)
         .drop("_thr")
     )
+    return survivors.unionByName(null_x.select(survivors.columns))

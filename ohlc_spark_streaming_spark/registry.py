@@ -106,78 +106,84 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 #
 # The driver hashes only the first 50 registry slots each round, so a
 # static window would leave the rest of the registry with pytest-only
-# verification forever. Policy from round 4 on: 20 ANCHOR slots (the
-# reference-parity core plus one representative per operator family) stay
-# every round; the other 30 slots ROTATE over queries that have not yet
-# produced a driver CORRECTNESS row, until every oracle-backed query has
-# one (tracked in ROTATION.md — regenerate with tools_rotation.py).
+# verification forever. Policy: a small ANCHOR set persists every round;
+# the remaining slots ROTATE over queries that have not yet produced a
+# (green) driver CORRECTNESS row, until every oracle-backed query has one
+# (tracked in ROTATION.md — regenerate with tools_rotation.py).
+#
+# Round-5 policy shift (VERDICT r4 item 3): anchors shrink from 20 to 1 so
+# the ENTIRE verification backlog clears in one round — 47 never-checked
+# names + the q12 re-check (r4's red row, oracle CAST fixed this round) +
+# approx_distinct_parts (r1 checked it oracle-less; its real oracle from
+# r3 has never had a driver row) is exactly 49 slots. The 19 demoted
+# anchors all carry multi-round green driver history and stay under the
+# stricter local bitwise sweep every round (tests/test_registry_oracle.py).
 
-#: Permanent window slots: reference parity + one per family.
+#: Permanent window slots — the flagship reference-parity query (also
+#: what __spark_entry__.entry() runs).
 DRIVER_ANCHORS: tuple[str, ...] = (
-    # Reference parity core (SURVEY §2.1–§2.5)
     "ohlc_candles",
-    "ohlc_candles_faithful",
-    "trade_pipeline",
-    "derive_base",
-    "candle_serialize",
-    "vwap_candles",
-    # One per family
-    "join_semi_anti",
-    "join_asof_purchase_view",
-    "window_rank_battery",
-    "rollup_lineitem",
-    "scalar_functions",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_jaccard_ppjoin",  # adaptive-collapse rewrite in r4 — keep checked
-    "similarity_topk",
-    "text_tfidf",
-    "corpus_prep_pipeline",
-    "streaming_ohlc_candles",
 )
 
-#: Round-4 rotation: 30 never-driver-checked names (VERDICT r3 item 1) —
-#: the remaining TPC-H plan shapes, the uncovered dedup/sampling/text
-#: members, and the windowed streaming modes beyond tumbling.
+#: Round-5 rotation: every name without a green driver CORRECTNESS row.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # TPC-H shapes never driver-checked (r1-r3 windows held 8 of 22)
-    "q4_order_priority",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_by_status",
-    "q14_promo_effect",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_overstocked_suppliers",
-    "q22_dormant_customers",
-    # Dedup family members outside earlier windows
-    "dedup_simhash",
-    "dedup_clusters_star",
-    "dedup_fingerprint",
-    "embedding_near_dup",
-    # Sessionized / sliding aggregation
-    "ohlc_sliding_candles",
-    "session_windows_user",
-    # Sampling / quality family
-    "sample_systematic",
-    "sample_weighted",
-    "sample_stratified",
-    "quality_filter",
-    # Text / sketch / capstone
-    "text_quality",
-    "text_langid",
-    "cms_token_counts",
-    "text_lm_coverage",
-    "rag_retrieve_chunks",
-    # Windowed streaming beyond tumbling (VERDICT r3 item 7)
-    "streaming_sliding_candles",
-    "streaming_session_windows",
+    # Re-checks (red or stale rows)
+    "q12_priority_by_status",  # r4 red: oracle HUGEINT drift, CAST fixed
+    "approx_distinct_parts",  # r1 row predates its real oracle (r3)
+    # Join / relational shapes never driver-checked
+    "join_asof_bucketed",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "orderby_limit_offset",
+    "string_agg_statuses",
+    "zorder_bucket_counts",
+    "latest_event_per_user",
+    "cohort_retention",
+    "skyline_orders",
+    "fuzzy_match_parts",
+    "basket_part_pairs",
+    "cdc_merge_orders",
+    "scd2_user_state",
+    "dq_expectations",
+    # Dedup / similarity / embeddings
+    "dedup_jaccard_pairs",
+    "dedup_span_windows",
+    "embeddings_stats",
+    "similarity_ivf_topk",
+    "similarity_topk_vectorized",
+    # Text / LLM pipeline
+    "text_token_count",
+    "text_fingerprint",
+    "text_normalize",
+    "text_chunks",
+    "profile_documents",
+    "lm_bigram_topk",
+    "quality_classifier_bucket",
+    "bm25_search",
+    "split_leakage_audit",
+    "split_drift_tvd",
+    # Multimodal battery
+    "multimodal_blob_stats",
+    "multimodal_image_decode",
+    "multimodal_meta_entries",
+    "multimodal_frame_sample",
+    # Event analytics (round-4 batch)
+    "funnel_conversion",
+    "session_funnel",
+    "anomaly_zscore_events",
+    "interarrival_stats",
+    "candles_gap_fill",
+    "candle_mad_outliers",
+    # Python DataSource
+    "pyds_tick_summary",
+    "pyds_stream_tick_summary",
+    # Streaming family members never driver-checked
+    "streaming_distinct_keys",
+    "streaming_trade_pipeline",
+    "streaming_static_join",
+    "streaming_stateful_error_counts",
+    "streaming_quality_filter",
+    "streaming_anomaly_zscore",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

@@ -11,11 +11,12 @@ import datetime as _dt
 import math
 
 import duckdb
+import pyarrow as pa
 
 from ohlc_spark_streaming_spark.schemas import TABLE_NAMES
 
 
-def duckdb_run(sql: str, sf_dir: str):
+def duckdb_run(sql: str, sf_dir: str, with_arrow_schema: bool = False):
     con = duckdb.connect()
     try:
         for name in TABLE_NAMES:
@@ -25,9 +26,74 @@ def duckdb_run(sql: str, sf_dir: str):
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
         rows = cur.fetchall()
+        if with_arrow_schema:
+            # Second execution: the cursor above is consumed by fetchall().
+            # Arrow is how the driver transfers the oracle result, so the
+            # Arrow-level types (HUGEINT -> decimal128(38,0), not "int") are
+            # the ones its typed value-hash sees.
+            arrow_schema = con.execute(sql).arrow().schema
+            return cols, rows, arrow_schema
         return cols, rows
     finally:
         con.close()
+
+
+def _arrow_canon(t: pa.DataType) -> str:
+    """Canonical type label for driver-hash-equivalence comparison.
+
+    Collapses representation-only differences the driver's typed hash
+    tolerates (string vs large_string, timestamp unit/tz, list flavors,
+    integer WIDTH — int32 vs int64 both fetch as lossless Python int, and
+    r4 driver rows q7/q8/q9/sample_stratified were green with exactly that
+    drift) but keeps the differences it rejects: int-vs-decimal (the q12
+    HUGEINT bug class), int-vs-float, decimal scale.
+    """
+    if pa.types.is_dictionary(t):
+        return _arrow_canon(t.value_type)
+    if pa.types.is_null(t):
+        return "any"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        # Precision never changes a fetched Decimal's repr; scale does
+        # (Decimal('1') vs Decimal('1.0000')).
+        return f"decimal(scale={t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if (
+        pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_fixed_size_binary(t)
+    ):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        return f"list<{_arrow_canon(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{_arrow_canon(t.key_type)},{_arrow_canon(t.item_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_arrow_canon(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def spark_arrow_schema(df) -> pa.Schema:
+    """Arrow schema Spark would produce for df (no data collection)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
 
 
 def _norm(v):
@@ -50,10 +116,28 @@ def compare_query_to_oracle(spark, query_fn, oracle: str, sf_dir: str):
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
 
-    duck_cols, duck_rows = duckdb_run(oracle, sf_dir)
+    duck_cols, duck_rows, duck_arrow = duckdb_run(
+        oracle, sf_dir, with_arrow_schema=True
+    )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"
+    )
+
+    # Arrow-level type discipline: the driver's value hash is typed at the
+    # Arrow layer, where e.g. DuckDB SUM(int) surfaces as HUGEINT
+    # (decimal128(38,0)) while Spark emits int64 — both fetch as Python
+    # `int`, so only an Arrow-schema comparison catches the drift before
+    # the driver does (the r4 q12_priority_by_status bug class).
+    s_arrow = {f.name: _arrow_canon(f.type) for f in spark_arrow_schema(df)}
+    d_arrow = {f.name: _arrow_canon(f.type) for f in duck_arrow}
+    arrow_mismatch = {
+        c: (s_arrow[c], d_arrow[c])
+        for c in spark_cols
+        if "any" not in (s_arrow[c], d_arrow[c]) and s_arrow[c] != d_arrow[c]
+    }
+    assert not arrow_mismatch, (
+        f"arrow type mismatch (spark, duckdb): {arrow_mismatch}"
     )
 
     # Python-type discipline per column: int vs float drift (e.g. DuckDB

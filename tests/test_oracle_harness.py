@@ -75,3 +75,46 @@ def test_fails_on_python_type_drift(spark):
             "SELECT CAST(1 AS DOUBLE) AS a",
             SF_SMOKE,
         )
+
+
+def test_fails_on_uncast_integer_sum_hugeint(spark):
+    # The r4 q12 bug class: DuckDB SUM(int) is HUGEINT (Arrow
+    # decimal128(38,0)); Spark SUM(int) is BIGINT (Arrow int64). Both
+    # fetch as Python int, so only the Arrow-schema check can reject it.
+    with pytest.raises(AssertionError, match="arrow type mismatch"):
+        compare_query_to_oracle(
+            spark,
+            _q("SELECT SUM(x) AS s FROM (SELECT CAST(1 AS INT) AS x)"),
+            "SELECT SUM(x) AS s FROM (SELECT CAST(1 AS INT) AS x)",
+            SF_SMOKE,
+        )
+
+
+def test_passes_on_cast_integer_sum(spark):
+    compare_query_to_oracle(
+        spark,
+        _q("SELECT SUM(x) AS s FROM (SELECT CAST(1 AS INT) AS x)"),
+        "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (SELECT CAST(1 AS INT) AS x)",
+        SF_SMOKE,
+    )
+
+
+def test_tolerates_integer_width_drift(spark):
+    # int32 vs int64 both fetch as lossless Python int — the driver hash
+    # tolerates this (q7/q8/q9 were green in r4 with exactly this drift).
+    compare_query_to_oracle(
+        spark,
+        _q("SELECT CAST(1 AS INT) AS a"),
+        "SELECT CAST(1 AS BIGINT) AS a",
+        SF_SMOKE,
+    )
+
+
+def test_fails_on_int_vs_float_drift(spark):
+    with pytest.raises(AssertionError, match="type mismatch"):
+        compare_query_to_oracle(
+            spark,
+            _q("SELECT CAST(1 AS INT) AS a"),
+            "SELECT CAST(1 AS DOUBLE) AS a",
+            SF_SMOKE,
+        )

@@ -73,3 +73,22 @@ def test_skyline_negative_coordinates(spark):
         for i in range(150)
     ]
     run(spark, points, bucket_width=2.5)
+
+
+def test_skyline_rejects_nonpositive_bucket_width(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0, 1.0)], SCHEMA)
+    with pytest.raises(ValueError, match="bucket_width"):
+        skyline_2d_min(df, "x", "y", 0.0)
+    with pytest.raises(ValueError, match="bucket_width"):
+        skyline_2d_min(df, "x", "y", -1.0)
+
+
+def test_skyline_preserves_null_x_rows(spark):
+    # NULL x is never strictly dominated (no value is strictly < NULL),
+    # matching the SQL NOT EXISTS oracle semantics.
+    points = [(1, 1.0, 5.0), (2, None, 0.1), (3, 2.0, 1.0), (4, 3.0, 6.0)]
+    df = spark.createDataFrame(points, SCHEMA)
+    got = {r["id"] for r in skyline_2d_min(df, "x", "y", 1.0).collect()}
+    assert got == {1, 2, 3}  # 4 dominated by 3; NULL-x row 2 survives

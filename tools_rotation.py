@@ -49,9 +49,9 @@ def main() -> None:
         "",
         "The per-round correctness gate hashes only the FIRST 50 registry",
         "slots, so the window rotates until every oracle-backed query has at",
-        "least one driver-verified CORRECTNESS row. 20 anchor slots (reference",
-        "parity + one per operator family) persist every round; 30 slots",
-        "rotate over not-yet-checked names. Regenerate with",
+        f"least one driver-verified CORRECTNESS row. {len(DRIVER_ANCHORS)} anchor slot(s)",
+        f"persist every round; {len(DRIVER_ROTATION)} slots rotate over names without a",
+        "green driver row. Regenerate with",
         "`python tools_rotation.py` after editing `registry.DRIVER_ROTATION`.",
         "",
         f"- registered queries: **{len(QUERIES)}**"
@@ -65,11 +65,11 @@ def main() -> None:
         "",
         "## Current window (50)",
         "",
-        "### Anchors (20, permanent)",
+        f"### Anchors ({len(DRIVER_ANCHORS)}, permanent)",
         "",
     ]
     lines += [f"- `{n}`" for n in DRIVER_ANCHORS]
-    lines += ["", "### Rotation (30, this round)", ""]
+    lines += ["", f"### Rotation ({len(DRIVER_ROTATION)}, this round)", ""]
     lines += [f"- `{n}`" for n in DRIVER_ROTATION]
     lines += ["", "## Remaining for future rotations", ""]
     if remaining:

@@ -136,6 +136,8 @@ def main() -> None:
     md_out = None
     if "--md" in argv:
         i = argv.index("--md")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("usage: tools_scale_check.py [--window] [--md PATH] [query ...]")
         md_out = argv[i + 1]
         del argv[i : i + 2]
     use_window = "--window" in argv

@@ -46,7 +46,10 @@ def main() -> int:
 
     n_smoke = len(entry_mod.entry(spark).collect())
     print(f"[verify] t1 smoke: {n_smoke} rows", file=sys.stderr)
-    assert n_smoke > 0
+    if n_smoke <= 0:
+        # not an assert: must survive `python -O`
+        print("[verify] t1 smoke FAILED: entry() returned 0 rows")
+        sys.exit(1)
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     names = [n for n in qs if n in osql and (not only or n in only)]
