@@ -81,6 +81,9 @@ HEADLINE = [
     "session_funnel",
     "interarrival_stats",
     "candle_mad_outliers",
+    # round 5: streaming twins of the analytics family
+    "streaming_interarrival_stats",
+    "streaming_candle_mad_outliers",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1418,10 +1418,9 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- inter-arrival gap statistics ----------------------------------------------------
 
-
-@register(
-    "interarrival_stats",
-    """
+#: Shared with the streaming twin (queries/streaming.py) — the stateful
+#: gap extractor must reproduce exactly these window-ordered diffs.
+INTERARRIVAL_ORACLE = """
 WITH gaps AS (
   SELECT event_type,
          epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
@@ -1436,8 +1435,23 @@ SELECT event_type,
 FROM gaps
 WHERE gap_us IS NOT NULL
 GROUP BY event_type
-""",
-)
+"""
+
+
+def interarrival_rollup(gaps: DataFrame) -> DataFrame:
+    """Percentile/max reduction over (event_type, gap_us) gap rows —
+    shared by the batch query and the streaming twin so batch↔stream
+    parity is by construction."""
+    gap_s = F.col("gap_us") / F.lit(1000000.0)
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.percentile(gap_s, F.lit(0.5)).alias("p50_gap_s"),
+        F.percentile(gap_s, F.lit(0.95)).alias("p95_gap_s"),
+        F.max(gap_s).alias("max_gap_s"),
+    )
+
+
+@register("interarrival_stats", INTERARRIVAL_ORACLE)
 def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival time distribution per event type: exact p50/p95/max
     of the per-user gap between consecutive events of the same type —
@@ -1459,21 +1473,15 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ORDER BY ts, event_id), ts)"
         ).alias("gap_us"),
     ).where(F.col("gap_us").isNotNull())
-    gap_s = F.col("gap_us") / F.lit(1000000.0)
-    return gaps.groupBy("event_type").agg(
-        F.count("gap_us").alias("n_gaps"),
-        F.percentile(gap_s, F.lit(0.5)).alias("p50_gap_s"),
-        F.percentile(gap_s, F.lit(0.95)).alias("p95_gap_s"),
-        F.max(gap_s).alias("max_gap_s"),
-    )
+    return interarrival_rollup(gaps)
 
 
 # --- robust (MAD) anomaly detection on candles ---------------------------------------
 
-
-@register(
-    "candle_mad_outliers",
-    """
+#: Shared with the streaming twin (queries/streaming.py): the stream
+#: produces the same hourly (window_start, symbol, n_trades) candles, so
+#: the identical oracle applies.
+MAD_OUTLIER_ORACLE = """
 WITH candles AS (
   SELECT date_trunc('hour', ts) AS window_start,
          event_type             AS symbol,
@@ -1497,26 +1505,15 @@ SELECT c.symbol,
                 THEN c.window_start END) AS first_outlier
 FROM candles c JOIN mad d USING (symbol)
 GROUP BY c.symbol
-""",
-)
-def q_candle_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier detection on the candle series: hourly trade
-    counts more than 3 MAD (median absolute deviation) from the
-    per-symbol median — the heavy-tail-safe complement to
-    anomaly_zscore_events (a single spike inflates a z-score's sd but
-    barely moves MAD).
+"""
 
-    Scale: candles are one exchange; the median and MAD tables are
-    per-symbol TINY aggregates joined back broadcast-style; the exact
-    medians sort only per-symbol hourly counts (at 100 TB swap
-    approx_percentile in — same shape). All arithmetic is exact
-    integer counts under interpolated quantiles shared by both
-    engines."""
-    ev = load_table(spark, sf_dir, "events")
-    candles = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"),
-        F.col("event_type").alias("symbol"),
-    ).agg(F.count(F.lit(1)).alias("n_trades"))
+
+def mad_outlier_rollup(candles: DataFrame) -> DataFrame:
+    """Per-symbol MAD outlier reduction over (window_start, symbol,
+    n_trades) candle rows — shared by the batch query and the streaming
+    twin. The median and MAD tables are per-symbol TINY aggregates
+    broadcast-joined back; exact medians sort only per-symbol hourly
+    counts (at 100 TB swap approx_percentile in — same shape)."""
     med = candles.groupBy("symbol").agg(
         F.percentile("n_trades", F.lit(0.5)).alias("med")
     )
@@ -1539,3 +1536,25 @@ def q_candle_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(out, F.col("window_start"))).alias("first_outlier"),
         )
     )
+
+
+@register("candle_mad_outliers", MAD_OUTLIER_ORACLE)
+def q_candle_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the candle series: hourly trade
+    counts more than 3 MAD (median absolute deviation) from the
+    per-symbol median — the heavy-tail-safe complement to
+    anomaly_zscore_events (a single spike inflates a z-score's sd but
+    barely moves MAD).
+
+    Scale: candles are one exchange; the median and MAD tables are
+    per-symbol TINY aggregates joined back broadcast-style; the exact
+    medians sort only per-symbol hourly counts (at 100 TB swap
+    approx_percentile in — same shape). All arithmetic is exact
+    integer counts under interpolated quantiles shared by both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    candles = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type").alias("symbol"),
+    ).agg(F.count(F.lit(1)).alias("n_trades"))
+    return mad_outlier_rollup(candles)

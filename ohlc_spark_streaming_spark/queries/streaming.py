@@ -530,6 +530,68 @@ def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, name, output_mode="complete")
 
 
+from .analytics import (  # noqa: E402  (analytics imports before streaming)
+    INTERARRIVAL_ORACLE as _INTERARRIVAL_ORACLE,
+    MAD_OUTLIER_ORACLE as _MAD_ORACLE,
+    interarrival_rollup,
+    mad_outlier_rollup,
+)
+
+
+@register("streaming_interarrival_stats", _INTERARRIVAL_ORACLE)
+def q_streaming_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics ON A STREAM: a custom stateful
+    operator (applyInPandasWithState) carries the last (ts, event_id)
+    per (user, type) across micro-batches and emits each event's gap
+    exactly once (append mode); the percentile reduction then runs over
+    the bounded emission log — same rollup function as the batch twin,
+    so the batch oracle applies verbatim. This is the streaming face of
+    the SLO/heartbeat profile: O(keys) state, Arrow-batched Python, no
+    per-row UDF."""
+    from ..session import default_parallelism
+    from ..streaming.stateful import stateful_interarrival_gaps
+
+    stream = events_stream(spark, sf_dir)
+    gaps = stateful_interarrival_gaps(stream)
+    name = f"stream_gaps_{next(_counter)}"
+    log = run_to_memory(
+        gaps, name, output_mode="append",
+        partitions=max(8, default_parallelism() // 2),
+    )
+    return interarrival_rollup(log)
+
+
+@register("streaming_candle_mad_outliers", _MAD_ORACLE)
+def q_streaming_candle_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (MAD) outlier detection over STREAMED candles: the hourly
+    per-symbol trade-count candles aggregate on the watermarked stream
+    (one stateful windowed count — Structured Streaming forbids chained
+    stream aggregations), then the median/MAD flagging rolls up over the
+    finished candle set with the same shared reduction as the batch twin
+    (the deployed shape: live candle build, periodic robust-bounds sweep
+    over the materialized series)."""
+    stream = events_stream(spark, sf_dir)
+    candles = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(
+            F.window("ts", "1 hour").alias("window"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trades"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "symbol",
+            "n_trades",
+        )
+    )
+    name = f"stream_mad_{next(_counter)}"
+    log = run_to_memory(candles, name, output_mode="complete")
+    # The rollup self-joins the candle set (median/MAD back-join); memory
+    # -sink views hit Spark's conflicting-reference resolution bug under
+    # self-join, so break lineage first (the log is hours×symbols tiny).
+    return mad_outlier_rollup(log.localCheckpoint(eager=True))
+
+
 def _pyds_stream_oracle() -> str:
     from ..sources.python_ds import tick_oracle_sql
 

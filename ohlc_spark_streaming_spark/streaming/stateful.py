@@ -116,3 +116,53 @@ def tws_event_counts(
             timeMode="None",
         )
     )
+
+
+def _gaps_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Per-(user, type) inter-arrival gaps with the previous sighting
+    carried across micro-batches.
+
+    Within a batch the group is sorted by (ts, event_id) — the same total
+    order as the batch oracle's window — and the state tuple holds the
+    last (ts_us, event_id) so the first event of batch N+1 forms its gap
+    against the last event of batch N. Each event's gap is emitted exactly
+    once, so the emission log is append-safe under any batching, PROVIDED
+    per-key arrival is event-time-ordered across batches (true for a
+    time-ordered replay/log; out-of-order arrival needs the batch twin).
+    """
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    ts = pdf["ts"]
+    if getattr(ts.dtype, "tz", None) is not None:
+        ts = ts.dt.tz_localize(None)  # UTC session: drop tz, keep instant
+    pdf = pdf.assign(
+        _ts_us=ts.astype("datetime64[us]").astype("int64")
+    ).sort_values(["_ts_us", "event_id"], ignore_index=True)
+
+    prev_us = state.get[0] if state.exists else None
+    us = pdf["_ts_us"].to_numpy()
+    gaps = pd.Series(us).diff()
+    if prev_us is not None and len(us):
+        gaps.iloc[0] = us[0] - prev_us
+    if len(us):
+        state.update((int(us[-1]), int(pdf["event_id"].iloc[-1])))
+    out = pd.DataFrame(
+        {"event_type": key[1], "gap_us": gaps.dropna().astype("int64")}
+    )
+    yield out
+
+
+def stateful_interarrival_gaps(stream) -> DataFrame:
+    """Inter-arrival gap extraction as a custom stateful operator: one
+    (ts, event_id) tuple of state per (user_id, event_type) key — O(keys)
+    state, RocksDB-ready; the Python worker sees Arrow batches per key
+    group. The batch twin is the lag() window in
+    queries/analytics.py::q_interarrival_stats."""
+    return stream.select(
+        "user_id", "event_type", "ts", "event_id"
+    ).groupBy("user_id", "event_type").applyInPandasWithState(
+        _gaps_per_key,
+        outputStructType="event_type string, gap_us long",
+        stateStructType="ts_us long, event_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

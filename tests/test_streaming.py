@@ -376,3 +376,66 @@ def test_incremental_materialization_compacts_to_batch(tmp_path, spark):
     assert sorted(map(tuple, snapshot.select(*cols).collect())) == sorted(
         map(tuple, batch.select(*cols).collect())
     )
+
+
+def test_stateful_gaps_carry_across_batches(tmp_path, spark):
+    """stateful_interarrival_gaps must form the first gap of batch N+1
+    against the last sighting of batch N: split events into 4 TIME-RANGE
+    files (mtimes forced ascending so the file source replays them in
+    event-time order, like a log), stream one file per micro-batch, and
+    check the gap multiset equals the batch lag() window exactly."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from ohlc_spark_streaming_spark.streaming.candles import run_to_memory
+    from ohlc_spark_streaming_spark.streaming.stateful import (
+        stateful_interarrival_gaps,
+    )
+
+    src = tmp_path / "events_timesplit"
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # 4 contiguous time ranges — cross-batch arrival must be time-ordered
+    # for the stateful gap contract (see stateful_interarrival_gaps).
+    from pyspark.sql import Window as W
+
+    ranked = events.withColumn(
+        "_q", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        part = ranked.where(F.col("_q") == i).drop("_q")
+        path = src / f"part_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(path))
+        t = time.time() - 400 + i * 100
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (t, t))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part_*"))
+    )
+    gaps = stateful_interarrival_gaps(stream)
+    log = run_to_memory(gaps, "stateful_gap_log", output_mode="append")
+
+    got = sorted(
+        (r.event_type, r.gap_us) for r in log.collect()
+    )
+    want = sorted(
+        (r.event_type, r.gap_us)
+        for r in events.select(
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " lag(ts) OVER (PARTITION BY user_id, event_type"
+                " ORDER BY ts, event_id), ts)"
+            ).alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
