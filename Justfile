@@ -21,8 +21,15 @@ check-config:
 test:
     python3 -m pytest tests/ -x -q
 
+# Live-broker round-trip (needs a reachable broker + spark-sql-kafka jars).
+test-kafka-live bootstrap="localhost:9092":
+    SPARK_GRAFT_KAFKA_BOOTSTRAP={{bootstrap}} python3 -m pytest tests/test_kafka_builders.py -q
+
 bench:
     python3 bench.py
 
 scale-check:
-    python3 tools_scale_check.py --window --md
+    python3 tools_scale_check.py --window --md SCALE.md
+
+scale-check-all:
+    python3 tools_scale_check.py --all --md SCALE.md

@@ -137,11 +137,15 @@ def main() -> None:
     if "--md" in argv:
         i = argv.index("--md")
         if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
-            sys.exit("usage: tools_scale_check.py [--window] [--md PATH] [query ...]")
+            sys.exit(
+                "usage: tools_scale_check.py [--window|--all] [--md PATH] [query ...]"
+            )
         md_out = argv[i + 1]
         del argv[i : i + 2]
-    use_window = "--window" in argv
-    if use_window:
+    if "--all" in argv:
+        argv.remove("--all")
+        names = list(QUERIES)
+    elif "--window" in argv:
         argv.remove("--window")
         from ohlc_spark_streaming_spark.registry import DRIVER_WINDOW
 
@@ -175,7 +179,7 @@ def write_md(path: str, results) -> None:
     lines = [
         "# SCALE — 10x duplication scaling ledger",
         "",
-        "Generated by `python tools_scale_check.py --window --md SCALE.md`.",
+        "Generated by `python tools_scale_check.py --all --md SCALE.md`.",
         "",
         "Method: ten id-offset copies of sf0.1 (every document/vector gains",
         "9 true duplicates — the worst case for near-dup operators), written",
@@ -185,8 +189,7 @@ def write_md(path: str, results) -> None:
         "column is the signal. Verdict: sub-linear < 5x, linear 5-13x",
         "(10x data -> ~10x time IS linear), SUPER-LINEAR > 13x = scale bug.",
         "",
-        f"Queries: {len(results)} (full driver window). "
-        f"Super-linear: **{n_super}**.",
+        f"Queries: {len(results)}. Super-linear: **{n_super}**.",
         "",
         "| query | sf0.1 | 10x | ratio | verdict |",
         "|---|---|---|---|---|",
