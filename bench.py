@@ -81,9 +81,13 @@ HEADLINE = [
     "session_funnel",
     "interarrival_stats",
     "candle_mad_outliers",
-    # round 5: streaming twins of the analytics family
+    # round 5: streaming twins of the analytics family + new curation ops
     "streaming_interarrival_stats",
     "streaming_candle_mad_outliers",
+    "streaming_session_funnel",
+    "dedup_cross_source",
+    "doc_length_histogram",
+    "embedding_centroid_assign",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

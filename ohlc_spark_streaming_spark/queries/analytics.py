@@ -1333,10 +1333,9 @@ def q_split_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sessionized funnel ---------------------------------------------------------------
 
-
-@register(
-    "session_funnel",
-    """
+#: Shared with the streaming twin (queries/streaming.py): session_window's
+#: merging semantics produce exactly these gaps-and-islands sessions.
+SESSION_FUNNEL_ORACLE = """
 WITH o AS (
   SELECT user_id, ts, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -1364,8 +1363,26 @@ SELECT
                  AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
     AS n_purchase_after
 FROM stages
-""",
-)
+"""
+
+
+def funnel_rollup(stages: DataFrame) -> DataFrame:
+    """Ordered view -> click -> purchase funnel reduction over per-session
+    stage timestamps (t_view, t_click, t_purchase) — shared by the batch
+    query and the streaming twin; a 1-row aggregate."""
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        flag(s1).alias("n_view"),
+        flag(s2).alias("n_click_after"),
+        flag(s3).alias("n_purchase_after"),
+    )
+
+
+@register("session_funnel", SESSION_FUNNEL_ORACLE)
 def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel conversion WITHIN activity sessions: gap-based
     sessionization (4-hour inactivity, same islands as
@@ -1404,16 +1421,7 @@ def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_ts("click").alias("t_click"),
         first_ts("purchase").alias("t_purchase"),
     )
-    s1 = F.col("t_view").isNotNull()
-    s2 = s1 & (F.col("t_click") > F.col("t_view"))
-    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
-    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
-    return stages.agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        flag(s1).alias("n_view"),
-        flag(s2).alias("n_click_after"),
-        flag(s3).alias("n_purchase_after"),
-    )
+    return funnel_rollup(stages)
 
 
 # --- inter-arrival gap statistics ----------------------------------------------------

@@ -169,6 +169,60 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents", parallelize=True), threshold=0.7)
 
 
+@register(
+    "dedup_cross_source",
+    f"""
+SELECT least(da.source, db.source)    AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)                       AS n_pairs,
+       max(p.jaccard)                 AS max_jaccard
+FROM ({_minhash_pairs_sql(0.7)}) p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE da.source <> db.source
+GROUP BY 1, 2
+""",
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination matrix: near-dup pairs whose endpoints
+    live in DIFFERENT sources, rolled up per source pair — the "dedupe
+    crawl snapshot B against snapshot A / scrub pretraining data against
+    a benchmark corpus" shape, as a corpus-level report instead of a
+    per-pair list.
+
+    Scale: reuses the collapsed MinHash-LSH pair generation (sub-quadratic,
+    duplication-invariant); the two source lookups are hash joins on
+    doc_id; the final rollup groups a pair list that is output-bound by
+    the near-dup structure, into at most |sources|² rows. max() over
+    identical doubles is bit-stable cross-engine (no float sums)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    pairs = minhash_lsh_pairs(docs, threshold=0.7)
+    src = docs.select("doc_id", "source")
+    annotated = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")),
+            "id_b",
+        )
+        .where(F.col("_sa") != F.col("_sb"))
+    )
+    return (
+        annotated.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 def _simhash_sql_cte(bits: int = hashing.SIMHASH_BITS) -> str:
     votes = ", ".join(
         f"CAST(SUM(((sh >> {j}) % 2) * 2 - 1) AS BIGINT) AS v{j}" for j in range(bits)
@@ -343,7 +397,124 @@ def q_embeddings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_centroid_assign",
+    """
+WITH comp AS (
+  SELECT label, unnest(list_transform(embedding::DOUBLE[], (x, i) -> {'i': i, 'v': x})) AS u
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS clabel, u.i AS i,
+         CAST(SUM(CAST(u.v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS c
+  FROM comp GROUP BY 1, 2
+),
+cent_arr AS (
+  SELECT clabel, list(c ORDER BY i) AS centroid FROM cent GROUP BY 1
+),
+assigned AS (
+  SELECT e.vec_id, e.label,
+         min(struct_pack(
+           d := list_sum(list_transform(list_zip(e.embedding::DOUBLE[], ca.centroid),
+                                        z -> (z[1] - z[2]) * (z[1] - z[2]))),
+           l := ca.clabel)).l AS assigned
+  FROM embeddings e CROSS JOIN cent_arr ca
+  GROUP BY 1, 2
+)
+SELECT label, assigned, count(*) AS n_vecs
+FROM assigned GROUP BY 1, 2
+""",
+)
+def q_embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment audit (1 k-means step + confusion
+    matrix): per-label centroids from exact-decimal component sums, every
+    vector re-assigned to its closest centroid by squared euclidean
+    distance (tie → smallest label, the registry's struct-min extremum
+    discipline), counts per (true label, assigned). The semantic-cluster
+    quality check a curation pipeline runs after embedding refresh.
+
+    Scale: centroid build is ONE (label, pos) hash aggregate over the
+    exploded components (map-side combinable); the assignment joins
+    against a #labels-row broadcast table — fan-out |vecs| x |labels|
+    narrow rows, no shuffle on the vector side; confusion rollup is
+    |labels|² rows. The distance fold is the same sequential double
+    arithmetic on both engines (embeddings_stats precedent)."""
+    from ..functions.vectorops import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = as_double_array("embedding")
+    comp = emb.select("label", F.posexplode(vec).alias("pos", "v"))
+    cent = comp.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+        ).alias("centroid")
+    ).select(F.col("label").alias("clabel"), "centroid")
+    dist = F.aggregate(
+        F.zip_with(vec, F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "label", "clabel", dist.alias("dist"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("clabel")))
+            .getField("clabel")
+            .alias("assigned")
+        )
+    )
+    return assigned.groupBy("label", "assigned").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+
+
 # --- text analysis ----------------------------------------------------------
+
+
+@register(
+    "doc_length_histogram",
+    """
+WITH h AS (
+  SELECT length(bin(greatest(n_chars, 1))) AS bucket,
+         count(*)                          AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT)      AS total_chars,
+         min(n_chars)                      AS min_chars,
+         max(n_chars)                      AS max_chars
+  FROM documents GROUP BY 1
+)
+SELECT bucket, n_docs, total_chars, min_chars, max_chars,
+       CAST(SUM(n_docs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_docs
+FROM h
+""",
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document length histogram with cumulative counts —
+    the shard/packing planner's first question ("how much of the corpus
+    is short? where does the tail start?").
+
+    Bucketing is integer-exact on BOTH engines: bucket = number of binary
+    digits of n_chars (``length(bin(x))`` = floor(log2 x) + 1), avoiding
+    the float log2() whose libm rounding can straddle an integer at
+    powers of two. Scale: one map-side-combinable hash aggregate; the
+    cumulative window runs over ≤ 64 bucket rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1))))
+    hist = docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.withColumn("cum_docs", F.sum("n_docs").over(w))
 
 
 @register(

@@ -533,9 +533,43 @@ def q_streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .analytics import (  # noqa: E402  (analytics imports before streaming)
     INTERARRIVAL_ORACLE as _INTERARRIVAL_ORACLE,
     MAD_OUTLIER_ORACLE as _MAD_ORACLE,
+    SESSION_FUNNEL_ORACLE as _FUNNEL_ORACLE,
+    funnel_rollup,
     interarrival_rollup,
     mad_outlier_rollup,
 )
+
+
+@register("streaming_session_funnel", _FUNNEL_ORACLE)
+def q_streaming_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion funnel ON A STREAM: session_window's merging
+    state builds the same gaps-and-islands sessions as the batch twin's
+    lag/running-sum sessionization (splits at diff >= 4h, end-exclusive),
+    with the three conditional stage-min timestamps folding per session —
+    ONE stateful aggregation, O(1) scalars of state per live session; the
+    1-row funnel reduction then runs over the finished session set with
+    the shared rollup. Oracle identical to the batch query."""
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    stream = events_stream(spark, sf_dir)
+    stages = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(
+            F.session_window(F.col("ts"), "4 hours").alias("session"),
+            "user_id",
+        )
+        .agg(
+            first_ts("view").alias("t_view"),
+            first_ts("click").alias("t_click"),
+            first_ts("purchase").alias("t_purchase"),
+        )
+        .select("user_id", "t_view", "t_click", "t_purchase")
+    )
+    name = f"stream_funnel_{next(_counter)}"
+    log = run_to_memory(stages, name, output_mode="complete")
+    return funnel_rollup(log)
 
 
 @register("streaming_interarrival_stats", _INTERARRIVAL_ORACLE)

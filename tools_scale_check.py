@@ -138,9 +138,17 @@ def main() -> None:
         i = argv.index("--md")
         if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
             sys.exit(
-                "usage: tools_scale_check.py [--window|--all] [--md PATH] [query ...]"
+                "usage: tools_scale_check.py [--window|--all] [--md PATH]"
+                " [--ledger PATH] [query ...]"
             )
         md_out = argv[i + 1]
+        del argv[i : i + 2]
+    ledger = None
+    if "--ledger" in argv:
+        i = argv.index("--ledger")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("--ledger requires a path")
+        ledger = argv[i + 1]
         del argv[i : i + 2]
     if "--all" in argv:
         argv.remove("--all")
@@ -152,12 +160,26 @@ def main() -> None:
         names = list(DRIVER_WINDOW)
     else:
         names = argv or DEFAULT_QUERIES
+    # Resumable sweeps: with --ledger, finished rows persist to a JSONL
+    # file as they compute; a re-run skips names already in the ledger and
+    # the final markdown is written from the ACCUMULATED rows, so a long
+    # --all sweep survives interruption and runs in chunks.
+    import json
+
+    done: dict[str, tuple[float, float, float]] = {}
+    if ledger and os.path.exists(ledger):
+        with open(ledger) as f:
+            for line in f:
+                r = json.loads(line)
+                done[r["name"]] = (r["small"], r["big"], r["ratio"])
     spark = build_session(app_name="scale-check")
     spark.sparkContext.setLogLevel("ERROR")
     synthesize(spark)
     print(f"{'query':35s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
-    results = []
+    results = [(n, *v) for n, v in done.items() if n in names]
     for name in names:
+        if name in done:
+            continue
         fn = QUERIES.get(name)
         if fn is None:
             print(f"{name:35s}  (unknown)")
@@ -168,7 +190,15 @@ def main() -> None:
         spark.catalog.clearCache()
         ratio = big / small
         results.append((name, small, big, ratio))
-        print(f"{name:35s} {small:7.2f}s {big:7.2f}s {ratio:5.1f}x")
+        print(f"{name:35s} {small:7.2f}s {big:7.2f}s {ratio:5.1f}x", flush=True)
+        if ledger:
+            with open(ledger, "a") as f:
+                f.write(
+                    json.dumps(
+                        {"name": name, "small": small, "big": big, "ratio": ratio}
+                    )
+                    + "\n"
+                )
     spark.stop()
     if md_out:
         write_md(md_out, results)
