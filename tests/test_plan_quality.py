@@ -145,3 +145,23 @@ def test_vocab_top_tokens_is_take_ordered(spark):
     100-row heaps) — not a global sort or a full-vocab window."""
     plan = _plan(QUERIES["vocab_top_tokens"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_centroid_assignment_broadcasts_centroids(spark):
+    """embedding_centroid_assign: the per-label centroid table must hit
+    the vectors as a broadcast (no shuffle of the vector side for the
+    assignment), and the confusion rollup stays a hash aggregate."""
+    plan = _plan(QUERIES["embedding_centroid_assign"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_doc_length_histogram_single_agg_exchange(spark):
+    """doc_length_histogram: one partial+final hash aggregate on the
+    bucket key; the cumulative window must run AFTER aggregation (over
+    bucket rows), never over the raw corpus."""
+    plan = _plan(QUERIES["doc_length_histogram"](spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 3  # agg + single-partition window
+    # Window input is the aggregated bucket table, not the scan: the
+    # aggregate appears below the window in the tree.
+    assert "HashAggregate" in plan

@@ -111,6 +111,22 @@ NOTES = {
         "arrays (O(basket^2) per order), one pair-count exchange with "
         "partials, broadcast frequency tables, TakeOrderedAndProject."
     ),
+    "dedup_cross_source": (
+        "Cross-corpus contamination matrix: collapsed MinHash-LSH pair "
+        "generation (sub-quadratic, duplication-invariant), two hash "
+        "joins on doc_id for source lookup, |sources|^2-row rollup."
+    ),
+    "doc_length_histogram": (
+        "Power-of-two length histogram: one map-side-combinable hash "
+        "aggregate on an integer-exact bucket (length(bin(x))); the "
+        "cumulative window runs over <= 64 bucket rows."
+    ),
+    "embedding_centroid_assign": (
+        "Nearest-centroid audit: ONE (label, pos) hash aggregate over "
+        "exploded components builds the centroids; assignment joins a "
+        "#labels-row broadcast (no vector-side shuffle); confusion "
+        "rollup is |labels|^2 rows."
+    ),
 }
 
 
