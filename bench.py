@@ -88,6 +88,10 @@ HEADLINE = [
     "dedup_cross_source",
     "doc_length_histogram",
     "embedding_centroid_assign",
+    "dedup_containment",
+    "embedding_quantize_int8",
+    "part_hierarchy_rollup",
+    "cooc_lift_topk",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -344,6 +344,132 @@ def jaccard_ppjoin_pairs(
     return _expand_group_pairs(_ppjoin_rep_pairs(groups, threshold), groups)
 
 
+def _containment_rep_pairs(reps: DataFrame, threshold: float) -> DataFrame:
+    """Directed containment core over distinct ``(rep, units, n_units)``
+    rows: ``(rep_a, rep_b, containment)`` for every ORDERED pair with
+    C(A→B) = |A∩B| / |A| ≥ threshold and rep_a ≠ rep_b.
+
+    Containment is the asymmetric near-dup relation — "A is quoted
+    inside B" — so the prefix filter only binds on the PROBE side: if
+    |A∩B| ≥ t·|A| then at most |A| − ⌈t·|A|⌉ elements of A miss B, so
+    A's rarest-first prefix of length |A| − ⌈t·|A|⌉ + 1 must contain an
+    element of B — ANY element, not just B's prefix. Candidates are
+    therefore A-prefix ⋈ B-full-posting on the shingle key; the
+    rarest-first order keeps boilerplate shingles (huge document
+    frequency) out of prefixes, so the per-shingle fan-out is
+    df_prefix·df, not df². Lossless size prune: |A∩B| ≤ |B|, so
+    |B| ≥ t·|A| is necessary.
+    """
+    per_rep = reps.select(F.col("rep"), F.explode("units").alias("sh"), "n_units")
+    dfreq = per_rep.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    pos = F.row_number().over(
+        Window.partitionBy("rep").orderBy(F.col("df").asc(), F.col("sh").asc())
+    )
+    prefix_len = F.col("n_units") - F.ceil(F.lit(threshold) * F.col("n_units")) + 1
+    prefix_a = (
+        per_rep.join(dfreq, "sh")
+        .withColumn("_pos", pos)
+        .where(F.col("_pos") <= prefix_len)
+        .select(
+            F.col("rep").alias("rep_a"),
+            F.col("sh").alias("a_sh"),
+            F.col("n_units").alias("a_n"),
+        )
+    )
+    full_b = per_rep.select(
+        F.col("rep").alias("rep_b"),
+        F.col("sh").alias("b_sh"),
+        F.col("n_units").alias("b_n"),
+    )
+    cand = (
+        prefix_a.join(
+            full_b,
+            (F.col("a_sh") == F.col("b_sh"))
+            & (F.col("rep_a") != F.col("rep_b"))
+            & (F.col("b_n") >= F.lit(threshold) * F.col("a_n")),
+        )
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+    sa = reps.select(F.col("rep").alias("rep_a"), F.col("units").alias("a_units"))
+    sb = reps.select(F.col("rep").alias("rep_b"), F.col("units").alias("b_units"))
+    cont = F.size(F.array_intersect("a_units", "b_units")) / F.size("a_units")
+    return (
+        cand.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .select("rep_a", "rep_b", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def _expand_group_pairs_directed(
+    rep_pairs: DataFrame, groups: DataFrame, score_col: str
+) -> DataFrame:
+    """Directed twin of :func:`_expand_group_pairs`: verified rep pairs
+    expand to ORDERED member pairs (id_a from A's group, id_b from B's,
+    direction preserved); within-group pairs (identical sets ⇒ score 1.0
+    both ways) emit every ordered pair. Output-bound, like the
+    undirected expansion."""
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("members").alias("_ma"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("members").alias("_mb"))
+    cross = (
+        rep_pairs.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(F.explode("_ma").alias("id_a"), "_mb", score_col)
+        .select("id_a", F.explode("_mb").alias("id_b"), score_col)
+    )
+    within = (
+        groups.where(F.size("members") >= 2)
+        .select(F.explode("members").alias("id_a"), "members")
+        .select(
+            "id_a",
+            F.explode("members").alias("id_b"),
+            F.lit(1.0).alias(score_col),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    return cross.unionByName(within)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    collapse: bool | None = None,
+) -> DataFrame:
+    """GLOBAL directed shingle-containment pairs: every ordered pair
+    (A, B) with |A∩B| / |A| ≥ threshold — the asymmetric near-dup
+    relation that catches a short document quoted inside a longer one,
+    which symmetric Jaccard misses (a 50-shingle doc fully contained in
+    a 5000-shingle doc has J ≈ 0.01).
+
+    Same scale discipline as :func:`jaccard_ppjoin_pairs`: adaptive
+    identical-set collapse (k exact copies would otherwise fan
+    candidates k²), prefix-filtered candidate generation
+    (:func:`_containment_rep_pairs`), array verification on the bounded
+    candidate set, output-bound directed group expansion.
+    """
+    sets = _persist_tracked(shingle_sets(docs, id_col, text_col))
+    if collapse is None:
+        n_docs, n_distinct = sets.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(F.xxhash64(F.sort_array("units"))),
+        ).first()
+        collapse = n_distinct < (1.0 - COLLAPSE_DUP_FRACTION) * n_docs
+    if not collapse:
+        singles = sets.select(F.col(id_col).alias("rep"), "units", "n_units")
+        return _containment_rep_pairs(singles, threshold).select(
+            F.col("rep_a").alias("id_a"),
+            F.col("rep_b").alias("id_b"),
+            "containment",
+        )
+    groups = _persist_tracked(_set_groups(sets, id_col))
+    return _expand_group_pairs_directed(
+        _containment_rep_pairs(groups, threshold), groups, "containment"
+    )
+
+
 def _token_hash_dict(tok: DataFrame) -> DataFrame:
     """Hash each DISTINCT token once and broadcast the tiny dictionary.
 

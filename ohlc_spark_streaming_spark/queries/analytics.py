@@ -1566,3 +1566,151 @@ def q_candle_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("symbol"),
     ).agg(F.count(F.lit(1)).alias("n_trades"))
     return mad_outlier_rollup(candles)
+
+
+# --- hierarchy rollup (recursive aggregation) --------------------------------
+
+
+@register(
+    "part_hierarchy_rollup",
+    """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS node, p_partkey AS anc FROM part
+  UNION ALL
+  SELECT node, anc // 10 FROM anc WHERE anc // 10 >= 1
+)
+SELECT a.anc AS p_partkey,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(30,2))) AS DOUBLE)
+         AS subtree_retail,
+       MAX(p.p_size) AS max_size
+FROM anc a JOIN part p ON a.node = p.p_partkey
+GROUP BY a.anc
+""",
+)
+def q_part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive subtree aggregation over a parent-pointer hierarchy —
+    the ``WITH RECURSIVE`` shape (BOM explosion, category taxonomy,
+    org-chart rollup) Spark has no native construct for. The hierarchy
+    is the decimal-digit tree over part keys (parent = key DIV 10), so
+    both engines derive identical edges from the same scan; each node
+    reports count / exact-decimal retail sum / max size over its full
+    subtree including itself.
+
+    The oracle recurses level-by-level (depth d iterations); the engine
+    runs POINTER DOUBLING (operators/hierarchy.py) — ⌈log2 d⌉ + 1
+    equi-join shuffles with per-round lineage truncation — the shape
+    that keeps a 40-level hierarchy at 6 shuffle stages on 100 TB.
+    Descendant-side aggregation is ONE hash join (closure ⋈ measures) +
+    one groupBy; nothing pairwise."""
+    from ..operators.hierarchy import subtree_rollup
+    from ..registry import dec_sum
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    edges = p.select(
+        "p_partkey", F.expr("p_partkey DIV 10").alias("parent")
+    ).where(F.col("parent") >= 1)
+    return subtree_rollup(
+        p,
+        edges,
+        "p_partkey",
+        "parent",
+        [
+            F.count(F.lit(1)).alias("n_parts"),
+            dec_sum("p_retailprice", 2).alias("subtree_retail"),
+            F.max("p_size").alias("max_size"),
+        ],
+    )
+
+
+# --- token co-occurrence lift ------------------------------------------------
+
+
+@register(
+    "cooc_lift_topk",
+    """
+WITH toks AS (
+  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ts
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(flatten(list_transform(
+           ts, (a, i) -> list_transform(
+                 list_slice(ts, i + 1, len(ts)), b -> {'a': a, 'b': b})))) AS p
+  FROM toks
+),
+pc AS (
+  SELECT p.a AS tok_a, p.b AS tok_b, count(*) AS n_ab FROM pairs GROUP BY 1, 2
+),
+tc AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_docs FROM toks)
+SELECT tok_a, tok_b, n_ab,
+       (n_ab * n_docs) / (na.n * nb.n) AS lift
+FROM pc
+CROSS JOIN tot
+JOIN tc na ON pc.tok_a = na.tok
+JOIN tc nb ON pc.tok_b = nb.tok
+ORDER BY lift DESC, tok_a ASC, tok_b ASC
+LIMIT 50
+""",
+)
+def q_cooc_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (log-free PMI): for each unordered token
+    pair, P(a,b) / (P(a)·P(b)) over document-level presence — the
+    collocation-mining signal a corpus audit uses to spot boilerplate
+    phrases and template artifacts. Top 50 by lift with full
+    lexicographic tie-break (deterministic limit).
+
+    Scale shape: per-document pair generation is IN-ROW (sorted distinct
+    tokens → combination arrays → one explode) so there is no doc-keyed
+    self-join; cost is Σ_d k_d² rows where k_d is per-doc DISTINCT
+    vocabulary — bounded by min(doc length, corpus vocab), and the pair
+    groupBy gets map-side partial aggregation (hot pairs combine before
+    the exchange). Lift is one exact-integer multiply/divide: n_ab·N and
+    n_a·n_b are bigints, the single double division is deterministic."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    ts = F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+    toks = docs.select("doc_id", ts.alias("ts"))
+    pairs = toks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ts",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ts"), i + 2, F.size("ts")),
+                        lambda b: F.struct(a.alias("a"), b.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    pc = pairs.groupBy(
+        F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    tc = toks.select(F.explode("ts").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n_docs"))
+    na = tc.select(F.col("tok").alias("tok_a"), F.col("n").alias("_na"))
+    nb = tc.select(F.col("tok").alias("tok_b"), F.col("n").alias("_nb"))
+    return (
+        pc.crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(na), "tok_a")
+        .join(F.broadcast(nb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            ((F.col("n_ab") * F.col("n_docs")) / (F.col("_na") * F.col("_nb"))).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.col("lift").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(50)
+    )

@@ -17,6 +17,7 @@ from ..functions import hashing
 from ..functions.textops import BPE_ISH_PATTERN, STOPWORDS
 from ..operators import similarity as sim_ops
 from ..operators.dedup import (
+    containment_pairs,
     exact_dedup,
     fingerprint_dedup,
     jaccard_pairs,
@@ -154,6 +155,119 @@ def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless (operators.dedup.jaccard_ppjoin_pairs)."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return jaccard_ppjoin_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH {{shingles}},
+sets AS (
+  SELECT doc_id, list(DISTINCT sh) AS units, count(DISTINCT sh) AS n_units
+  FROM shg GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       len(list_intersect(a.units, b.units)) / a.n_units AS containment
+FROM sets a JOIN sets b ON a.doc_id != b.doc_id
+WHERE len(list_intersect(a.units, b.units)) / a.n_units >= 0.8
+""".format(shingles=_shared_oracles.shingle_sql_cte().lstrip()),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL directed shingle-containment pairs (|A∩B| / |A| ≥ 0.8) —
+    the asymmetric near-dup relation ("A is quoted inside B") symmetric
+    Jaccard misses for length-mismatched pairs. The oracle states the
+    plain quadratic definition; execution is the prefix-filtered
+    probe-side join with adaptive identical-set collapse
+    (operators.dedup.containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return containment_pairs(docs, threshold=0.8)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+WITH comp AS (
+  SELECT unnest(list_transform(embedding::DOUBLE[], (x, i) -> {'i': i, 'v': x})) AS u
+  FROM embeddings
+),
+dims AS (
+  SELECT u.i AS i, min(u.v) AS mn, max(u.v) AS mx FROM comp GROUP BY 1
+),
+arrs AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+),
+errs AS (
+  SELECT vec_id, len(embedding) AS n_dims,
+         list_transform(
+           list_zip(embedding::DOUBLE[], a.mns, a.mxs),
+           z -> CASE WHEN z[3] = z[2] THEN 0.0
+                ELSE abs(z[1] - (z[2] +
+                  (least(127, greatest(-128,
+                     floor((z[1] - z[2]) * 255 / (z[3] - z[2]) + 0.5) - 128))
+                   + 128) * (z[3] - z[2]) / 255)) END) AS e
+  FROM embeddings CROSS JOIN arrs a
+)
+SELECT vec_id, n_dims,
+       list_sum(e) / n_dims AS mean_abs_err,
+       list_max(e)          AS max_abs_err
+FROM errs
+""",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit: per-dimension global [min, max]
+    ranges (one tiny aggregate, broadcast back), every vector quantized
+    to 8-bit codes and reconstructed, per-vector mean/max absolute
+    reconstruction error — the compression-loss report a vector-store
+    migration runs before switching its index to int8.
+
+    Scale shape: the range pass is posexplode → groupBy(dim) with
+    map-side partial min/max (dims ≪ rows, no skew), collapsed to ONE
+    broadcast row of per-dim arrays; the quantize pass is a scan-shaped
+    in-row array transform — zero additional shuffles, no UDF.
+    Determinism: floor(x + 0.5) rounding (identical IEEE ops both
+    engines) instead of round() whose half-tie convention differs;
+    constant dimensions (mx = mn) quantize to error 0 by definition.
+    """
+    from ..functions.vectorops import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    dims = (
+        emb.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    arrs = dims.agg(
+        F.array_sort(F.collect_list(F.struct("i", "mn", "mx"))).alias("st")
+    ).select(
+        F.transform("st", lambda s: s["mn"]).alias("mns"),
+        F.transform("st", lambda s: s["mx"]).alias("mxs"),
+    )
+
+    def err(x, i):
+        mn = F.element_at("mns", i + 1)
+        mx = F.element_at("mxs", i + 1)
+        code = (
+            F.least(
+                F.lit(127),
+                F.greatest(
+                    F.lit(-128),
+                    F.floor((x - mn) * 255 / (mx - mn) + 0.5) - 128,
+                ),
+            )
+        )
+        recon = mn + (code + 128) * (mx - mn) / 255
+        return F.when(mx == mn, F.lit(0.0)).otherwise(F.abs(x - recon))
+
+    e = F.transform(v, err)
+    return emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        (
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+        ).alias("mean_abs_err"),
+        F.array_max(e).alias("max_abs_err"),
+    )
 
 
 _minhash_sql_cte = _shared_oracles.minhash_sql_cte

@@ -165,3 +165,35 @@ def test_doc_length_histogram_single_agg_exchange(spark):
     # Window input is the aggregated bucket table, not the scan: the
     # aggregate appears below the window in the tree.
     assert "HashAggregate" in plan
+
+
+def test_quantize_broadcasts_dim_ranges(spark):
+    """embedding_quantize_int8: the per-dim [min, max] table collapses to
+    ONE broadcast row — the quantize pass is scan-shaped (broadcast
+    nested-loop against a single row, no shuffle of the vector side,
+    no sort-merge join anywhere)."""
+    plan = _plan(QUERIES["embedding_quantize_int8"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cooc_lift_is_take_ordered_with_broadcast_counts(spark):
+    """cooc_lift_topk: the top-50 must plan as TakeOrderedAndProject
+    (per-task heaps, no global sort) and the two token-count joins must
+    broadcast the tiny count tables against the pair table."""
+    plan = _plan(QUERIES["cooc_lift_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hierarchy_rollup_is_single_join_plus_agg(spark):
+    """part_hierarchy_rollup: after the (eagerly materialized) closure,
+    the rollup itself is ONE equi-join of members onto measures plus one
+    hash aggregate — nothing pairwise, no sort-merge join (the measure
+    side broadcasts at this scale; at 100 TB it becomes one hash
+    shuffle on node id)."""
+    plan = _plan(QUERIES["part_hierarchy_rollup"](spark, SF_SMOKE))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -127,6 +127,32 @@ NOTES = {
         "#labels-row broadcast (no vector-side shuffle); confusion "
         "rollup is |labels|^2 rows."
     ),
+    "embedding_quantize_int8": (
+        "Int8 quantization audit: per-dim [min,max] collapses to ONE "
+        "broadcast row (posexplode → dim hash aggregate, map-side "
+        "combined); the quantize+error pass is a scan-shaped in-row "
+        "array transform against that broadcast — zero extra exchanges "
+        "on the vector side."
+    ),
+    "cooc_lift_topk": (
+        "Token co-occurrence lift: in-row pair combinations (sorted "
+        "distinct tokens → one explode, no doc self-join), pair counts "
+        "via one map-side-combinable hash aggregate, tiny token-count "
+        "tables broadcast back, TakeOrderedAndProject for the top-50 "
+        "(per-task heaps, no global sort)."
+    ),
+    "part_hierarchy_rollup": (
+        "Recursive subtree rollup: the ancestor closure materializes "
+        "via pointer doubling (log2(depth) equi-join rounds, eager "
+        "localCheckpoint truncates lineage); the rollup itself is one "
+        "members⋈measures hash join plus one hash aggregate."
+    ),
+    "dedup_containment": (
+        "Directed containment join: identical-set collapse, rarest-"
+        "first probe-side prefix ⋈ full posting list (equi-join on the "
+        "shingle key, asymmetric size prune), array verification on "
+        "the bounded candidate set, output-bound directed expansion."
+    ),
 }
 
 
