@@ -92,6 +92,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "part_hierarchy_rollup",
     "cooc_lift_topk",
+    "inverted_index_champions",
+    "conjunctive_search",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

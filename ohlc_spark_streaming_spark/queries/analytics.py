@@ -1714,3 +1714,104 @@ def q_cooc_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(50)
     )
+
+
+# --- inverted index (IR family) ----------------------------------------------
+
+_CHAMP_K = 8  # champion-list depth
+
+
+@register(
+    "inverted_index_champions",
+    f"""
+WITH tf AS (
+  SELECT tok AS term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT term, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS rk
+  FROM tf
+)
+SELECT r.term, r.rk, r.doc_id, r.tf, d.df
+FROM ranked r JOIN df d USING (term)
+WHERE r.rk <= {_CHAMP_K}
+""",
+)
+def q_inverted_index_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list inverted index (IR: top-k posting prefix per term):
+    each term's 8 highest-tf documents plus its document frequency —
+    the pre-materialized artifact a ranked-retrieval engine probes
+    instead of full posting lists.
+
+    Skew safety comes from Catalyst, not hand-salting: a row_number
+    window immediately filtered to ≤ k plans as WindowGroupLimit with a
+    PARTIAL pass before the exchange (Spark 3.5+) — every map task
+    keeps only its local top-k per term, so a hot term ships
+    k·n_tasks rows, never its full df. (A hand-salted two-phase
+    variant was measured: one exchange MORE for the same pruning —
+    deleted.) The df table is a map-side-combinable count, broadcast
+    back."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        tf.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= _CHAMP_K)
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return ranked.join(F.broadcast(df_tbl), "term").select(
+        "term", "rk", "doc_id", "tf", "df"
+    )
+
+
+_CONJ_TERMS = ("table", "scan", "window")
+
+
+@register(
+    "conjunctive_search",
+    """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x = 'table'))  AS tf_table,
+       len(list_filter(string_split(text, ' '), x -> x = 'scan'))   AS tf_scan,
+       len(list_filter(string_split(text, ' '), x -> x = 'window')) AS tf_window
+FROM documents
+WHERE len(list_filter(string_split(text, ' '), x -> x = 'table')) > 0
+  AND len(list_filter(string_split(text, ' '), x -> x = 'scan')) > 0
+  AND len(list_filter(string_split(text, ' '), x -> x = 'window')) > 0
+""",
+)
+def q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval (the other half of the IR surface next to
+    bm25_search's ranked OR): documents containing EVERY query term,
+    with per-term tf. Execution is scan-shaped — in-row token filters,
+    no explode, no shuffle at all; the conjunctive predicate drops
+    non-matching documents at the scan. At 100 TB this is the shape
+    that wins whenever the term set is given at plan time; probing the
+    pre-built champion index (inverted_index_champions) wins only when
+    the corpus scan itself is the bottleneck."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    # Closure binding, NOT `lambda x, t=t`: a two-parameter higher-order
+    # lambda receives (element, index) and would silently shadow `t`.
+    def tf_of(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tfs = {t: tf_of(t) for t in _CONJ_TERMS}
+    out = docs.select(
+        "doc_id", *[tfs[t].cast("long").alias(f"tf_{t}") for t in _CONJ_TERMS]
+    )
+    cond = F.lit(True)
+    for t in _CONJ_TERMS:
+        cond = cond & (F.col(f"tf_{t}") > 0)
+    return out.where(cond)

@@ -197,3 +197,21 @@ def test_hierarchy_rollup_is_single_join_plus_agg(spark):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_partial_group_limit(spark):
+    """inverted_index_champions: the top-k window must plan with a
+    PARTIAL WindowGroupLimit below the exchange (map-side top-k per
+    term — a hot term ships k rows per task, never its full posting
+    list) and a broadcast df join — no sort-merge join."""
+    plan = _plan(QUERIES["inverted_index_champions"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_conjunctive_search_is_scan_shaped(spark):
+    """conjunctive_search: in-row token filters only — the plan must
+    contain NO exchange at all (pure scan → project → filter)."""
+    plan = _plan(QUERIES["conjunctive_search"](spark, SF_SMOKE))
+    assert "Exchange" not in plan

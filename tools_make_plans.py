@@ -153,6 +153,16 @@ NOTES = {
         "shingle key, asymmetric size prune), array verification on "
         "the bounded candidate set, output-bound directed expansion."
     ),
+    "inverted_index_champions": (
+        "Champion-list index: tf hash aggregate, then a row_number "
+        "top-k that plans as WindowGroupLimit with a PARTIAL map-side "
+        "pass — a hot term ships k rows per task, never its full "
+        "posting list; df table broadcast back."
+    ),
+    "conjunctive_search": (
+        "Boolean AND retrieval: in-row token filters, zero exchanges — "
+        "pure scan → project → filter."
+    ),
 }
 
 
