@@ -94,6 +94,7 @@ HEADLINE = [
     "cooc_lift_topk",
     "inverted_index_champions",
     "conjunctive_search",
+    "approx_percentile_audit",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

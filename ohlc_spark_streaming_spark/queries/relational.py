@@ -865,6 +865,57 @@ def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_audit",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5)  AS exact_p50,
+       quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+       COUNT(*)                             AS n_rows,
+       TRUE                                 AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable quantile sketch, SURVEY
+    §2.4): the fixed-size summary that replaces a full per-group sort at
+    100 TB. Completes the sketch battery next to the HLL audit
+    (approx_distinct_parts) and the count-min tokens (cms_token_counts).
+
+    Oracle strategy (same as approx_distinct_parts): sketch internals
+    are engine-specific, so the ESTIMATE can't hash cross-engine — the
+    GUARANTEE can. With accuracy a the rank error is ≤ n/a, i.e. the
+    p50 estimate must land inside the exact [p49, p51] value window at
+    10x slack (a=1000 → ε=0.001 quantile points; window is ±0.01).
+    The query emits ``approx_ok`` = both estimates inside their
+    windows; the oracle asserts the same exact percentiles with
+    ``approx_ok`` literally TRUE."""
+    l = load_table(spark, sf_dir, "lineitem")
+    est = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("_lo50"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("_hi50"),
+        F.percentile("l_extendedprice", F.lit(0.98)).alias("_lo99"),
+        F.percentile("l_extendedprice", F.lit(1.00)).alias("_hi99"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(1000)
+        ).alias("_a50"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.99), F.lit(1000)
+        ).alias("_a99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ok = (
+        F.col("_a50").between(F.col("_lo50"), F.col("_hi50"))
+        & F.col("_a99").between(F.col("_lo99"), F.col("_hi99"))
+    )
+    return est.select(
+        "l_returnflag", "exact_p50", "exact_p99", "n_rows", ok.alias("approx_ok")
+    )
+
+
+@register(
     "error_streaks",
     """
 WITH o AS (
