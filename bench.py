@@ -95,6 +95,7 @@ HEADLINE = [
     "inverted_index_champions",
     "conjunctive_search",
     "approx_percentile_audit",
+    "streaming_dedup_exact",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

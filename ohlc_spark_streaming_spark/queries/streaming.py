@@ -687,3 +687,31 @@ def q_pyds_stream_tick_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@register(
+    "streaming_dedup_exact",
+    """
+SELECT sha256(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+)
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup ON A STREAM: documents replayed as a file stream,
+    fingerprinted (sha2-256 — a 32-byte state key however long the
+    document) and reduced to (keeper = min doc_id, copy count) in
+    complete mode — the streaming twin of dedup_fingerprint, and the
+    ingest-time shape of a dedup-at-the-door pipeline: state per
+    distinct document is one fingerprint + two longs, so the stateful
+    aggregation holds the DISTINCT corpus, never the stream. Shares the
+    batch oracle (bounded replay ⇒ identical answer)."""
+    from ..sources.stream import documents_stream
+
+    docs = documents_stream(spark, sf_dir)
+    agg = docs.groupBy(F.sha2("text", 256).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    name = f"stream_dedup_{next(_counter)}"
+    return run_to_memory(agg, name, output_mode="complete")

@@ -43,6 +43,17 @@ CLEAN = [
     "decontaminate_ngram",
     "domain_mixture",
     "text_lm_coverage",
+    # round 5 additions (hierarchy rollup executes its closure eagerly,
+    # so only the final rollup plan is lintable — included anyway).
+    # embedding_quantize_int8 is NOT here: its collect_list builds the
+    # per-dim [min,max] arrays from the DIMS table — bounded by the
+    # embedding dimensionality, not by corpus size — the same
+    # deliberate bounded-collect pattern as dedup_jaccard_ppjoin.
+    "part_hierarchy_rollup",
+    "cooc_lift_topk",
+    "inverted_index_champions",
+    "conjunctive_search",
+    "approx_percentile_audit",
 ]
 
 
