@@ -96,6 +96,7 @@ HEADLINE = [
     "conjunctive_search",
     "approx_percentile_audit",
     "streaming_dedup_exact",
+    "pagerank_copurchase",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1,0 +1,95 @@
+"""Graph analytics over edge DataFrames: fixed-iteration PageRank.
+
+Connected components (operators/dedup.py) covers the reachability side
+of graph work; this module adds the CENTRALITY side — the power
+iteration every feature pipeline reaches for when "how connected is
+this node" becomes a ranking signal (product co-purchase importance,
+document citation weight, account-graph risk).
+
+Execution is the Pregel shape: one equi-join shuffle per iteration
+(edges ⋈ current ranks on the source key), neighbor contributions
+reduced per destination with map-side partial aggregation. Iterations
+are FIXED-COUNT (the common production setting — convergence-to-ε adds
+a driver probe per round), so the whole computation is a statically
+known chain of joins Catalyst plans end-to-end; with AQE the per-round
+shuffle sizes adapt as rank tables shrink-wrap.
+
+Determinism discipline: a contribution pr/deg is a FULL-PRECISION
+double, so the registry's usual CAST-to-DECIMAL trick would round it —
+and double→decimal rounding is the one step engines disagree on (the
+repo's decimal sums elsewhere never round: prices are exactly
+representable at the cast scale). Contributions are instead quantized
+to integer 1e-15 units via ``floor(x·1e15 + 0.5)`` — multiply, add,
+floor are bit-identical IEEE ops in every engine, the units are exact
+BIGINTs (≤ 1e15 < 2^53, per-node mass ≤ 1), and the unit SUM is exact
+integer addition — associative, order-independent, and therefore
+DuckDB-oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Contribution quantum: ranks sum in integer 1e-15 units (see module
+#: docstring). 1e15 stays inside double's exact-integer range (2^53),
+#: and a node's incoming mass is ≤ 1, so per-node unit sums fit bigint.
+_UNIT = 1.0e15
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 2,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list.
+
+    Semantics (declared, matching the oracle): nodes are every distinct
+    endpoint; initial rank is uniform 1/N; each iteration computes
+    ``pr(v) = (1 - d)/N + d · Σ_{u→v} pr(u)/outdeg(u)``. Dangling-mass
+    redistribution is NOT applied (nodes with no out-edges simply leak
+    — the standard simplified formulation; feed symmetric edges for an
+    undirected graph and there are no dangling nodes).
+
+    Returns (node, pr). One edges⋈ranks hash join + one destination
+    aggregate per iteration; the rank and degree tables are node-sized,
+    so at 100 TB they broadcast or co-partition with the edge list —
+    nothing here is pairwise beyond the edges the caller materialized.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration
+    )
+    n = nodes.count()  # bounded scalar: one long
+    base = F.lit((1.0 - damping) / n)
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        units = F.floor(
+            F.col("pr") / F.col("_deg") * F.lit(_UNIT) + F.lit(0.5)
+        ).cast("bigint")
+        contrib = (
+            e.join(pr, e["_src"] == pr["node"])
+            .join(deg, "_src")
+            .select("_dst", units.alias("_t"))
+            .groupBy("_dst")
+            .agg((F.sum("_t").cast("double") / F.lit(_UNIT)).alias("_s"))
+        )
+        pr = nodes.join(
+            contrib, nodes["node"] == contrib["_dst"], "left"
+        ).select(
+            "node",
+            (base + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))).alias(
+                "pr"
+            ),
+        )
+    return pr

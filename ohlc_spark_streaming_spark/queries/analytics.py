@@ -1815,3 +1815,90 @@ def q_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _CONJ_TERMS:
         cond = cond & (F.col(f"tf_{t}") > 0)
     return out.where(cond)
+
+
+# --- graph centrality --------------------------------------------------------
+
+
+@register(
+    "pagerank_copurchase",
+    """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (
+  SELECT src AS node, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg, nn
+),
+c1 AS (
+  SELECT p.dst AS node,
+         CAST(SUM(CAST(floor(pr0.pr / d.deg * 1e15 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS DOUBLE) / 1e15 AS s
+  FROM pairs p
+  JOIN pr0 ON p.src = pr0.node
+  JOIN deg d ON p.src = d.src
+  GROUP BY 1
+),
+pr1 AS (
+  SELECT pr0.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           + CAST(0.85 AS DOUBLE) * coalesce(c1.s, CAST(0.0 AS DOUBLE)) AS pr
+  FROM pr0 LEFT JOIN c1 USING (node), nn
+),
+c2 AS (
+  SELECT p.dst AS node,
+         CAST(SUM(CAST(floor(pr1.pr / d.deg * 1e15 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS DOUBLE) / 1e15 AS s
+  FROM pairs p
+  JOIN pr1 ON p.src = pr1.node
+  JOIN deg d ON p.src = d.src
+  GROUP BY 1
+),
+pr2 AS (
+  SELECT pr1.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           + CAST(0.85 AS DOUBLE) * coalesce(c2.s, CAST(0.0 AS DOUBLE)) AS pr
+  FROM pr1 LEFT JOIN c2 USING (node), nn
+)
+SELECT pr2.node AS p_partkey, d.deg AS degree, pr2.pr AS pr
+FROM pr2 JOIN deg d ON pr2.node = d.src
+""",
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality (operators/graph.py): 2-iteration PageRank over
+    the part co-purchase graph — parts are linked when they appear in
+    the same order; symmetric edges, so there are no dangling nodes.
+    The centrality side of graph work next to the connected-components
+    reachability family; the co-purchase importance signal behind
+    "staple part" detection and recommendation seeding.
+
+    The oracle unrolls the power iteration as two CTE levels with the
+    SAME integer-unit contribution sums (floor(pr/deg · 1e15 + 0.5) —
+    see operators/graph.py's determinism note on why double→decimal
+    casts can't be used here), so ranks hash bit-identically.
+    Scale: the edge list is Σ_orders k² with k = order size (bounded by
+    basket width, ≤ 7 in TPC-H); each iteration is one edges⋈ranks hash
+    join + a map-side-combinable destination aggregate."""
+    from ..operators.graph import pagerank
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("src")
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("dst")
+    )
+    pairs = (
+        a.join(b, "_ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(pairs, n_iter=2)
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return pr.join(deg, pr["node"] == deg["src"]).select(
+        F.col("node").alias("p_partkey"), "degree", "pr"
+    )

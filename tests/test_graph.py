@@ -1,0 +1,49 @@
+"""PageRank operator vs a python reference implementation."""
+
+from __future__ import annotations
+
+from ohlc_spark_streaming_spark.operators.graph import pagerank
+
+
+def brute_pagerank(edges, n_iter=2, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {u: [] for u in nodes}
+    for u, v in edges:
+        out[u].append(v)
+    pr = {u: 1.0 / n for u in nodes}
+    for _ in range(n_iter):
+        units = {u: 0 for u in nodes}
+        for u in nodes:
+            if not out[u]:
+                continue
+            t = int((pr[u] / len(out[u])) * 1.0e15 + 0.5)
+            for v in out[u]:
+                units[v] += t
+        pr = {
+            u: (1.0 - d) / n + d * (units[u] / 1.0e15) for u in nodes
+        }
+    return pr
+
+
+def test_pagerank_matches_reference(spark):
+    # Directed graph with a dangling node (4 has no out-edges: its mass
+    # leaks, per the declared simplified semantics) and a hub (1).
+    edges = [(1, 2), (1, 3), (2, 1), (3, 1), (3, 4), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, n_iter=3).collect()}
+    want = brute_pagerank(edges, n_iter=3)
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-12, (node, got[node], want[node])
+
+
+def test_pagerank_mass_conservation_on_symmetric_graph(spark):
+    """Symmetric edges ⇒ no dangling nodes ⇒ total rank mass stays 1
+    (up to the 1e-15 contribution quantum per edge)."""
+    base = [(i, (i + 1) % 6) for i in range(6)]
+    edges = base + [(v, u) for u, v in base]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(df, n_iter=4).collect()
+    total = sum(r["pr"] for r in rows)
+    assert abs(total - 1.0) < 1e-9, total

@@ -163,6 +163,13 @@ NOTES = {
         "Boolean AND retrieval: in-row token filters, zero exchanges — "
         "pure scan → project → filter."
     ),
+    "pagerank_copurchase": (
+        "2-iteration PageRank: per iteration one edges⋈ranks hash join "
+        "+ one map-side-combinable destination aggregate; contributions "
+        "sum as exact integer 1e-15 units (floor(pr/deg·1e15+0.5)) so "
+        "ranks are order-independent bit-for-bit; node table "
+        "checkpointed once and reused."
+    ),
 }
 
 
