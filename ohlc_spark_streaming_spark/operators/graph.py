@@ -93,3 +93,48 @@ def pagerank(
             ),
         )
     return pr
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seed: int,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Single-source BFS distances, capped at ``max_hops``.
+
+    Returns (node, dist) for every node reachable from ``seed`` within
+    the cap — the hop cap is part of the declared semantics (and what
+    lets the oracle's recursive CTE terminate on cyclic graphs). Each
+    round is one frontier⋈edges hash join + a min-aggregate; rounds =
+    max_hops, with the same localCheckpoint lineage truncation as the
+    other iterative operators. Frontier rounds carry only NEWLY reached
+    nodes, so a round's join cost is the frontier's out-degree sum, not
+    the whole graph.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    dist = (
+        e.sparkSession.range(1)
+        .select(F.lit(seed).cast("bigint").alias("node"))
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["_src"])
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(dist.select(F.col("node").alias("_seen")),
+                  F.col("node") == F.col("_seen"), "left_anti")
+            .withColumn("dist", F.lit(hop).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if reached.limit(1).count() == 0:  # bounded scalar probe
+            break
+        dist = dist.unionByName(reached).localCheckpoint(eager=True)
+        frontier = reached
+    return dist

@@ -1902,3 +1902,60 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.join(deg, pr["node"] == deg["src"]).select(
         F.col("node").alias("p_partkey"), "degree", "pr"
     )
+
+
+_BFS_HOPS = 6
+
+
+@register(
+    "bfs_distance_copurchase",
+    f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+seedt AS (SELECT min(src) AS s FROM pairs),
+walk AS (
+  SELECT s AS node, CAST(0 AS BIGINT) AS d FROM seedt
+  UNION
+  SELECT p.dst, w.d + 1
+  FROM walk w JOIN pairs p ON p.src = w.node
+  WHERE w.d < {_BFS_HOPS}
+)
+SELECT node AS p_partkey, min(d) AS dist FROM walk GROUP BY node
+""",
+)
+def q_bfs_distance_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the part co-purchase graph: hop distance
+    from the lowest-keyed part to every part reachable within 6 hops —
+    the graph-distance side of the family (components = reachability,
+    PageRank = centrality, BFS = proximity; operators/graph.py).
+
+    The oracle is a genuine recursive CTE (UNION-distinct walk, capped
+    at 6 hops so it terminates on the cyclic graph; min over path
+    lengths = BFS level). The engine runs level-synchronous frontier
+    expansion: each round joins only the NEWLY reached frontier against
+    the edge list — cost is frontier out-degree, not graph size — with
+    an anti-join against the settled set and per-round lineage
+    truncation."""
+    from ..operators.graph import bfs_distances
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("src")
+    )
+    b = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("dst")
+    )
+    pairs = (
+        a.join(b, "_ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    seed = pairs.agg(F.min("src")).first()[0]  # bounded scalar
+    out = bfs_distances(pairs, seed=seed, max_hops=_BFS_HOPS)
+    pairs.unpersist()
+    return out.select(F.col("node").alias("p_partkey"), "dist")

@@ -47,3 +47,35 @@ def test_pagerank_mass_conservation_on_symmetric_graph(spark):
     rows = pagerank(df, n_iter=4).collect()
     total = sum(r["pr"] for r in rows)
     assert abs(total - 1.0) < 1e-9, total
+
+
+def test_bfs_distances_match_reference(spark):
+    from collections import deque
+
+    from ohlc_spark_streaming_spark.operators.graph import bfs_distances
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),  # chain
+        (2, 1), (3, 2), (4, 3), (5, 4), (6, 5), (7, 6), (8, 7),
+        (1, 9), (9, 1),  # short branch
+        (20, 21), (21, 20),  # disconnected component: never reached
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, seed=1, max_hops=4).collect()
+    }
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    want, q = {1: 0}, deque([1])
+    while q:
+        u = q.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj.get(u, []):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want, (got, want)

@@ -163,6 +163,13 @@ NOTES = {
         "Boolean AND retrieval: in-row token filters, zero exchanges — "
         "pure scan → project → filter."
     ),
+    "bfs_distance_copurchase": (
+        "Level-synchronous BFS: per hop, the NEW frontier joins the "
+        "edge list (cost = frontier out-degree, not graph size), "
+        "anti-joins the settled set, unions in; recursive-CTE oracle. "
+        "Plan shows only the final settled union — rounds execute "
+        "eagerly with lineage truncation."
+    ),
     "pagerank_copurchase": (
         "2-iteration PageRank: per iteration one edges⋈ranks hash join "
         "+ one map-side-combinable destination aggregate; contributions "
