@@ -97,6 +97,8 @@ HEADLINE = [
     "approx_percentile_audit",
     "streaming_dedup_exact",
     "pagerank_copurchase",
+    "minhash_recall_audit",
+    "embedding_dim_variance",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -94,6 +94,27 @@ WHERE len(list_intersect(sa.units, sb.units))
     / (sa.n_units + sb.n_units - len(list_intersect(sa.units, sb.units))) >= {threshold}"""
 
 
+def jaccard_pairs_global_sql(threshold: float) -> str:
+    """Global exact shingle-Jaccard pairs (id_a < id_b, J ≥ threshold) —
+    the plain shared-shingle count join; shared by dedup_jaccard_ppjoin
+    (queries/llm.py) and the MinHash recall audit (queries/analytics.py)."""
+    return f"""WITH {shingle_sql_cte().lstrip()},
+perdoc AS (
+  SELECT DISTINCT doc_id, sh FROM shg
+), n AS (
+  SELECT doc_id, count(*) AS n FROM perdoc GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM perdoc a JOIN perdoc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.id_a, inter.id_b, inter.i / (na.n + nb.n - inter.i) AS jaccard
+FROM inter
+JOIN n na ON inter.id_a = na.doc_id
+JOIN n nb ON inter.id_b = nb.doc_id
+WHERE inter.i / (na.n + nb.n - inter.i) >= {threshold}"""
+
+
 ANOMALY_ZSCORE_ORACLE = """
 WITH stats AS (
   SELECT event_type,

@@ -45,6 +45,7 @@ from ..operators.skyline import skyline_2d_min
 from ..registry import register
 from ..sources.batch import load_table
 from ._oracles import ANOMALY_ZSCORE_ORACLE
+from ._oracles import jaccard_pairs_global_sql as _jaccard_pairs_global_sql
 from ._oracles import minhash_pairs_sql as _minhash_pairs_sql
 
 _TOKENS = "string_split(text, ' ')"
@@ -1959,3 +1960,52 @@ def q_bfs_distance_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bfs_distances(pairs, seed=seed, max_hops=_BFS_HOPS)
     pairs.unpersist()
     return out.select(F.col("node").alias("p_partkey"), "dist")
+
+
+@register(
+    "minhash_recall_audit",
+    f"""
+WITH ex AS (
+  SELECT id_a, id_b FROM ({_jaccard_pairs_global_sql(0.5)})
+),
+got AS (
+  SELECT id_a, id_b FROM ({_minhash_pairs_sql(0.5)})
+)
+SELECT
+  count(*) AS n_true,
+  CAST(SUM(CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_found,
+  CAST(SUM(CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    / count(*) AS recall
+FROM ex
+LEFT JOIN got g ON ex.id_a = g.id_a AND ex.id_b = g.id_b
+""",
+)
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine auditing its own approximation: exact global Jaccard
+    pairs (J ≥ 0.5, prefix-filtered PPJoin) left-joined against the
+    MinHash-LSH verified pairs at the same threshold — LSH pairs are
+    verified candidates, hence a SUBSET of the truth, so the join
+    measures recall directly (banding controls it: a true pair is
+    missed only when no band collides). The production knob-tuning
+    report for the 100 TB dedup path, run on a sample before committing
+    band parameters — both inputs are the already-subquadratic pair
+    generators, composed with one hash join and a 1-row aggregate."""
+    from ..operators.dedup import jaccard_ppjoin_pairs
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    exact = jaccard_ppjoin_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("_ga"), F.col("id_b").alias("_gb")
+    )
+    joined = exact.join(
+        lsh,
+        (F.col("id_a") == F.col("_ga")) & (F.col("id_b") == F.col("_gb")),
+        "left",
+    )
+    found = F.when(F.col("_ga").isNotNull(), 1).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(found).alias("n_found"),
+        (F.sum(found) / F.count(F.lit(1))).alias("recall"),
+    )

@@ -129,23 +129,7 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_jaccard_ppjoin",
-    f"""
-WITH {_shingle_sql_cte().lstrip()},
-perdoc AS (
-  SELECT DISTINCT doc_id, sh FROM shg
-), n AS (
-  SELECT doc_id, count(*) AS n FROM perdoc GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM perdoc a JOIN perdoc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT inter.id_a, inter.id_b, inter.i / (na.n + nb.n - inter.i) AS jaccard
-FROM inter
-JOIN n na ON inter.id_a = na.doc_id
-JOIN n nb ON inter.id_b = nb.doc_id
-WHERE inter.i / (na.n + nb.n - inter.i) >= 0.5
-""",
+    _shared_oracles.jaccard_pairs_global_sql(0.5),
 )
 def q_dedup_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GLOBAL exact Jaccard pairs (every pair in the corpus, no blocking)
@@ -2035,4 +2019,68 @@ def q_rag_retrieve_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_tokens"),
         )
+    )
+
+
+@register(
+    "embedding_dim_variance",
+    """
+WITH comp AS (
+  SELECT unnest(list_transform(embedding::DOUBLE[], (x, i) -> {'i': i, 'v': x})) AS u
+  FROM embeddings
+),
+s AS (
+  SELECT u.i AS i, count(*) AS n,
+         SUM(CAST(floor(u.v * 1e12 + CAST(0.5 AS DOUBLE))
+                  AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(floor(u.v * u.v * 1e12 + CAST(0.5 AS DOUBLE))
+                  AS DECIMAL(38,0))) AS sx2
+  FROM comp GROUP BY 1
+)
+SELECT CAST(i AS BIGINT) AS dim, n AS n_vecs,
+       CAST(sx AS DOUBLE) / 1e12 / n AS mean,
+       CAST(sx2 AS DOUBLE) / 1e12 / n
+         - (CAST(sx AS DOUBLE) / 1e12 / n) * (CAST(sx AS DOUBLE) / 1e12 / n)
+         AS variance
+FROM s
+""",
+)
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus (dims
+    1-based) — the feature-health report behind whitening, dead-dim
+    detection, and the int8 quantizer's range choice
+    (embedding_quantize_int8 consumes exactly these ranges).
+
+    Determinism: components are full-precision doubles, so decimal
+    casts would round engine-differently (see operators/graph.py);
+    moments are summed as exact integer 1e-12 units via
+    floor(x·1e12 + 0.5) — identical IEEE ops — inside DECIMAL(38,0)
+    accumulators, which hold corpus-scale unit sums without overflow
+    and type-match DuckDB's decimal SUM exactly. One posexplode +
+    one map-side-combinable (dim) aggregate; dims ≪ rows, no skew."""
+    from ..functions.vectorops import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(as_double_array("embedding")).alias("_p", "x")
+    )
+    ux = F.floor(F.col("x") * F.lit(1.0e12) + F.lit(0.5)).cast("decimal(38,0)")
+    ux2 = F.floor(
+        F.col("x") * F.col("x") * F.lit(1.0e12) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    s = (
+        comp.groupBy((F.col("_p") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(ux).alias("_sx"),
+            F.sum(ux2).alias("_sx2"),
+        )
+    )
+    sx_d = F.col("_sx").cast("double") / F.lit(1.0e12) / F.col("n_vecs")
+    sx2_d = F.col("_sx2").cast("double") / F.lit(1.0e12) / F.col("n_vecs")
+    return s.select(
+        "dim",
+        "n_vecs",
+        sx_d.alias("mean"),
+        (sx2_d - sx_d * sx_d).alias("variance"),
     )
