@@ -99,6 +99,7 @@ HEADLINE = [
     "pagerank_copurchase",
     "minhash_recall_audit",
     "embedding_dim_variance",
+    "dedup_hybrid_pairs",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

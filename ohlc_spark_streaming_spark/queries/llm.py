@@ -2084,3 +2084,70 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx_d.alias("mean"),
         (sx2_d - sx_d * sx_d).alias("variance"),
     )
+
+
+@register(
+    "dedup_hybrid_pairs",
+    f"""
+WITH lex AS (
+  SELECT id_a, id_b, jaccard FROM ({_minhash_pairs_sql(0.7)})
+),
+embp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.e, b.e) AS cos_sim
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings) a
+  JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings) b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+)
+SELECT coalesce(l.id_a, e.id_a) AS id_a,
+       coalesce(l.id_b, e.id_b) AS id_b,
+       l.jaccard,
+       e.cos_sim,
+       CASE WHEN l.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+            WHEN l.id_a IS NOT NULL THEN 'lexical'
+            ELSE 'embedding' END AS matched_by
+FROM lex l FULL OUTER JOIN embp e
+  ON l.id_a = e.id_a AND l.id_b = e.id_b
+""",
+)
+def q_dedup_hybrid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid near-dup report: the UNION of the lexical channel
+    (MinHash-LSH, J ≥ 0.7 — catches paraphrase-free copies) and the
+    semantic channel (label-blocked embedding cosine ≥ 0.35 — catches
+    rewordings lexical shingles miss), full-outer-joined on the pair
+    key with a matched_by provenance tag. Documents and vectors share
+    the id space in the testdata, standing in for the doc↔embedding
+    linkage a production curation pipeline carries. Both inputs are the
+    already-subquadratic pair generators; the merge is one hash join."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = minhash_lsh_pairs(docs, threshold=0.7).select(
+        "id_a", "id_b", "jaccard"
+    )
+    embp = embedding_near_dup_pairs(
+        emb, block_col="label", threshold=0.35
+    ).select(
+        F.col("id_a").alias("_ea"),
+        F.col("id_b").alias("_eb"),
+        "cos_sim",
+    )
+    both = F.col("id_a").isNotNull() & F.col("_ea").isNotNull()
+    return (
+        lex.join(
+            embp,
+            (F.col("id_a") == F.col("_ea")) & (F.col("id_b") == F.col("_eb")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("id_a", "_ea").alias("_ka"),
+            F.coalesce("id_b", "_eb").alias("_kb"),
+            "jaccard",
+            "cos_sim",
+            F.when(both, F.lit("both"))
+            .when(F.col("id_a").isNotNull(), F.lit("lexical"))
+            .otherwise(F.lit("embedding"))
+            .alias("matched_by"),
+        )
+        .withColumnsRenamed({"_ka": "id_a", "_kb": "id_b"})
+    )
