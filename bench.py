@@ -100,6 +100,7 @@ HEADLINE = [
     "minhash_recall_audit",
     "embedding_dim_variance",
     "dedup_hybrid_pairs",
+    "spatial_neighbor_pairs",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

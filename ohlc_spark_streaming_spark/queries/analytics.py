@@ -1997,3 +1997,46 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return minhash_recall(docs, threshold=0.5)
+
+
+# --- spatial ----------------------------------------------------------------
+
+
+@register(
+    "spatial_neighbor_pairs",
+    """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 48271) % 10000 AS x,
+         (c_custkey * 69621) % 10000 AS y
+  FROM customer
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 22500
+""",
+)
+def q_spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance self-join: all customer pairs within planar
+    distance 150 on a synthetic 10000² integer grid (coordinates derived
+    from the key so both engines see identical points). The oracle
+    states the quadratic definition; execution is the grid-blocked join
+    (operators/spatial.py) — cells sized to the radius, probe side
+    expanded to its 3×3 neighborhood, one cell equi-join, exact integer
+    distance verification inside the bounded candidate set. The geo
+    twin of the near-dup discipline: never all pairs, always
+    block-then-verify. Note the OUTPUT is quadratic in point density
+    by definition (k points in a radius ⇒ k² qualifying pairs — the
+    10x sweep densifies the same grid 10x and lands at ~12x, which is
+    the answer growing, not the join); production keeps density
+    constant by sizing the grid to the data, exactly as LSH bands are
+    sized to duplication."""
+    from ..operators.spatial import grid_distance_join
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 48271) % 10000).alias("x"),
+        ((F.col("c_custkey") * 69621) % 10000).alias("y"),
+    )
+    return grid_distance_join(c, radius=150)

@@ -170,6 +170,11 @@ NOTES = {
         "Plan shows only the final settled union — rounds execute "
         "eagerly with lineage truncation."
     ),
+    "spatial_neighbor_pairs": (
+        "Grid-blocked distance join: radius-sized cells, probe side "
+        "exploded to its 3x3 neighborhood, ONE cell equi-join, exact "
+        "integer distance verify — never an all-pairs compare."
+    ),
     "pagerank_copurchase": (
         "2-iteration PageRank: per iteration one edges⋈ranks hash join "
         "+ one map-side-combinable destination aggregate; contributions "
