@@ -101,6 +101,7 @@ HEADLINE = [
     "embedding_dim_variance",
     "dedup_hybrid_pairs",
     "spatial_neighbor_pairs",
+    "candles_incremental_update",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -181,3 +181,83 @@ def ohlc_rollup(candles: DataFrame, coarse: str = "1 hour") -> DataFrame:
             "n_trades",
         )
     )
+
+
+def ohlc_partial_candles(
+    df: DataFrame,
+    ts_col: str = "ts",
+    symbol_col: str = "symbol",
+    price_col: str = "price",
+    qty_col: str | None = None,
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Mergeable candle STATE for incremental maintenance.
+
+    Same grouping as :func:`ohlc_candles`, but open/close are kept as
+    their full ``(t, p)`` extrema KEYS instead of bare prices — the one
+    piece of state :func:`ohlc_rollup` gets for free from fine-window
+    boundaries and that SAME-window partials need explicitly: merging
+    two partials of one window must know which partial saw the earlier
+    event. This is exactly the state a streaming aggregation keeps per
+    open window; materializing it batch-side is what makes late-batch
+    backfill (:func:`ohlc_merge_partials`) an aggregate merge instead
+    of a full recompute."""
+    window = F.window(F.col(ts_col), window_duration)
+    volume = F.sum(F.col(qty_col)) if qty_col else F.sum(F.lit(1.0))
+    key = _ts_price(ts_col, price_col)
+    return (
+        df.groupBy(window.alias("window"), F.col(symbol_col).alias("symbol"))
+        .agg(
+            F.min_by(key, key).alias("open_key"),
+            F.max(F.col(price_col)).alias("high"),
+            F.min(F.col(price_col)).alias("low"),
+            F.max_by(key, key).alias("close_key"),
+            volume.alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "symbol",
+            "open_key",
+            "high",
+            "low",
+            "close_key",
+            "volume",
+            "n_trades",
+        )
+    )
+
+
+def ohlc_merge_partials(partials: DataFrame) -> DataFrame:
+    """Merge same-granularity partial candles into final OHLCV rows.
+
+    The merge is the candle monoid: min/max of the extrema keys,
+    min/max of low/high, sums of volume/count — associative and
+    commutative, so ANY partition of the event stream (base + late
+    backfill, per-day ingests, per-source loads) merges to the same
+    bits as a full recompute; the registered query proves that by
+    sharing the flagship's oracle. One hash exchange on
+    (window, symbol); output matches :data:`OHLC_COLUMNS`."""
+    return (
+        partials.groupBy("window_start", "window_end", "symbol")
+        .agg(
+            F.min_by("open_key", "open_key").alias("_ok"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close_key", "close_key").alias("_ck"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_trades").alias("n_trades"),
+        )
+        .select(
+            "window_start",
+            "window_end",
+            "symbol",
+            F.col("_ok.p").alias("open"),
+            "high",
+            "low",
+            F.col("_ck.p").alias("close"),
+            "volume",
+            "n_trades",
+        )
+    )

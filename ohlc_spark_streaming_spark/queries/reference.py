@@ -633,3 +633,31 @@ def q_candle_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mid - dev).alias("lower_band"),
         n.alias("n_window"),
     )
+
+
+@register("candles_incremental_update", _OHLC_ORACLE)
+def q_candles_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental candle maintenance (the late-backfill path): the
+    event stream splits into an already-ingested base (event_id % 7
+    != 0) and a late-arriving delta; each side aggregates to MERGEABLE
+    partial-candle state (open/close kept as (ts, price) extrema keys
+    — operators.ohlc.ohlc_partial_candles) and the two states merge
+    per (window, symbol). Sharing the flagship's full-recompute oracle
+    makes the hash match the proof: incremental merge ≡ recompute,
+    bit for bit — the property that lets a 100 TB candle store absorb
+    a backfill by touching only the affected windows' states instead
+    of rescanning history."""
+    from ..operators.ohlc import ohlc_merge_partials, ohlc_partial_candles
+
+    events = load_table(spark, sf_dir, "events")
+    late = F.col("event_id") % 7 == 0
+
+    def partials(df: DataFrame) -> DataFrame:
+        return ohlc_partial_candles(
+            df, ts_col="ts", symbol_col="event_type", price_col="value",
+            qty_col=None, window_duration="1 hour",
+        )
+
+    base = partials(events.where(~late))
+    delta = partials(events.where(late))
+    return ohlc_merge_partials(base.unionByName(delta))

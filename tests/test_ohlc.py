@@ -119,3 +119,41 @@ def test_twap_weights_partition_the_hour(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_partial_candle_merge_any_partition(spark):
+    """The candle monoid: ANY partition of the events (here a 3-way
+    event_id split) merges to the exact rows of the direct hourly
+    aggregation — including same-window open/close tie-breaks, which is
+    what the (ts, price) extrema keys exist for."""
+    from ohlc_spark_streaming_spark.operators.ohlc import (
+        ohlc_candles,
+        ohlc_merge_partials,
+        ohlc_partial_candles,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    from .conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+
+    def partial(pred):
+        return ohlc_partial_candles(
+            events.where(pred), ts_col="ts", symbol_col="event_type",
+            price_col="value", qty_col=None, window_duration="1 hour",
+        )
+
+    from pyspark.sql import functions as F
+
+    parts = [partial(F.col("event_id") % 3 == k) for k in range(3)]
+    merged = ohlc_merge_partials(parts[0].unionByName(parts[1]).unionByName(parts[2]))
+    direct = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    )
+    key = ["window_start", "symbol"]
+    m = {tuple(r[k] for k in key): r for r in merged.collect()}
+    d = {tuple(r[k] for k in key): r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k].asDict() == d[k].asDict(), (k, m[k], d[k])

@@ -170,6 +170,12 @@ NOTES = {
         "Plan shows only the final settled union — rounds execute "
         "eagerly with lineage truncation."
     ),
+    "candles_incremental_update": (
+        "Incremental candle maintenance: base and delta aggregate to "
+        "mergeable partial state (extrema kept as (ts,price) keys), "
+        "ONE (window,symbol) exchange merges them — hash-equal to the "
+        "full recompute by the shared flagship oracle."
+    ),
     "spatial_neighbor_pairs": (
         "Grid-blocked distance join: radius-sized cells, probe side "
         "exploded to its 3x3 neighborhood, ONE cell equi-join, exact "
