@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_hybrid_pairs",
     "spatial_neighbor_pairs",
     "candles_incremental_update",
+    "stats_chi2_independence",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

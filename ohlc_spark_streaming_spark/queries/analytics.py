@@ -2040,3 +2040,64 @@ def q_spatial_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") * 69621) % 10000).alias("y"),
     )
     return grid_distance_join(c, radius=150)
+
+
+@register(
+    "stats_chi2_independence",
+    """
+WITH obs AS (
+  SELECT c_mktsegment AS seg, o_orderstatus AS status, count(*) AS o
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1, 2
+),
+margins AS (
+  SELECT seg, status, o,
+         SUM(o) OVER (PARTITION BY seg)    AS row_tot,
+         SUM(o) OVER (PARTITION BY status) AS col_tot,
+         SUM(o) OVER ()                    AS n
+  FROM obs
+),
+cells AS (
+  SELECT seg, status, o,
+         CAST(row_tot AS DOUBLE) * col_tot / n AS expected,
+         (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+           * (o - CAST(row_tot AS DOUBLE) * col_tot / n)
+           / (CAST(row_tot AS DOUBLE) * col_tot / n) AS contrib
+  FROM margins
+)
+SELECT count(*) AS n_cells,
+       CAST(SUM(CAST(floor(contrib * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE) / 1e9 AS chi2
+FROM cells
+""",
+)
+def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic between customer market segment
+    and order status — the categorical drift/association test a DQ suite
+    runs next to the TVD split check (split_drift_tvd). Contingency
+    counts are one hash aggregate; the margins are tiny windowed sums
+    over ≤ |segments|·|statuses| cells; per-cell contributions are
+    deterministic double arithmetic from integer counts, and the final
+    reduction uses the integer 1e-9-unit quantized sum (the
+    order-independent float-sum discipline of operators/graph.py)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    obs = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_tot = F.sum("o").over(Window.partitionBy("seg"))
+    col_tot = F.sum("o").over(Window.partitionBy("status"))
+    n = F.sum("o").over(Window.partitionBy())
+    expected = row_tot.cast("double") * col_tot / n
+    contrib = (F.col("o") - expected) * (F.col("o") - expected) / expected
+    cells = obs.select("seg", "status", "o", contrib.alias("contrib"))
+    units = F.floor(F.col("contrib") * F.lit(1.0e9) + F.lit(0.5)).cast("bigint")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.sum(units).cast("double") / F.lit(1.0e9)).alias("chi2"),
+    )
