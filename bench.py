@@ -103,6 +103,7 @@ HEADLINE = [
     "spatial_neighbor_pairs",
     "candles_incremental_update",
     "stats_chi2_independence",
+    "ohlc_rollup_daily",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -661,3 +661,39 @@ def q_candles_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = partials(events.where(~late))
     delta = partials(events.where(late))
     return ohlc_merge_partials(base.unionByName(delta))
+
+
+@register(
+    "ohlc_rollup_daily",
+    """
+SELECT
+  CAST(date_trunc('day', ts) AS TIMESTAMP)      AS window_start,
+  CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+                                                AS window_end,
+  event_type                                    AS symbol,
+  min(struct_pack(t := ts, p := value)).p       AS open,
+  max(value)                                    AS high,
+  min(value)                                    AS low,
+  max(struct_pack(t := ts, p := value)).p       AS close,
+  CAST(count(*) AS DOUBLE)                      AS volume,
+  count(*)                                      AS n_trades
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_ohlc_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-level rollup chain: minute candles → hourly → daily, checked
+    against the direct daily aggregation's oracle. The hash match proves
+    OHLCV mergeability is TRANSITIVE — any pre-aggregation ladder
+    (the continuous-aggregate hierarchy a 100 TB candle store keeps for
+    dashboards at every zoom level) yields the same bits as aggregating
+    raw events once at the coarsest width."""
+    from ..operators.ohlc import ohlc_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    fine = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 minute",
+    )
+    hourly = ohlc_rollup(fine, coarse="1 hour")
+    return ohlc_rollup(hourly, coarse="1 day")
