@@ -104,6 +104,7 @@ HEADLINE = [
     "candles_incremental_update",
     "stats_chi2_independence",
     "ohlc_rollup_daily",
+    "streaming_incremental_candles",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

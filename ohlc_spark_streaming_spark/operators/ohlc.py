@@ -229,35 +229,44 @@ def ohlc_partial_candles(
     )
 
 
-def ohlc_merge_partials(partials: DataFrame) -> DataFrame:
-    """Merge same-granularity partial candles into final OHLCV rows.
+def ohlc_merge_partial_states(partials: DataFrame) -> DataFrame:
+    """State → state: merge partial candles, KEEPING the extrema keys.
 
     The merge is the candle monoid: min/max of the extrema keys,
     min/max of low/high, sums of volume/count — associative and
     commutative, so ANY partition of the event stream (base + late
-    backfill, per-day ingests, per-source loads) merges to the same
-    bits as a full recompute; the registered query proves that by
-    sharing the flagship's oracle. One hash exchange on
-    (window, symbol); output matches :data:`OHLC_COLUMNS`."""
-    return (
-        partials.groupBy("window_start", "window_end", "symbol")
-        .agg(
-            F.min_by("open_key", "open_key").alias("_ok"),
-            F.max("high").alias("high"),
-            F.min("low").alias("low"),
-            F.max_by("close_key", "close_key").alias("_ck"),
-            F.sum("volume").alias("volume"),
-            F.sum("n_trades").alias("n_trades"),
-        )
-        .select(
-            "window_start",
-            "window_end",
-            "symbol",
-            F.col("_ok.p").alias("open"),
-            "high",
-            "low",
-            F.col("_ck.p").alias("close"),
-            "volume",
-            "n_trades",
-        )
+    backfill, per-day ingests, per-source loads, micro-batches) merges
+    to the same bits as a full recompute. Closed over the partial-state
+    shape, so a foreachBatch loop can fold batches into a running state
+    table and merge again next batch."""
+    return partials.groupBy("window_start", "window_end", "symbol").agg(
+        F.min_by("open_key", "open_key").alias("open_key"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close_key", "close_key").alias("close_key"),
+        F.sum("volume").alias("volume"),
+        F.sum("n_trades").alias("n_trades"),
     )
+
+
+def ohlc_finalize_partials(partials: DataFrame) -> DataFrame:
+    """State → final OHLCV rows (:data:`OHLC_COLUMNS` shape)."""
+    return partials.select(
+        "window_start",
+        "window_end",
+        "symbol",
+        F.col("open_key.p").alias("open"),
+        "high",
+        "low",
+        F.col("close_key.p").alias("close"),
+        "volume",
+        "n_trades",
+    )
+
+
+def ohlc_merge_partials(partials: DataFrame) -> DataFrame:
+    """Merge same-granularity partial candles into final OHLCV rows —
+    :func:`ohlc_merge_partial_states` followed by the final projection.
+    One hash exchange on (window, symbol); the registered query proves
+    merge ≡ recompute by sharing the flagship's oracle."""
+    return ohlc_finalize_partials(ohlc_merge_partial_states(partials))

@@ -715,3 +715,58 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_dedup_{next(_counter)}"
     return run_to_memory(agg, name, output_mode="complete")
+
+
+@register("streaming_incremental_candles", _OHLC_ORACLE)
+def q_streaming_incremental_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized candle view driven BY THE STREAM: every
+    micro-batch aggregates to mergeable partial-candle state
+    (operators.ohlc.ohlc_partial_candles) and folds into a running
+    state table via the candle monoid — the foreachBatch twin of a
+    streaming aggregation's state store, but with the state a plain
+    DataFrame the batch engine can serve, snapshot, or backfill
+    (candles_incremental_update is the same merge fed batch-side).
+    Shares the flagship oracle: the folded state finalizes to the full
+    recompute, bit for bit. Cross-batch folding is proven on a 4-file
+    time-split tape in tests/test_streaming.py."""
+    from ..operators.ohlc import (
+        ohlc_finalize_partials,
+        ohlc_merge_partial_states,
+        ohlc_partial_candles,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    holder: dict[str, DataFrame | None] = {"state": None}
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        partial = ohlc_partial_candles(
+            batch_df, ts_col="ts", symbol_col="event_type",
+            price_col="value", qty_col=None, window_duration="1 hour",
+        )
+        cur = holder["state"]
+        un = partial if cur is None else cur.unionByName(partial)
+        # Eager localCheckpoint: the folded state must not re-read prior
+        # micro-batch inputs (they are consumed), and the plan must not
+        # grow with batch count.
+        holder["state"] = ohlc_merge_partial_states(un).localCheckpoint(
+            eager=True
+        )
+
+    import tempfile
+
+    name = f"stream_ivm_{next(_counter)}"
+    # Fresh checkpoint dir per invocation: reusing one across processes
+    # would resume past the already-committed files and fold NOTHING.
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = (
+        stream.writeStream.foreachBatch(fold)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    query.awaitTermination()
+    state = holder["state"]
+    if state is None:
+        raise RuntimeError("stream produced no micro-batches")
+    return ohlc_finalize_partials(state)

@@ -439,3 +439,69 @@ def test_stateful_gaps_carry_across_batches(tmp_path, spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_incremental_candles_fold_across_batches(tmp_path, spark):
+    """The foreachBatch candle fold must merge state ACROSS micro-batches:
+    4 time-split files (one per batch) folded through the candle monoid
+    equal the batch aggregation exactly — including open/close tie-breaks
+    for windows whose events span multiple batches."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ohlc_spark_streaming_spark.operators.ohlc import (
+        ohlc_candles,
+        ohlc_finalize_partials,
+        ohlc_merge_partial_states,
+        ohlc_partial_candles,
+    )
+
+    src = str(tmp_path / "events_split")
+    events = load_table(spark, SF_SMOKE, "events")
+    # repartitionByRange: one part VALUE per file (hash repartition can
+    # collide two values into one partition and yield only 3 files).
+    events.withColumn("part", F.col("event_id") % 4).repartitionByRange(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    holder = {"state": None, "batches": 0}
+
+    def fold(batch_df, _id):
+        partial = ohlc_partial_candles(
+            batch_df, ts_col="ts", symbol_col="event_type",
+            price_col="value", qty_col=None, window_duration="1 hour",
+        )
+        cur = holder["state"]
+        un = partial if cur is None else cur.unionByName(partial)
+        holder["state"] = ohlc_merge_partial_states(un).localCheckpoint(
+            eager=True
+        )
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ivm_t_"))
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["batches"] == 4, holder["batches"]
+
+    got = {
+        (r["window_start"], r["symbol"]): r.asDict()
+        for r in ohlc_finalize_partials(holder["state"]).collect()
+    }
+    want = {
+        (r["window_start"], r["symbol"]): r.asDict()
+        for r in ohlc_candles(
+            events, ts_col="ts", symbol_col="event_type", price_col="value",
+            qty_col=None, window_duration="1 hour",
+        ).collect()
+    }
+    assert got == want
