@@ -2151,3 +2151,47 @@ def q_dedup_hybrid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnsRenamed({"_ka": "id_a", "_kb": "id_b"})
     )
+
+
+@register(
+    "udtf_token_positions",
+    """
+SELECT doc_id,
+       CAST(pos - 1 AS INTEGER) AS pos,
+       tok,
+       CAST(length(tok) AS INTEGER) AS tok_len
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+)
+WHERE doc_id < 50
+""",
+)
+def q_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface demonstration (SURVEY §2.10 — the one UDF
+    class the repo had not yet exhibited): an arrow-batched table
+    function fanning each document into (pos, token, length) rows via
+    a lateral join. DELIBERATELY not a hot-path shape — the builtin
+    twin is ``posexplode(split(...))`` (used everywhere else, zero
+    Python) — and bounded to 50 documents: this registry entry proves
+    the UDTF extension point works end-to-end against the oracle, the
+    way multimodal proves mapInPandas."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string, tok_len int")
+    class TokenPositions:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("token_positions", TokenPositions)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok, t.tok_len
+        FROM _udtf_docs d,
+        LATERAL token_positions(d.text) t
+        """
+    )
