@@ -105,6 +105,8 @@ HEADLINE = [
     "stats_chi2_independence",
     "ohlc_rollup_daily",
     "streaming_incremental_candles",
+    "funnel_timed",
+    "udtf_token_positions",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -2101,3 +2101,67 @@ def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         (F.sum(units).cast("double") / F.lit(1.0e9)).alias("chi2"),
     )
+
+
+@register(
+    "funnel_timed",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_1h,
+       (SELECT count(*) FROM p) AS n_purchase_1h
+""",
+)
+def q_funnel_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMED funnel: first view → first click strictly after it and
+    within ONE HOUR → first purchase within one hour of that click.
+    Genuinely sequential semantics (each stage's deadline depends on
+    the previous stage's chosen event), which the independent
+    conditional-min funnel (funnel_conversion) cannot express.
+
+    Scale: each stage is one filtered scan joined to the previous
+    stage's per-user row — the stage tables only shrink, so at 100 TB
+    they broadcast (or co-partition on user_id with the event scan);
+    three narrow stage joins, no window over raw events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_1h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_1h"))
+    return nv.crossJoin(nc).crossJoin(np_)
