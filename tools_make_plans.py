@@ -170,6 +170,21 @@ NOTES = {
         "Plan shows only the final settled union — rounds execute "
         "eagerly with lineage truncation."
     ),
+    "streaming_incremental_candles": (
+        "foreachBatch IVM: per micro-batch partial-candle state folded "
+        "through the candle monoid with eager localCheckpoint (plan "
+        "must not grow with batch count); finalize projects the state."
+    ),
+    "funnel_timed": (
+        "Timed funnel: three SHRINKING per-user stage tables, each "
+        "broadcast back onto a filtered event scan — sequential "
+        "deadlines without any window over raw events."
+    ),
+    "stats_chi2_independence": (
+        "Chi-square: one contingency hash aggregate, windowed margins "
+        "over <= |seg|x|status| cells, order-independent quantized-"
+        "unit final sum."
+    ),
     "candles_incremental_update": (
         "Incremental candle maintenance: base and delta aggregate to "
         "mergeable partial state (extrema kept as (ts,price) keys), "
