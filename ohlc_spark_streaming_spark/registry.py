@@ -19,6 +19,14 @@ Determinism discipline (what makes the value-hash comparison pass):
 * Tie-broken extrema use lexicographic struct min/max on both sides
   (Spark ``min(struct(ts, p))`` ≡ DuckDB ``min(struct_pack(t:=ts, p:=value))``
   — SURVEY.md §2.4 tie-break semantics).
+* **Full-precision doubles** (PageRank contributions, embedding moments,
+  chi-square cells) can't use the decimal cast — double→decimal ROUNDING
+  is the one step engines disagree on (the decimal trick works elsewhere
+  only because prices are exactly representable at the cast scale).
+  They sum as QUANTIZED INTEGER UNITS instead: ``floor(x·10^s + 0.5)``
+  is multiply/add/floor — bit-identical IEEE ops everywhere — and the
+  unit sum is exact integer addition (bigint, or DECIMAL(38,0)
+  accumulators at corpus scale). See operators/graph.py.
 * Every computed column is aliased to the same name in both dialects.
 
 Query definitions live in ``queries/`` by family; importing this module
