@@ -107,6 +107,7 @@ HEADLINE = [
     "streaming_incremental_candles",
     "funnel_timed",
     "udtf_token_positions",
+    "streaming_asof_enrich",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -770,3 +770,90 @@ def q_streaming_incremental_candles(spark: SparkSession, sf_dir: str) -> DataFra
     if state is None:
         raise RuntimeError("stream produced no micro-batches")
     return ohlc_finalize_partials(state)
+
+
+_ASOF_ENRICH_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+)
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts,
+  p.value  AS purchase_value,
+  v.ts     AS asof_ts,
+  v.value  AS asof_value
+FROM purchases p
+ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+@register("streaming_asof_enrich", _ASOF_ENRICH_ORACLE)
+def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static AS-OF enrichment: the purchase stream joined per
+    micro-batch to a STATIC dimension snapshot (each purchase gets the
+    user's most recent prior view) via the engine's as-of operator —
+    the "enrich live events with the latest reference row at event
+    time" shape (price at trade time, config at request time) that a
+    plain stream-static equi join cannot express. Shares the batch
+    as-of oracle: a bounded replay enriches to identical rows.
+
+    Scale: per micro-batch this is the union + single-window as-of
+    (one user_id exchange, operators/joins.py) between the batch and
+    the static side — state lives in the static snapshot, not the
+    stream."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", "ts", "value")
+        .localCheckpoint(eager=True)  # static dim snapshot
+    )
+    stream = events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts", "value")
+
+    chunks: list[DataFrame] = []
+
+    def enrich(batch_df: DataFrame, _batch_id: int) -> None:
+        out = asof_join(
+            batch_df,
+            views,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["value"],
+            how="left",
+        ).select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("value").alias("purchase_value"),
+            "asof_ts",
+            F.col("asof_value"),
+        )
+        chunks.append(out.localCheckpoint(eager=True))
+
+    import tempfile
+
+    name = f"stream_asof_{next(_counter)}"
+    query = (
+        stream.writeStream.foreachBatch(enrich)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+        )
+        .start()
+    )
+    query.awaitTermination()
+    if not chunks:
+        raise RuntimeError("stream produced no micro-batches")
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
