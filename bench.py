@@ -197,18 +197,53 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     report_deltas(timings)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver tail-captures only the LAST ~2000 chars of stdout; at 87
+    # headline queries the full per-query map no longer fits on one line
+    # (round-5 post-mortem: BENCH_r05.json recorded "parsed": null because
+    # the line's head was cut). So: the COMPLETE artifact goes to a
+    # committed file, and stdout gets one bounded JSON line — same schema,
+    # with the queries map trimmed slowest-first to fit the capture window.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(bounded_line(payload), sort_keys=False))
     spark.stop()
+
+
+#: Hard cap for the printed line; the driver keeps the last 2000 chars of
+#: stdout, so stay well under it (trailing newline + any straggler stderr
+#: interleaving eats into the window too).
+MAX_LINE_CHARS = 1800
+
+
+def bounded_line(payload: dict) -> dict:
+    """Trim ``payload["queries"]`` (slowest-first) until the serialized
+    line fits MAX_LINE_CHARS. Full map is in BENCH_LOCAL.json."""
+    timings = payload["queries"]
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_cost)
+    while keep > 0:
+        out = {
+            **payload,
+            "queries": {n: timings[n] for n in by_cost[:keep]},
+            "queries_total": len(timings),
+            "queries_shown": keep,
+            "full": "BENCH_LOCAL.json",
+        }
+        if len(json.dumps(out)) <= MAX_LINE_CHARS or keep == 1:
+            return out
+        keep -= 1
+    return {**payload, "queries": {}, "full": "BENCH_LOCAL.json"}
 
 
 if __name__ == "__main__":

@@ -479,13 +479,14 @@ def _token_hash_dict(tok: DataFrame) -> DataFrame:
     The char-fold rolling hash is the expensive expression here; applying
     it per (doc, token) occurrence recomputes the same fold millions of
     times (measured 81s at sf0.1). Vocabulary is tiny relative to the
-    corpus, so hash the distinct tokens and broadcast-join the map back —
-    the classic dictionary-encode pattern that also holds at 100 TB
-    (vocabulary ≪ corpus; if the vocab outgrows broadcast, the same join
-    works shuffled)."""
-    return F.broadcast(
-        tok.select("tok").distinct().withColumn("th", rolling_hash("tok"))
-    )
+    corpus, so hash the distinct tokens once and join the map back — the
+    classic dictionary-encode pattern. The join carries NO hard broadcast
+    hint: vocabulary is sub-linear but UNBOUNDED (a hint would OOM if the
+    vocab outgrows executor memory at 100 TB), so AQE broadcasts it by
+    measured size while it fits and falls back to a shuffled join when it
+    doesn't — same plan at every tested SF, scale-safe beyond
+    (VERDICT r5 broadcast discipline; enforced by plans/linter.lint_hints)."""
+    return tok.select("tok").distinct().withColumn("th", rolling_hash("tok"))
 
 
 def shingle_hashes(

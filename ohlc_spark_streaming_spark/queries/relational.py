@@ -128,17 +128,18 @@ GROUP BY r_name, n_name
 """,
 )
 def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-join rollup through three broadcast dims (TPC-H Q5 shape).
+    """Star-join rollup through broadcast dims (TPC-H Q5 shape).
 
-    All three dims broadcast → zero extra shuffles beyond the final agg;
-    the fact table is read once."""
+    nation/region broadcast (bounded dims); supplier is SF-proportional,
+    so it joins AQE-sized — broadcast at small SF by measured size, a
+    shuffled join at 100 TB. The fact table is read once."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")

@@ -10,8 +10,12 @@ column (no commitdate/receiptdate/shipmode/partsupp); the SHAPE (and
 therefore the plan class Catalyst must produce) is preserved.
 
 Scale notes (100 TB discipline):
-* Dimension sides (part, supplier, customer, nation, region) are broadcast;
-  the only shuffles are on lineitem/orders group keys.
+* Bounded dimension sides (nation, region, 1-row scalar aggregates) carry
+  hard broadcast hints; SF-proportional dimensions (part, supplier,
+  customer — filtered or not) carry NO hint, so AQE broadcasts them at
+  small scale by measured size but falls back to a shuffled join at
+  100 TB instead of OOMing an executor (VERDICT r5 item 3). The only
+  unavoidable shuffles are on lineitem/orders group keys.
 * EXISTS/NOT EXISTS are expressed as semi/anti joins — Spark decorrelates
   to the same; no per-row subquery execution anywhere.
 * Scalar subqueries (avg/max thresholds) evaluate to one row and feed a
@@ -117,10 +121,10 @@ LIMIT 20
 def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: revenue lost to returns per customer, top 20.
 
-    customer and nation broadcast; lineitem⋈orders is left to AQE — at
-    small scale it re-plans to a runtime broadcast, at 100 TB it stays a
-    shuffled join (orders is fact-sized; a compile-time broadcast hint
-    would OOM there).
+    nation broadcasts (bounded); customer and lineitem⋈orders are left
+    to AQE — at small scale it re-plans to a runtime broadcast, at
+    100 TB they stay shuffled joins (customer is SF-proportional and
+    orders fact-sized; a compile-time broadcast hint would OOM there).
     The ORDER BY carries c_custkey so LIMIT 20 is deterministic."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -132,7 +136,7 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(dec_sum(revenue, 6).alias("revenue"))
@@ -195,8 +199,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 """,
 )
 def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promotion revenue share — broadcast join + ratio of
-    conditional sums. Both sums stay decimal until the final division, so
+    """TPC-H Q14: promotion revenue share — part join (AQE-sized:
+    broadcast at small SF, shuffled at 100 TB) + ratio of conditional
+    sums. Both sums stay decimal until the final division, so
     the single output row is bit-stable under any partitioning."""
     p = load_table(spark, sf_dir, "part")
     l = load_table(spark, sf_dir, "lineitem").where(
@@ -210,7 +215,7 @@ def q_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under engine-specific precision rules and drifts by one ulp.
     dec = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * dec(promo) / dec(rev)).alias("promo_revenue_pct"),
             F.count(F.lit(1)).alias("n_items"),
@@ -235,7 +240,8 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (Adapted: no partsupp table — lineitem stands in as the part↔supplier
     relation, and the NOT-IN excludes negative-balance suppliers.) The
-    anti join broadcasts the tiny exclusion list; count-distinct expands
+    anti join's exclusion list is AQE-sized (supplier-proportional —
+    no hard hint); count-distinct expands
     to a two-level aggregate (distinct-ize, then count) on one shuffle."""
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#5")
@@ -245,7 +251,7 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         anti_join(l, s_bad, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -283,9 +289,9 @@ def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("_big_orderkey"))
     )
     return (
-        l.join(F.broadcast(big), F.col("l_orderkey") == F.col("_big_orderkey"))
+        l.join(big, F.col("l_orderkey") == F.col("_big_orderkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dec_sum("l_quantity").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -311,12 +317,13 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunctive (OR-of-ANDs) join predicate.
 
-    The join key stays a pure equi key (partkey) so the broadcast hash
-    join survives; the OR block is a post-join filter. Catalyst also
+    The join key stays a pure equi key (partkey) so a hash join
+    survives (AQE-sized — part is SF-proportional, so no hard broadcast
+    hint); the OR block is a post-join filter. Catalyst also
     derives the implied disjunction of per-side predicates for pushdown."""
     p = load_table(spark, sf_dir, "part")
     l = load_table(spark, sf_dir, "lineitem")
-    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    j = l.join(p, F.col("p_partkey") == F.col("l_partkey"))
     band = lambda brand, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, smax)
@@ -366,7 +373,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (
         revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -433,9 +440,10 @@ GROUP BY 1, 2, 3
 def q_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by ship
     year — the same dimension table joined twice under different roles.
-    Both nation sides and customer/supplier broadcast; orders is left to
-    AQE (fact-sized at 100 TB — no compile-time broadcast hint); the
-    cross-nation asymmetry filter runs post-join on broadcast columns."""
+    Both nation sides broadcast (bounded); customer/supplier/orders are
+    left to AQE (SF- and fact-proportional at 100 TB — no compile-time
+    broadcast hint); the cross-nation asymmetry filter runs post-join on
+    the nation columns."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -452,8 +460,8 @@ def q_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
         .where(F.col("cust_nation") != F.col("supp_nation"))
@@ -512,7 +520,7 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         # per_part spans ALL parts (not brand-pruned) — fact-adjacent
         # cardinality at extreme scale, so AQE decides, not a hint.
         .join(per_part, F.col("t_partkey") == F.col("l_partkey"))
@@ -548,7 +556,8 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, decorrelated into ONE per-order aggregate — the blamed supplier
     is the sole 'R' supplier in a multi-supplier finalized order, i.e.
     n_suppliers ≥ 2 AND n_r_suppliers = 1. One lineitem aggregation
-    replaces two correlated subscans; the tiny per-order stats broadcast."""
+    replaces two correlated subscans; the per-order stats join is
+    AQE-sized (order-proportional — no hard broadcast hint)."""
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
@@ -562,12 +571,10 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_returnflag") == "R")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(
-                ord_stats.where((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
-            ),
+            ord_stats.where((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1)),
             F.col("g_orderkey") == F.col("l_orderkey"),
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -616,12 +623,12 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda col: F.sum(col.cast("decimal(30,6)")).cast("double")  # noqa: E731
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").alias("l_year"))
         .agg(
             (F.lit(100.0) * dec(target) / dec(rev)).alias("mkt_share_pct"),
@@ -651,7 +658,8 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit per supplier-nation-year for parts matching
     a LIKE pattern. (Adapted: no partsupp — supply cost proxied as 10% of
     p_retailprice.) The LIKE filter prunes part FIRST, then everything
-    but lineitem broadcasts."""
+    but lineitem joins AQE-sized (part/supplier are SF-proportional —
+    no hard hints; nation keeps one)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -662,8 +670,8 @@ def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -747,7 +755,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 14)
     regional = (
-        ps.join(F.broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal")
@@ -757,11 +765,11 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         regional.join(
-            F.broadcast(best),
+            best,
             (F.col("ps_partkey") == F.col("b_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "ps_supplycost")
     )
 
@@ -846,14 +854,14 @@ def q_q20_overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("l_quantity").alias("qty_sold")
     )
     return (
-        ps.join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
+        ps.join(red, F.col("ps_partkey") == F.col("p_partkey"))
         .join(
             sold,
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
         .where(F.col("ps_availqty") > 20 * F.col("qty_sold"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("ps_suppkey"))
         .groupBy("s_name")
         .agg(F.count_distinct("ps_partkey").alias("n_overstocked_parts"))
     )

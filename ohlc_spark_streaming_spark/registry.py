@@ -119,13 +119,11 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # (green) driver CORRECTNESS row, until every oracle-backed query has one
 # (tracked in ROTATION.md — regenerate with tools_rotation.py).
 #
-# Round-5 policy shift (VERDICT r4 item 3): anchors shrink from 20 to 1 so
-# the ENTIRE verification backlog clears in one round — 47 never-checked
-# names + the q12 re-check (r4's red row, oracle CAST fixed this round) +
-# approx_distinct_parts (r1 checked it oracle-less; its real oracle from
-# r3 has never had a driver row) is exactly 49 slots. The 19 demoted
-# anchors all carry multi-round green driver history and stay under the
-# stricter local bitwise sweep every round (tests/test_registry_oracle.py).
+# Round-6 window (VERDICT r5 items 1 + 6): the FINAL 27 never-checked
+# names (all round-5 additions) close the verification backlog —
+# cumulative 179/179 after this round — and the 22 spare slots re-check
+# the oldest green rows (21 names last driver-checked in r1 + 1 from r2),
+# which predate the Arrow-typed comparator and several operator rewrites.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
@@ -133,65 +131,69 @@ DRIVER_ANCHORS: tuple[str, ...] = (
     "ohlc_candles",
 )
 
-#: Round-5 rotation: every name without a green driver CORRECTNESS row.
+#: Round-6 rotation: final 27 first-time names + 22 oldest re-checks.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # Re-checks (red or stale rows)
-    "q12_priority_by_status",  # r4 red: oracle HUGEINT drift, CAST fixed
-    "approx_distinct_parts",  # r1 row predates its real oracle (r3)
-    # Join / relational shapes never driver-checked
-    "join_asof_bucketed",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "orderby_limit_offset",
-    "string_agg_statuses",
-    "zorder_bucket_counts",
-    "latest_event_per_user",
-    "cohort_retention",
-    "skyline_orders",
-    "fuzzy_match_parts",
-    "basket_part_pairs",
-    "cdc_merge_orders",
-    "scd2_user_state",
-    "dq_expectations",
-    # Dedup / similarity / embeddings
-    "dedup_jaccard_pairs",
-    "dedup_span_windows",
-    "embeddings_stats",
-    "similarity_ivf_topk",
-    "similarity_topk_vectorized",
-    # Text / LLM pipeline
-    "text_token_count",
-    "text_fingerprint",
-    "text_normalize",
-    "text_chunks",
-    "profile_documents",
-    "lm_bigram_topk",
-    "quality_classifier_bucket",
-    "bm25_search",
-    "split_leakage_audit",
-    "split_drift_tvd",
-    # Multimodal battery
-    "multimodal_blob_stats",
-    "multimodal_image_decode",
-    "multimodal_meta_entries",
-    "multimodal_frame_sample",
-    # Event analytics (round-4 batch)
-    "funnel_conversion",
-    "session_funnel",
-    "anomaly_zscore_events",
-    "interarrival_stats",
-    "candles_gap_fill",
-    "candle_mad_outliers",
-    # Python DataSource
-    "pyds_tick_summary",
-    "pyds_stream_tick_summary",
-    # Streaming family members never driver-checked
-    "streaming_distinct_keys",
-    "streaming_trade_pipeline",
-    "streaming_static_join",
-    "streaming_stateful_error_counts",
-    "streaming_quality_filter",
-    "streaming_anomaly_zscore",
+    # --- First-time names (27): the complete round-5 tranche ---
+    # Candle / OHLC extensions
+    "candles_incremental_update",
+    "ohlc_rollup_daily",
+    "approx_percentile_audit",
+    # Dedup extensions
+    "dedup_containment",
+    "dedup_cross_source",
+    "dedup_hybrid_pairs",
+    "minhash_recall_audit",
+    # Embedding audits
+    "embedding_quantize_int8",
+    "embedding_centroid_assign",
+    "embedding_dim_variance",
+    # Corpus statistics
+    "doc_length_histogram",
+    "cooc_lift_topk",
+    "stats_chi2_independence",
+    # IR pair + UDTF exhibit
+    "inverted_index_champions",
+    "conjunctive_search",
+    "udtf_token_positions",
+    # Graph / hierarchy / spatial
+    "pagerank_copurchase",
+    "bfs_distance_copurchase",
+    "part_hierarchy_rollup",
+    "spatial_neighbor_pairs",
+    # Event analytics
+    "funnel_timed",
+    # Streaming twins
+    "streaming_session_funnel",
+    "streaming_interarrival_stats",
+    "streaming_candle_mad_outliers",
+    "streaming_dedup_exact",
+    "streaming_incremental_candles",
+    "streaming_asof_enrich",
+    # --- Re-checks (22): oldest driver rows, pre-Arrow-comparator ---
+    # r1-only rows (21)
+    "candle_gap_fill",
+    "candle_trend_slope",
+    "candle_minmax_norm",
+    "twap_candles",
+    "ohlc_rollup_candles",
+    "candle_bollinger",
+    "q5_region_revenue",
+    "window_running_total",
+    "window_candle_returns",
+    "topk_per_group",
+    "cube_orders",
+    "agg_distinct_counts",
+    "orderby_limit",
+    "error_streaks",
+    "unpivot_lineitem_measures",
+    "above_avg_orders",
+    "price_histogram",
+    "funnel_view_purchase",
+    "user_event_type_sets",
+    "stats_corr_qty_price",
+    "mode_order_priority",
+    # r2-only row (1)
+    "date_functions",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

@@ -117,3 +117,44 @@ def test_compose_env_keys_match_code_contract():
         text = f.read()
     passed = set(re.findall(r"- ([A-Z_]+)=\$\{([A-Z_]+)\}", text))
     assert passed == {(v, v) for v in REQUIRED_ENV_VARS}
+
+
+def test_compose_file_is_structurally_valid():
+    """Boot-check the compose file so the documented live-Kafka path
+    can't rot unnoticed (`docker compose config` needs the compose
+    plugin, absent in this sandbox — YAML parse + the structural
+    invariants compose itself would enforce are the portable subset)."""
+    import os
+
+    import yaml
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docker",
+        "compose.yml",
+    )
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+
+    svc = doc["services"]["spark-submit"]
+    # The build context must point at the repo root and a Dockerfile that
+    # exists, or `docker compose build` fails at deploy time.
+    docker_dir = os.path.dirname(path)
+    ctx = os.path.normpath(os.path.join(docker_dir, svc["build"]["context"]))
+    dockerfile = os.path.join(ctx, svc["build"]["dockerfile"])
+    assert os.path.isfile(dockerfile), dockerfile
+    # Named volume used by the service must be declared, and external
+    # networks referenced must be listed.
+    declared_volumes = set(doc.get("volumes", {}))
+    for spec in svc["volumes"]:
+        name = spec.split(":", 1)[0]
+        if not name.startswith(("/", ".", "$")):
+            assert name in declared_volumes, spec
+    declared_networks = set(doc.get("networks", {}))
+    assert set(svc["networks"]) <= declared_networks
+    # Restart policy must be a valid compose value.
+    assert svc["restart"] in {"no", "always", "on-failure", "unless-stopped"}
+    # Port mappings parse as host:container ints.
+    for p in svc.get("ports", []):
+        host, container = str(p).split(":")
+        assert host.isdigit() and container.isdigit(), p

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ohlc_spark_streaming_spark.plans.linter import lint_plan
+from ohlc_spark_streaming_spark.plans.linter import lint_hints, lint_plan
 from ohlc_spark_streaming_spark.registry import QUERIES
 from ohlc_spark_streaming_spark.sources.batch import load_table
 
@@ -99,3 +99,70 @@ def test_linter_flags_row_python(spark):
     df = load_table(spark, SF_SMOKE, "documents").select(slow(F.col("lang")))
     codes = {c for _, c, _ in lint_plan(df)}
     assert "ROW_PYTHON" in codes
+
+
+# --- hard-broadcast-hint lint (VERDICT r5 item 3) ---------------------------
+
+
+def test_hint_lint_flags_unfiltered_base_table(spark):
+    """q18's old shape: F.broadcast(full customer) is SF-proportional."""
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    df = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    codes = {code for sev, code, _ in lint_hints(df) if sev == "error"}
+    assert "BROADCAST_UNFILTERED" in codes
+
+
+def test_hint_lint_flags_per_entity_aggregate(spark):
+    """funnel_timed's old shape: broadcasting a per-user aggregate is
+    user-count-proportional."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    v = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    df = ev.join(F.broadcast(v), "user_id")
+    codes = {code for sev, code, _ in lint_hints(df) if sev == "error"}
+    assert "BROADCAST_ENTITY_AGG" in codes
+
+
+def test_hint_lint_accepts_bounded_builds(spark):
+    """nation (bounded dim), a keyless 1-row aggregate, and a bounded-enum
+    per-symbol aggregate are the legitimate hint targets."""
+    n = load_table(spark, SF_SMOKE, "nation")
+    c = load_table(spark, SF_SMOKE, "customer")
+    ok1 = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    avg1 = o.agg(F.avg("o_totalprice").alias("_avg"))
+    ok2 = o.join(F.broadcast(avg1), F.col("o_totalprice") > F.col("_avg"))
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_type = ev.groupBy("event_type").agg(F.avg("value").alias("m"))
+    ok3 = ev.join(F.broadcast(per_type), "event_type")
+
+    for df in (ok1, ok2, ok3):
+        errors = [f for f in lint_hints(df) if f[0] == "error"]
+        assert not errors, errors
+
+
+def test_hint_lint_filtered_relation_is_info_not_error(spark):
+    """A filtered SF-proportional relation under a hint is a review item
+    (info), not an automatic failure — eval sets and single-brand slices
+    are legitimately tiny."""
+    p = load_table(spark, SF_SMOKE, "part").where(F.col("p_brand") == "Brand#3")
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    findings = lint_hints(l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")))
+    assert [f[1] for f in findings] == ["BROADCAST_FILTERED"]
+    assert findings[0][0] == "info"
+
+
+def test_registry_batch_queries_have_no_hint_errors(spark):
+    """No registered batch query may hard-broadcast an SF-proportional
+    build side (streaming twins execute real micro-batches on call and
+    carry no hints — checked by their own tests)."""
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_") or name.startswith("pyds_stream"):
+            continue
+        errors = [f for f in lint_hints(fn(spark, SF_SMOKE)) if f[0] == "error"]
+        if errors:
+            bad[name] = errors
+    assert not bad, bad

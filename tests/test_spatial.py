@@ -47,3 +47,23 @@ def test_zero_radius_rejected(spark):
     df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
     with pytest.raises(ValueError, match="radius"):
         grid_distance_join(df, radius=0)
+
+
+def test_huge_coordinates_beyond_double_precision(spark):
+    """Cell ids use exact integer floor division (pmod + div), so points
+    with |coordinate| > 2^53 — where floor(x / r) computed through
+    doubles misbins — still pair up correctly (ADVICE r5)."""
+    big = 2**60  # far beyond double's exact-integer range
+    pts = [
+        (0, big, big),
+        (1, big + 3, big + 4),  # dist² = 25, within radius 7
+        (2, big + 700, big),  # far away
+        (3, -big, -big),
+        (4, -big - 6, -big),  # dist² = 36, within radius 7 (negative side)
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in grid_distance_join(df, radius=7).collect()
+    }
+    assert got == {(0, 1): 25, (3, 4): 36}
