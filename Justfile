@@ -28,6 +28,11 @@ test-kafka-live bootstrap="localhost:9092":
 bench:
     python3 bench.py
 
+# After a clean idle-machine `just bench`: make its timings the
+# regression baseline for the next round.
+refresh-baseline round:
+    python3 tools_refresh_baseline.py {{round}}
+
 scale-check:
     python3 tools_scale_check.py --window --md SCALE.md
 

@@ -143,6 +143,34 @@ def test_hint_lint_accepts_bounded_builds(spark):
         assert not errors, errors
 
 
+def test_hint_lint_vocab_distinct_passes_entity_distinct_fails(spark):
+    """A distinct over a token/vocab column is the documented sub-linear
+    dictionary pattern (no flag); a distinct over an entity id (doc_id)
+    is corpus-proportional and must flag."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    )
+    ok = docs.join(
+        F.broadcast(vocab), F.col("text").contains(F.col("word")), "left_semi"
+    )
+    assert not [f for f in lint_hints(ok) if f[0] == "error"]
+
+    ids = docs.select("doc_id").distinct()
+    bad = docs.join(F.broadcast(ids), "doc_id")
+    codes = {code for sev, code, _ in lint_hints(bad) if sev == "error"}
+    assert "BROADCAST_ENTITY_AGG" in codes
+
+
+def test_hint_lint_limit_bounds_anything_below_it(spark):
+    """A LIMIT above an unfiltered SF-proportional table bounds the build
+    side — no flag."""
+    c = load_table(spark, SF_SMOKE, "customer").limit(100)
+    o = load_table(spark, SF_SMOKE, "orders")
+    df = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    assert not [f for f in lint_hints(df) if f[0] == "error"]
+
+
 def test_hint_lint_filtered_relation_is_info_not_error(spark):
     """A filtered SF-proportional relation under a hint is a review item
     (info), not an automatic failure — eval sets and single-brand slices
