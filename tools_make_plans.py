@@ -109,7 +109,7 @@ NOTES = {
     "basket_part_pairs": (
         "Market-basket lift: in-row pair generation from sorted basket "
         "arrays (O(basket^2) per order), one pair-count exchange with "
-        "partials, broadcast frequency tables, TakeOrderedAndProject."
+        "partials, AQE-sized frequency-table joins (part-proportional, no hard hint), TakeOrderedAndProject."
     ),
     "dedup_cross_source": (
         "Cross-corpus contamination matrix: collapsed MinHash-LSH pair "
@@ -137,8 +137,9 @@ NOTES = {
     "cooc_lift_topk": (
         "Token co-occurrence lift: in-row pair combinations (sorted "
         "distinct tokens → one explode, no doc self-join), pair counts "
-        "via one map-side-combinable hash aggregate, tiny token-count "
-        "tables broadcast back, TakeOrderedAndProject for the top-50 "
+        "via one map-side-combinable hash aggregate, token-count tables "
+        "joined back AQE-sized (vocab-proportional, no hard hint), "
+        "TakeOrderedAndProject for the top-50 "
         "(per-task heaps, no global sort)."
     ),
     "part_hierarchy_rollup": (
@@ -157,7 +158,7 @@ NOTES = {
         "Champion-list index: tf hash aggregate, then a row_number "
         "top-k that plans as WindowGroupLimit with a PARTIAL map-side "
         "pass — a hot term ships k rows per task, never its full "
-        "posting list; df table broadcast back."
+        "posting list; df table joined back AQE-sized (vocab-proportional, no hard hint)."
     ),
     "conjunctive_search": (
         "Boolean AND retrieval: in-row token filters, zero exchanges — "
