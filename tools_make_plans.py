@@ -178,8 +178,10 @@ NOTES = {
     ),
     "funnel_timed": (
         "Timed funnel: three SHRINKING per-user stage tables, each "
-        "broadcast back onto a filtered event scan — sequential "
-        "deadlines without any window over raw events."
+        "joined back AQE-sized onto a filtered event scan (user-"
+        "proportional — no hard hint; runtime-broadcast while small, "
+        "co-partitioned on user_id at scale) — sequential deadlines "
+        "without any window over raw events."
     ),
     "stats_chi2_independence": (
         "Chi-square: one contingency hash aggregate, windowed margins "
