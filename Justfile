@@ -33,6 +33,10 @@ bench:
 refresh-baseline round:
     python3 tools_refresh_baseline.py {{round}}
 
+# Registry-wide plan lint (physical hazards + hard-broadcast-hint audit).
+lint:
+    python3 tools_lint.py
+
 scale-check:
     python3 tools_scale_check.py --window --md SCALE.md
 

@@ -9,6 +9,14 @@ its 3×3 cell neighborhood (9 rows per point), the other stays put, and
 the cell equi-join is an ordinary hash shuffle — the plan a 100 TB
 points table wants, with AQE handling dense-city cell skew.
 
+Like every pairwise operator in this engine (near-dup, fuzzy match,
+embedding cosine), the candidate join runs over DISTINCT content — here
+distinct (x, y) locations — and id pairs are expanded afterwards through
+output-bound membership joins. Without the collapse, k co-located
+duplicates cost k² inside the verification join; with it they cost one
+location pair plus exactly the output rows the semantics demand (the 10×
+duplication sweep in SCALE.md is the regression harness for this).
+
 Coordinates here are INTEGERS (sensor grids, fixed-point lat/lon,
 rasterized coordinates): the distance predicate is exact integer
 arithmetic, bit-identical in every engine — no trig, no floating-point
@@ -34,11 +42,21 @@ def grid_distance_join(
     """All unordered point pairs with euclidean distance ≤ ``radius``.
 
     Returns (id_a, id_b, dist_sq) with id_a < id_b; ``dist_sq`` is the
-    exact integer squared distance. Cell size = radius, so a qualifying
-    pair's cells differ by at most 1 in each axis; the probe side
-    explodes to its 9 neighbor cells and equi-joins the build side's
-    home cell — every qualifying pair is generated exactly once (the
-    build point's home cell is unique).
+    exact integer squared distance. Three phases:
+
+    1. **Collapse**: distinct (x, y) locations (duplicate points are the
+       spatial twin of duplicate documents — never pair them raw).
+    2. **Grid candidate join over locations**: cell size = radius, so a
+       qualifying pair's cells differ by at most 1 per axis; the probe
+       side explodes to its 9 neighbor cells and equi-joins the build
+       side's home cell — every qualifying LOCATION pair is generated
+       exactly once (the build location's home cell is unique). A
+       location's self-pair (dist 0) is included, carrying the co-located
+       id pairs.
+    3. **Expansion**: two membership equi-joins fan location pairs back
+       out to id pairs — output-bound by construction (each produced row
+       is an emitted result row; the ``id_a < id_b`` filter halves the
+       symmetric cases in-stage).
     """
     if radius <= 0:
         raise ValueError(f"radius must be > 0, got {radius!r}")
@@ -56,44 +74,74 @@ def grid_distance_join(
         F.col(x_col).cast("bigint").alias("_x"),
         F.col(y_col).cast("bigint").alias("_y"),
     )
-    home = p.select(
-        F.col("_id").alias("id_b"),
+    # Phase 1: distinct locations; members keep the id ↔ location map.
+    locs = p.select("_x", "_y").distinct()
+    home = locs.select(
         F.col("_x").alias("_bx"),
         F.col("_y").alias("_by"),
         cell("_x").alias("_cx"),
         cell("_y").alias("_cy"),
     )
-    offsets = F.expr(
-        "explode(array(-1,0,1))"
-    )
     probe = (
-        p.select(
-            F.col("_id").alias("id_a"),
+        locs.select(
             F.col("_x").alias("_ax"),
             F.col("_y").alias("_ay"),
             cell("_x").alias("_hx"),
             cell("_y").alias("_hy"),
         )
-        .select("id_a", "_ax", "_ay", "_hx", "_hy", offsets.alias("_dx"))
         .select(
-            "id_a",
-            "_ax",
-            "_ay",
+            "_ax", "_ay", "_hx", "_hy",
+            F.expr("explode(array(-1,0,1))").alias("_dx"),
+        )
+        .select(
+            "_ax", "_ay", "_hy",
             (F.col("_hx") + F.col("_dx")).alias("_cx"),
-            "_hy",
             F.expr("explode(array(-1,0,1))").alias("_dy"),
         )
         .select(
-            "id_a", "_ax", "_ay", "_cx",
+            "_ax", "_ay", "_cx",
             (F.col("_hy") + F.col("_dy")).alias("_cy"),
         )
     )
     dist_sq = (F.col("_ax") - F.col("_bx")) * (
         F.col("_ax") - F.col("_bx")
     ) + (F.col("_ay") - F.col("_by")) * (F.col("_ay") - F.col("_by"))
-    return (
+    # Phase 2: location pairs within radius. Keep ONE orientation per
+    # unordered location pair (lexicographic), plus the self-pair for
+    # co-located ids; orientation is restored during expansion by the
+    # id_a < id_b filter (both (a∈A, b∈B) and (a∈B, b∈A) orderings are
+    # reachable because the expansion joins A-side members to _a and
+    # B-side members to _b of an unordered pair).
+    loc_pairs = (
         probe.join(home, ["_cx", "_cy"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dist_sq.alias("dist_sq"))
-        .where(F.col("dist_sq") <= F.lit(int(radius) * int(radius)))
+        .where(
+            (F.col("_ax") < F.col("_bx"))
+            | ((F.col("_ax") == F.col("_bx")) & (F.col("_ay") <= F.col("_by")))
+        )
+        .select("_ax", "_ay", "_bx", "_by", dist_sq.alias("dist_sq"))
+        .where(F.col("dist_sq") <= F.lit(rr * rr))
+    )
+    # Phase 3: expand to id pairs (output-bound membership joins). A
+    # CROSS pair (A ≠ B) contributes every (id at A) × (id at B)
+    # combination exactly once (the location pair exists in one
+    # orientation), with least/greatest restoring id order. A SELF pair
+    # (A == B) would contribute each co-located id pair twice — (i, j)
+    # and (j, i) normalize to the same output row — so self pairs are
+    # pre-filtered to _ida < _idb instead.
+    ma = p.select(
+        F.col("_id").alias("_ida"), F.col("_x").alias("_ax"), F.col("_y").alias("_ay")
+    )
+    mb = p.select(
+        F.col("_id").alias("_idb"), F.col("_x").alias("_bx"), F.col("_y").alias("_by")
+    )
+    is_cross = (F.col("_ax") != F.col("_bx")) | (F.col("_ay") != F.col("_by"))
+    return (
+        loc_pairs.join(ma, ["_ax", "_ay"])
+        .join(mb, ["_bx", "_by"])
+        .where(is_cross | (F.col("_ida") < F.col("_idb")))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "dist_sq",
+        )
     )

@@ -13,6 +13,13 @@ point = st.tuples(
     st.integers(min_value=-500, max_value=500),
 )
 
+# Tight grid: duplicates and co-located points are LIKELY, exercising the
+# distinct-location collapse + membership expansion path.
+dense_point = st.tuples(
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=4),
+)
+
 
 def brute(points, radius):
     out = {}
@@ -32,6 +39,27 @@ def brute(points, radius):
 )
 @given(st.lists(point, min_size=2, max_size=40), st.sampled_from([1, 7, 100]))
 def test_grid_join_equals_brute_force(spark, points, radius):
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(points)],
+        "id long, x long, y long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in grid_distance_join(df, radius=radius).collect()
+    }
+    assert got == brute(points, radius), (radius, points)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(st.lists(dense_point, min_size=2, max_size=25), st.sampled_from([1, 3]))
+def test_grid_join_with_heavy_duplication(spark, points, radius):
+    """Co-located duplicate points must pair exactly once each (the
+    collapse/expand path): every duplicate pair has dist_sq 0 and every
+    cross pair appears once regardless of multiplicity."""
     df = spark.createDataFrame(
         [(i, x, y) for i, (x, y) in enumerate(points)],
         "id long, x long, y long",

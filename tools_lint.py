@@ -1,0 +1,95 @@
+"""Registry-wide plan lint: physical hazards + hard-broadcast-hint audit.
+
+Run: ``python tools_lint.py [query ...]`` — sweeps every registered batch
+query (or just the named ones) through ``plans/linter.lint_plan`` (executed
+physical plan) and ``plans/linter.lint_hints`` (analyzed logical plan),
+prints findings, and exits non-zero iff any ERROR-severity finding appears
+outside the declared expected set. Streaming twins are skipped: they run
+real micro-batches on call and carry no join hints (their state discipline
+is covered by tests/test_streaming*.py).
+
+This is the round ritual complement to tools_scale_check.py: the scale
+sweep catches super-linear RUNTIME, this catches hazardous PLANS (the
+forced-broadcast class that is invisible at sf0.1 and OOMs at 100x —
+VERDICT r5 item 3) the round they land.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ohlc_spark_streaming_spark import build_session  # noqa: E402
+from ohlc_spark_streaming_spark.plans.linter import (  # noqa: E402
+    lint_hints,
+    lint_plan,
+)
+from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
+
+#: (query, code) pairs that are DELIBERATE and documented — each entry
+#: must cite where the bounded-ness argument lives.
+EXPECTED = {
+    # Faithful reference-parity mode: collect_list IS the semantics under
+    # test (reference main.py:153-158); tests/test_plan_linter.py asserts
+    # the linter flags it.
+    ("ohlc_candles_faithful", "COLLECT_LIST"),
+    # Per-doc shingle/token SETS bounded by document length, not group
+    # cardinality (operators/dedup.py, tests/test_plan_linter.py notes).
+    ("dedup_minhash_lsh", "COLLECT_LIST"),
+    ("dedup_jaccard_ppjoin", "COLLECT_LIST"),
+    ("dedup_jaccard_pairs", "COLLECT_LIST"),
+    ("dedup_containment", "COLLECT_LIST"),
+    ("dedup_simhash", "COLLECT_LIST"),
+    ("dedup_clusters", "COLLECT_LIST"),
+    ("dedup_clusters_star", "COLLECT_LIST"),
+    ("dedup_cross_source", "COLLECT_LIST"),
+    ("dedup_hybrid_pairs", "COLLECT_LIST"),
+    ("minhash_recall_audit", "COLLECT_LIST"),
+    ("dedup_ngram_jaccard", "COLLECT_LIST"),
+    # Vocab-bounded or k-bounded collects (documented at the call sites).
+    ("embedding_quantize_int8", "COLLECT_LIST"),
+    ("user_event_type_sets", "COLLECT_LIST"),
+    ("basket_part_pairs", "COLLECT_LIST"),
+}
+
+
+def main() -> int:
+    names = sys.argv[1:] or [
+        n
+        for n in QUERIES
+        if not n.startswith(("streaming_", "pyds_stream"))
+    ]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
+    spark = build_session(app_name="engine-lint")
+    bad: list[tuple[str, str, str]] = []
+    n_expected = 0
+    for i, name in enumerate(names, 1):
+        df = QUERIES[name](spark, SF_DIR)
+        findings = lint_plan(df) + lint_hints(df)
+        for sev, code, msg in findings:
+            if sev != "error":
+                continue
+            if (name, code) in EXPECTED:
+                n_expected += 1
+                continue
+            bad.append((name, code, msg))
+            print(f"[lint] ERROR {name} {code}: {msg}")
+        if i % 25 == 0:
+            print(f"[lint] ... {i}/{len(names)}")
+    spark.stop()
+    print(
+        f"[lint] {len(names)} queries: {len(bad)} unexpected error(s), "
+        f"{n_expected} expected/documented finding(s)"
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
