@@ -108,6 +108,9 @@ HEADLINE = [
     "funnel_timed",
     "udtf_token_positions",
     "streaming_asof_enrich",
+    # round 6: training order / sharding
+    "dataset_shuffle_order",
+    "epoch_shard_assign",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -2195,3 +2195,132 @@ def q_udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL token_positions(d.text) t
         """
     )
+
+
+# --- training-order shuffle / sharding (round 6) ------------------------------
+#
+# The last mile of a corpus pipeline: a DETERMINISTIC pseudo-random global
+# training order (hash of the stable id — reproducible across engines and
+# runs, unlike rand()), per-source quota caps, and balanced shard
+# assignment for N-way data-parallel readers. All three are pure
+# relational shapes: no rand(), no single-partition window (the global
+# order goes through operators/ranking's two-phase row_number).
+
+
+@register(
+    "dataset_shuffle_order",
+    """
+SELECT
+  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+    AS shuffle_rank,
+  doc_id,
+  md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+""",
+)
+def q_dataset_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: order by the md5 of
+    the stable document id (tie-broken by the id itself, so the order is
+    total and bit-reproducible), ranked WITHOUT a single-partition window
+    — operators/ranking.with_global_rank range-partitions on the hash,
+    ranks locally in parallel, and prefix-sums one tiny per-partition
+    count table. The plan a 100 TB epoch shuffle wants: one range
+    exchange, parallel windows, an O(#partitions) offset broadcast."""
+    from ..operators.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("shuffle_key"),
+    )
+    ranked = with_global_rank(
+        keyed, ["shuffle_key", "doc_id"], rank_col="shuffle_rank"
+    )
+    return ranked.select("shuffle_rank", "doc_id", "shuffle_key")
+
+
+_QUOTA_PER_SOURCE = 12
+
+
+@register(
+    "source_quota_sample",
+    f"""
+SELECT source, pick_rank, doc_id
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS pick_rank
+  FROM documents
+)
+WHERE pick_rank <= {_QUOTA_PER_SOURCE}
+""",
+)
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap: keep at most N documents per source, chosen
+    by the deterministic hash order (not "first N in file order", which
+    biases toward ingestion order). The row_number-then-filter shape
+    plans as WindowGroupLimit with a PARTIAL map-side pass (Spark 3.5+),
+    so a dominant source ships N rows per task — never its full volume —
+    the same skew-safe pattern as inverted_index_champions."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("long").alias("pick_rank")
+        )
+        .where(F.col("pick_rank") <= _QUOTA_PER_SOURCE)
+        .select("source", "pick_rank", "doc_id")
+    )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "epoch_shard_assign",
+    f"""
+WITH ordered AS (
+  SELECT doc_id, n_chars,
+         ntile({_N_SHARDS}) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS shard
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ordered
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def q_epoch_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard assignment for N data-parallel readers: ntile over
+    the deterministic shuffle order, summarized per shard. ntile is
+    computed ARITHMETICALLY from the two-phase global rank
+    (operators/ranking.ntile_expr) — no single-partition window ever
+    sees a corpus row, and shard sizes differ by at most one document
+    by construction. Exact integer char sums per shard double as a
+    cheap balance audit."""
+    from ..operators.ranking import ntile_expr, with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("_k"),
+    )
+    ranked = with_global_rank(keyed, ["_k", "doc_id"], rank_col="_rn", total_col="_tot")
+    return (
+        ranked.select(
+            "doc_id",
+            "n_chars",
+            ntile_expr("_rn", "_tot", _N_SHARDS).alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )
