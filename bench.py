@@ -111,6 +111,10 @@ HEADLINE = [
     # round 6: training order / sharding
     "dataset_shuffle_order",
     "epoch_shard_assign",
+    "triangle_count_copurchase",
+    "ship_interval_coverage",
+    "zonemap_prune_audit",
+    "ngram_novelty",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

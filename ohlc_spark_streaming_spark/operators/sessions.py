@@ -18,7 +18,7 @@ is O(1) scalars (min/max/sum/count), never a buffered event list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,4 +54,66 @@ def session_aggregate(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def interval_union(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching CLOSED integer intervals per key into
+    maximal islands — the interval generalization of sessionization
+    (points + gap TTL ⊂ variable-length intervals + overlap).
+
+    "Touching" uses closed-integer adjacency: [2,3] and [4,9] merge
+    (no uncovered unit between them), so an island's span equals its
+    distinct covered units and Σ(end−start+1) over islands is EXACTLY
+    the key's covered-unit count.
+
+    Returns one row per (key, island): island_start, island_end,
+    n_intervals. Classic sweep re-expressed as two window layers over
+    ONE (key, start, end) sort exchange: a running max of prior ends
+    marks island starts (start > max-so-far + 1 ⇒ new island), a
+    running sum of the flags numbers the islands, then an ordinary
+    groupBy collapses each island. Per-key window partitions keep
+    every stage parallel; no single-partition window.
+
+    Deterministic under ties by construction: rows are DISTINCT
+    (union is a set operation) and ordered by (start, end); rows
+    sharing a start can't open a new island in any order (their
+    start ≤ every tied row's end), so flags — and therefore island
+    ids and the final aggregates — are order-independent.
+    """
+    iv = intervals.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).alias("_st"),
+        F.col(end_col).alias("_en"),
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("_k")
+        .orderBy("_st", "_en")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("_k")
+        .orderBy("_st", "_en")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn("_pmax", F.max("_en").over(w_prev)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("_pmax").isNull() | (F.col("_st") > F.col("_pmax") + 1),
+                1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return flagged.groupBy(
+        F.col("_k").alias(key_col), F.col("island").alias("island")
+    ).agg(
+        F.min("_st").alias("island_start"),
+        F.max("_en").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
     )

@@ -2168,3 +2168,283 @@ def q_funnel_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_click_1h"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_1h"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+# --- graph structure: triangles (round 6) ------------------------------------
+
+
+@register(
+    "triangle_count_copurchase",
+    """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+und AS (SELECT src AS u, dst AS v FROM pairs WHERE src < dst),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN dv.deg ELSE du.deg END AS rb
+  FROM und e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+),
+tri AS (
+  SELECT w1.a AS a, w1.b AS y, w2.b AS z
+  FROM oe w1
+  JOIN oe w2 ON w1.a = w2.a
+            AND (w1.rb < w2.rb OR (w1.rb = w2.rb AND w1.b < w2.b))
+  JOIN oe c ON c.a = w1.b AND c.b = w2.b
+),
+cnt AS (
+  SELECT node, count(*) AS n FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS p_partkey, d.deg AS degree,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN cnt ON d.node = cnt.node
+""",
+)
+def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph
+    (operators/graph.py triangle_counts): the local clustering signal —
+    "are this part's co-purchase neighbors also co-purchased with each
+    other" — that separates hub parts (high degree, few triangles) from
+    community parts (dense neighborhoods). Completes the graph family:
+    components = reachability, PageRank = centrality, BFS = proximity,
+    triangles = cohesion.
+
+    The oracle replays the SAME degree-ordered orientation
+    (compact-forward) as the operator, so candidate wedges — not just
+    the final counts — agree; all arithmetic is exact integers."""
+    from ..operators.graph import triangle_counts
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "_ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_counts(pairs).select(
+        F.col("node").alias("p_partkey"),
+        F.col("deg").alias("degree"),
+        "n_triangles",
+    )
+
+
+# --- interval union coverage (round 6) ---------------------------------------
+
+
+@register(
+    "ship_interval_coverage",
+    """
+WITH iv AS (
+  SELECT DISTINCT l.l_suppkey AS s,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS st,
+         date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) AS en
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate >= o.o_orderdate
+),
+m AS (
+  SELECT s, st, en,
+         max(en) OVER (PARTITION BY s ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM iv
+),
+isl AS (
+  SELECT s, st, en,
+         SUM(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY s ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+per_island AS (
+  SELECT s, island,
+         min(st) AS ist, max(en) AS ien, count(*) AS n_iv
+  FROM isl GROUP BY s, island
+)
+SELECT s AS l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+       CAST(sum(ien - ist + 1) AS BIGINT) AS covered_days
+FROM per_island GROUP BY s
+""",
+)
+def q_ship_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (the sweep-line classic): per supplier,
+    the number of distinct calendar days with at least one shipment IN
+    FLIGHT (order placed, not yet shipped) — overlapping
+    [orderdate, shipdate] intervals merged into islands and measured.
+    The generalization of gaps-and-islands from points to variable-
+    length intervals; the same shape computes sensor uptime, ad-spend
+    active windows, and SLA coverage.
+
+    Plan (operators/sessions.py interval_union): one orders⋈lineitem
+    equi-join, a DISTINCT interval collapse, then BOTH window layers
+    (running-max-end for island flags, running flag sum for island ids)
+    share ONE (s, st, en) sort exchange; per-supplier partitions keep
+    every window parallel — no single-partition window anywhere. Day
+    numbers are exact integers, so the island algebra is bit-identical
+    in both engines."""
+    from ..operators.sessions import interval_union
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("l_suppkey").alias("s"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("st"),
+            F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("en"),
+        )
+        .distinct()
+    )
+    per_island = interval_union(iv, key_col="s", start_col="st", end_col="en")
+    return per_island.groupBy(F.col("s").alias("l_suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+        F.sum(F.col("island_end") - F.col("island_start") + F.lit(1))
+        .cast("long")
+        .alias("covered_days"),
+    )
+
+
+# --- zone-map / data-skipping audit (round 6) --------------------------------
+
+#: Zone-map audit knobs: rows-per-"file" proxies and the probe predicate.
+_ZM_ARRIVAL_CHUNK = 1024  # orderkeys per arrival-order file
+_ZM_DAYS_CHUNK = 64  # shipdate days per clustered file
+_ZM_LO, _ZM_HI = "1998-06-01", "1998-06-30"
+
+
+@register(
+    "zonemap_prune_audit",
+    f"""
+WITH base AS (
+  SELECT l_orderkey,
+         date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day
+  FROM lineitem
+),
+bounds AS (
+  SELECT date_diff('day', DATE '1970-01-01', DATE '{_ZM_LO}') AS lo,
+         date_diff('day', DATE '1970-01-01', DATE '{_ZM_HI}') AS hi
+),
+tagged AS (
+  SELECT 'arrival' AS layout, l_orderkey // {_ZM_ARRIVAL_CHUNK} AS file_id, day
+  FROM base
+  UNION ALL
+  SELECT 'clustered' AS layout, CAST(day // {_ZM_DAYS_CHUNK} AS BIGINT)
+           AS file_id, day
+  FROM base
+),
+files AS (
+  SELECT layout, file_id,
+         min(day) AS mn, max(day) AS mx,
+         count(*) AS n_rows,
+         CAST(sum(CASE WHEN day BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_match
+  FROM tagged, bounds b
+  GROUP BY layout, file_id, b.lo, b.hi
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN mn <= b.hi AND mx >= b.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN mn <= b.hi AND mx >= b.lo THEN n_rows ELSE 0 END)
+            AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matched,
+       CAST(sum(CASE WHEN mn <= b.hi AND mx >= b.lo THEN n_rows ELSE 0 END)
+            AS BIGINT) / CAST(sum(n_rows) AS BIGINT) AS scan_frac
+FROM files, bounds b
+GROUP BY layout
+""",
+)
+def q_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit: how many file-level zone maps (per-file
+    min/max of the predicate column) would prune a 30-day shipdate
+    probe, under two physical layouts of the SAME rows — 'arrival'
+    (files = ingestion order, i.e. orderkey ranges) vs 'clustered'
+    (files = shipdate ranges). The ratio between the two scan_frac
+    rows is the measured value of re-clustering — the audit a lakehouse
+    table-maintenance job runs before deciding to OPTIMIZE/Z-ORDER a
+    100 TB table (operators/layout.py holds the z-order side).
+
+    Plan: one scan, one groupBy per layout (unioned BEFORE the
+    aggregate so both share a stage), then a 2-row summary — the file
+    stats table is #files-sized, never rows-sized. All day arithmetic
+    is exact integers; scan_frac divides exact longs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    day = F.datediff(F.col("l_shipdate").cast("date"), epoch)
+    lo = F.datediff(F.lit(_ZM_LO).cast("date"), epoch)
+    hi = F.datediff(F.lit(_ZM_HI).cast("date"), epoch)
+    base = li.select(
+        "l_orderkey", day.alias("day"), lo.alias("lo"), hi.alias("hi")
+    )
+    arrival = base.select(
+        F.lit("arrival").alias("layout"),
+        F.expr(f"l_orderkey DIV {_ZM_ARRIVAL_CHUNK}").alias("file_id"),
+        "day",
+        "lo",
+        "hi",
+    )
+    clustered = base.select(
+        F.lit("clustered").alias("layout"),
+        F.expr(f"day DIV {_ZM_DAYS_CHUNK}").cast("bigint").alias("file_id"),
+        "day",
+        "lo",
+        "hi",
+    )
+    files = (
+        arrival.unionByName(clustered)
+        .groupBy("layout", "file_id", "lo", "hi")
+        .agg(
+            F.min("day").alias("mn"),
+            F.max("day").alias("mx"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("day").between(F.col("lo"), F.col("hi")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_match"),
+        )
+    )
+    scanned = (F.col("mn") <= F.col("hi")) & (F.col("mx") >= F.col("lo"))
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(scanned, 1).otherwise(0)).cast("long").alias(
+            "files_scanned"
+        ),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matched"),
+        (
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0)).cast("long")
+            / F.sum("n_rows").cast("long")
+        ).alias("scan_frac"),
+    )

@@ -2324,3 +2324,69 @@ def q_epoch_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "ngram_novelty",
+    """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+  FROM t
+), df AS (
+  SELECT tg, count(*) AS df FROM g GROUP BY tg
+)
+SELECT g.source,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         / count(*) AS novelty_frac
+FROM g JOIN df USING (tg)
+GROUP BY g.source
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty by source: the fraction of (doc, distinct-trigram)
+    occurrences whose trigram appears in exactly ONE document
+    corpus-wide. High novelty = fresh text; low novelty = boilerplate
+    mills. The self-corpus complement of decontaminate_ngram (which
+    checks containment against a held-out set) and the cross-document
+    complement of quality_repetition (which scores repetition INSIDE a
+    document) — together they triangulate where duplicated language
+    lives.
+
+    Scale: per-document trigram dedup happens inside the row
+    (array_distinct before the explode), the document-frequency table
+    is one trigram-keyed aggregate, and the join back is trigram-keyed
+    too — with AQE handling stopword-trigram skew. Nothing is
+    broadcast: the df table is corpus-proportional by construction
+    (VERDICT r5's broadcast-discipline rule)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    tris = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i - 1), F.get(toks, i), F.get(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(tris)).alias("tg")
+    )
+    df = grams.groupBy("tg").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
+    return (
+        grams.join(df, "tg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            uniq.alias("n_unique"),
+            (uniq / F.count(F.lit(1)).cast("long")).alias("novelty_frac"),
+        )
+    )

@@ -79,3 +79,61 @@ def test_bfs_distances_match_reference(spark):
                 want[v] = want[u] + 1
                 q.append(v)
     assert got == want, (got, want)
+
+
+def brute_triangles(edges):
+    """Per-node triangle counts by direct enumeration."""
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    adj = {n: set() for n in nodes}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    cnt = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    return {n: (len(adj[n]), cnt[n]) for n in nodes}
+
+
+def test_triangle_counts_match_brute_force(spark):
+    from ohlc_spark_streaming_spark.operators.graph import triangle_counts
+
+    # K4 glued to a path and a pendant, plus duplicate/reversed/self
+    # edges to exercise canonicalization.
+    edges = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]  # K4: 4 triangles
+        + [(4, 5), (5, 6), (6, 4)]  # extra triangle sharing node 4
+        + [(6, 7), (7, 8)]  # path tail: no triangles
+        + [(2, 1), (3, 1), (5, 5), (1, 2)]  # reversed, self, duplicate
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["deg"], r["n_triangles"]) for r in triangle_counts(df).collect()}
+    assert got == brute_triangles(edges)
+
+
+def test_triangle_counts_random_graphs_match_brute_force(spark):
+    import random
+
+    from ohlc_spark_streaming_spark.operators.graph import triangle_counts
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        n = 12
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 40))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["deg"], r["n_triangles"])
+            for r in triangle_counts(df).collect()
+        }
+        assert got == brute_triangles(edges), (trial, edges)

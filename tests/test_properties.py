@@ -152,3 +152,42 @@ def test_asof_join_matches_bruteforce(spark, data):
         ]
         want = max(cands) if cands else (None, None)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_interval_union_matches_brute_force(spark):
+    """interval_union vs direct day-set enumeration on random intervals."""
+    import random
+
+    from ohlc_spark_streaming_spark.operators.sessions import interval_union
+
+    rng = random.Random(20260814)
+    rows = []
+    for k in range(4):
+        for _ in range(rng.randrange(1, 15)):
+            st = rng.randrange(0, 60)
+            rows.append((k, st, st + rng.randrange(0, 12)))
+    rows += [(0, 5, 9), (0, 5, 9)]  # exact duplicates must collapse
+    df = spark.createDataFrame(rows, "key long, start long, end long")
+    got = interval_union(df).collect()
+
+    # Brute force: covered day set per key; islands = maximal runs.
+    for k in {r[0] for r in rows}:
+        days = set()
+        for kk, st, en in rows:
+            if kk == k:
+                days.update(range(st, en + 1))
+        runs = []
+        for d in sorted(days):
+            if runs and d == runs[-1][1] + 1:
+                runs[-1][1] = d
+            else:
+                runs.append([d, d])
+        got_k = sorted(
+            (r["island_start"], r["island_end"])
+            for r in got
+            if r["key"] == k
+        )
+        assert got_k == [tuple(r) for r in runs], (k, got_k, runs)
+        # n_intervals sums to the key's distinct interval count
+        n_iv = sum(r["n_intervals"] for r in got if r["key"] == k)
+        assert n_iv == len({(st, en) for kk, st, en in rows if kk == k})
