@@ -115,6 +115,8 @@ HEADLINE = [
     "ship_interval_coverage",
     "zonemap_prune_audit",
     "ngram_novelty",
+    "link_predict_copurchase",
+    "feature_hash_bow",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -2448,3 +2448,176 @@ def q_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_rows").cast("long")
         ).alias("scan_frac"),
     )
+
+
+# --- compaction planning (round 6) -------------------------------------------
+
+_COMPACT_TARGET = 20_000  # target chars per output file
+
+
+@register(
+    "compaction_plan",
+    f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior
+  FROM documents
+)
+SELECT source,
+       CAST(coalesce(prior, 0) // {_COMPACT_TARGET} AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c
+GROUP BY source, bin_id
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: pack each source's documents, in
+    stable ingest order, into target-size output files by EXCLUSIVE
+    running-size binning (bin = prior-bytes DIV target) — the planning
+    step of a lakehouse OPTIMIZE job, and the file-level sibling of
+    pack_sequences' token packing. A bin's last member may straddle the
+    target (files are approximately sized, never split a row), and the
+    assignment is a pure function of the sorted prefix — deterministic
+    across engines, reruns, and partitionings.
+
+    Plan: ONE running-sum window partitioned by source (parallel, no
+    single-partition window — per-source file lists are the unit a
+    compactor schedules anyway) feeding one groupBy. Output is
+    #bins-sized. The zonemap_prune_audit twin measures WHY compaction
+    pays: fewer, larger, better-clustered files prune harder."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.withColumn("prior", F.coalesce(F.sum("n_chars").over(w), F.lit(0)))
+    return (
+        c.withColumn(
+            "bin_id", F.expr(f"prior DIV {_COMPACT_TARGET}").cast("bigint")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --- link prediction (round 6) -----------------------------------------------
+
+_LP_PIVOT_CAP = 64  # pivots with degree above this are skipped (stop-nodes)
+_LP_TOPK = 20
+
+
+@register(
+    "link_predict_copurchase",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+),
+deg AS (SELECT src AS node, count(*) AS deg FROM pairs GROUP BY src),
+piv AS (
+  SELECT p.src AS a, p.dst AS n
+  FROM pairs p JOIN deg d ON p.src = d.node
+  WHERE d.deg <= {_LP_PIVOT_CAP}
+),
+cn AS (
+  SELECT w1.n AS y, w2.n AS z, count(*) AS common_n
+  FROM piv w1 JOIN piv w2 ON w1.a = w2.a AND w1.n < w2.n
+  GROUP BY w1.n, w2.n
+),
+cand AS (
+  SELECT cn.y, cn.z, cn.common_n
+  FROM cn
+  LEFT JOIN pairs e ON e.src = cn.y AND e.dst = cn.z
+  WHERE e.src IS NULL AND cn.common_n >= 2
+)
+SELECT c.y AS part_a, c.z AS part_b, c.common_n,
+       CAST(c.common_n AS BIGINT)
+         / (dy.deg + dz.deg - c.common_n) AS jaccard
+FROM cand c
+JOIN deg dy ON c.y = dy.node
+JOIN deg dz ON c.z = dz.node
+ORDER BY jaccard DESC, common_n DESC, part_a, part_b
+LIMIT {_LP_TOPK}
+""",
+)
+def q_link_predict_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: top-20 NON-adjacent
+    part pairs by neighborhood Jaccard (common co-purchase partners /
+    union of partners) — the "customers who bought these also bought
+    each other's pairings" recommender seed.
+
+    Scale discipline: common-neighbor generation is inherently
+    Σ deg(pivot)² wedges, so pivots above a declared degree cap are
+    DROPPED (stop-node removal, the similarity-join stopword analogue —
+    a hub co-purchased with everything carries no signal and would
+    alone generate a quadratic wedge set). The cap is part of the
+    declared semantics and the oracle applies the same cap, so results
+    match bit-for-bit. Remaining stages: one capped wedge self-join,
+    an anti-join against existing edges, two degree joins, and a
+    TakeOrdered top-k — no full sort, no driver loop."""
+    from ..sources.batch import load_table as _lt
+
+    l = _lt(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "_ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = pairs.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    piv = (
+        pairs.join(deg, pairs["src"] == deg["node"])
+        .where(F.col("deg") <= _LP_PIVOT_CAP)
+        .select(F.col("src").alias("a"), F.col("dst").alias("n"))
+    )
+    w1 = piv.select("a", F.col("n").alias("y"))
+    w2 = piv.select("a", F.col("n").alias("z"))
+    cn = (
+        w1.join(w2, "a")
+        .where(F.col("y") < F.col("z"))
+        .groupBy("y", "z")
+        .agg(F.count(F.lit(1)).alias("common_n"))
+    )
+    cand = cn.join(
+        pairs,
+        (cn["y"] == pairs["src"]) & (cn["z"] == pairs["dst"]),
+        "left_anti",
+    ).where(F.col("common_n") >= 2)
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    dz = deg.select(F.col("node").alias("z"), F.col("deg").alias("dz"))
+    scored = (
+        cand.join(dy, "y")
+        .join(dz, "z")
+        .select(
+            F.col("y").alias("part_a"),
+            F.col("z").alias("part_b"),
+            "common_n",
+            (
+                F.col("common_n").cast("long")
+                / (F.col("dy") + F.col("dz") - F.col("common_n"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(),
+        F.col("common_n").desc(),
+        "part_a",
+        "part_b",
+    ).limit(_LP_TOPK)

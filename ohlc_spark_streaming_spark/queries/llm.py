@@ -2390,3 +2390,59 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (uniq / F.count(F.lit(1)).cast("long")).alias("novelty_frac"),
         )
     )
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hash_bow",
+    f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT lang, {hashing.rolling_hash_sql("token")} AS th FROM tok
+)
+SELECT lang,
+       th % {_FH_BUCKETS} AS bucket,
+       CAST(sum(1 - 2 * ((th // {_FH_BUCKETS}) % 2)) AS BIGINT) AS feat_sum,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM h
+GROUP BY lang, th % {_FH_BUCKETS}
+""",
+)
+def q_feature_hash_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): bag-of-words folded into a
+    fixed 64-bucket signed feature space — bucket = token-hash mod 64,
+    sign = the next hash bit — so the featurizer needs NO vocabulary
+    pass, no dictionary broadcast, and its output width is constant
+    regardless of corpus size (the property that makes it the standard
+    first featurizer at web scale). Aggregated per language here; the
+    per-document vector is the same expression grouped by doc_id.
+
+    The token hash is the engine's cross-engine polynomial rolling hash
+    (functions/hashing.py) — plain int64 modular arithmetic, identical
+    in both engines, so the signed sums match bit-for-bit. Plan: scan →
+    explode → one (lang, bucket)-keyed aggregate with map-side
+    partials; nothing is broadcast, nothing is collected."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    th = hashing.rolling_hash("token")
+    return (
+        tok.select("lang", th.alias("th"))
+        .groupBy(
+            "lang", (F.col("th") % _FH_BUCKETS).alias("bucket")
+        )
+        .agg(
+            F.sum(
+                F.lit(1)
+                - F.lit(2) * (F.expr(f"th DIV {_FH_BUCKETS}") % 2)
+            )
+            .cast("long")
+            .alias("feat_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
