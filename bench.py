@@ -117,6 +117,8 @@ HEADLINE = [
     "ngram_novelty",
     "link_predict_copurchase",
     "feature_hash_bow",
+    "bpe_top_merges",
+    "multimodal_audio_chunks",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

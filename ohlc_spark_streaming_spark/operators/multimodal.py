@@ -343,3 +343,130 @@ def decode_image_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, IMAGE_STATS_SCHEMA
     )
+
+
+# --- audio: real RIFF/WAVE PCM synth + chunked decode ------------------------
+
+SYNTH_PCM_SAMPLES = 1024
+SYNTH_PCM_RATE = 16_000
+AUDIO_CHUNK = 256
+
+
+def encode_wav(samples: np.ndarray, rate: int = SYNTH_PCM_RATE) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE bytes (the 44-byte canonical header) —
+    genuine WAV any external tool plays."""
+    pcm = samples.astype("<i2").tobytes()
+    import struct
+
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(pcm),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,  # byte rate
+        2,  # block align
+        16,  # bits
+        b"data",
+        len(pcm),
+    )
+    return hdr + pcm
+
+
+def parse_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE → (int16 sample array, sample rate). Walks the chunk
+    list (not a fixed 44-byte assumption) so files with extra chunks
+    parse too."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack(
+            "<I", data[pos + 4 : pos + 8]
+        )[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError("only mono 16-bit PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").astype(np.int64)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate
+
+
+def synth_wav_assets(
+    ids: DataFrame, id_col: str = "doc_id", n_samples: int = SYNTH_PCM_SAMPLES
+) -> DataFrame:
+    """Deterministic REAL audio payloads from an id column: sample i of
+    asset d is ``((d*7 + i*13) mod 4096) - 2048`` (int16), wrapped in a
+    genuine RIFF/WAVE container — the audio twin of synth_ppm_assets,
+    with the same closed-form rule so a SQL oracle can state chunk
+    statistics arithmetically. Executor-local mapInPandas; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64)
+        for batch in batches:
+            payloads = [
+                encode_wav(((int(d) * 7 + idx * 13) % 4096) - 2048)
+                for d in batch[id_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch[id_col],
+                    "modality": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(
+        run, "asset_id long, modality string, payload binary"
+    )
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "asset_id long, chunk_id long, sample_rate long, n_samples long, "
+    "sum_abs long, peak long"
+)
+
+
+def decode_audio_chunks(
+    assets: DataFrame, chunk: int = AUDIO_CHUNK
+) -> DataFrame:
+    """Parse each WAV payload and window its samples into fixed-length
+    chunks (the framing step every audio featurizer — VAD, fbank,
+    codec — starts with), emitting exact integer per-chunk stats:
+    Σ|amplitude| and peak. Integer arithmetic end-to-end, so the output
+    is bit-stable and SQL-oracle-checkable. Executor-local Arrow pass;
+    payload bytes never shuffle — only the #chunks-sized stats do."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in (
+                "asset_id", "chunk_id", "sample_rate", "n_samples",
+                "sum_abs", "peak",
+            )}
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                samples, rate = parse_wav(bytes(payload))
+                for c in range(0, len(samples), chunk):
+                    win = samples[c : c + chunk]
+                    a = np.abs(win)
+                    out["asset_id"].append(asset_id)
+                    out["chunk_id"].append(c // chunk)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(len(win))
+                    out["sum_abs"].append(int(a.sum()))
+                    out["peak"].append(int(a.max()) if len(win) else 0)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, AUDIO_CHUNK_SCHEMA
+    )

@@ -2621,3 +2621,40 @@ def q_link_predict_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_a",
         "part_b",
     ).limit(_LP_TOPK)
+
+
+@register(
+    "daily_active_cumulative",
+    """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+d AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+SELECT day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM d
+""",
+)
+def q_daily_active_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct-users per day — the growth curve every
+    product dashboard wants, computed WITHOUT a running COUNT(DISTINCT)
+    (which would hold per-day user sets in window state): distinct is
+    reduced FIRST to each user's first-seen day (one user-keyed
+    aggregate), then a per-day count and a running sum over the
+    #days-sized daily table. The only unpartitioned window runs over
+    that calendar-bounded aggregate — thousands of rows at any corpus
+    scale — never over raw events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    fs = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("day"))
+    d = fs.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

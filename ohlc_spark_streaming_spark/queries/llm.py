@@ -2446,3 +2446,100 @@ def q_feature_hash_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "multimodal_audio_chunks",
+    """
+WITH ch AS (
+  SELECT doc_id, unnest(range(0, 4)) AS chunk_id FROM documents
+),
+s AS (
+  SELECT doc_id, chunk_id,
+         list_transform(range(chunk_id*256, (chunk_id+1)*256),
+                        i -> abs(((doc_id*7 + i*13) % 4096) - 2048)) AS a
+  FROM ch
+)
+SELECT doc_id AS asset_id, chunk_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(256 AS BIGINT)   AS n_samples,
+       CAST(list_sum(a) AS BIGINT) AS sum_abs,
+       CAST(list_max(a) AS BIGINT) AS peak
+FROM s
+""",
+)
+def q_multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: deterministic RIFF/WAVE payloads
+    (sample i of asset d is ``((d*7 + i*13) mod 4096) - 2048``, int16
+    mono — genuine WAV bytes any player opens) are synthesized per
+    document, then parsed by the pure-numpy chunk walker
+    (operators/multimodal.py parse_wav) into fixed 256-sample frames
+    with exact integer Σ|amplitude| and peak — the framing step every
+    audio featurizer starts with. The oracle states the chunk stats in
+    closed form from the sample rule, so a wrong header walk, byte
+    order, or window offset hash-fails.
+
+    Scale: synth and decode are executor-local Arrow passes over the id
+    column — zero shuffles; blobs never leave the executor, only the
+    #chunks-sized stats rows do (the 1-D twin of
+    multimodal_image_decode)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    from ..operators.multimodal import decode_audio_chunks, synth_wav_assets
+
+    return decode_audio_chunks(synth_wav_assets(docs))
+
+
+@register(
+    "bpe_top_merges",
+    """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT string_split(word, '') AS ch FROM w),
+p AS (
+  SELECT unnest(list_transform(range(1, len(ch)),
+                               i -> ch[i] || ' ' || ch[i+1])) AS pair
+  FROM c
+)
+SELECT pair, cnt, rank FROM (
+  SELECT pair, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, pair ASC) AS rank
+  FROM p GROUP BY pair
+) WHERE rank <= 20
+""",
+)
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge iteration, corpus-wide: count ADJACENT symbol pairs
+    inside every word occurrence and rank the top-20 merge candidates —
+    the inner loop of tokenizer training (the highest-count pair becomes
+    the next merge rule). Word-internal character pairs, weighted by
+    word frequency, with a total (count desc, pair asc) tie-break so
+    the merge choice is deterministic.
+
+    Scale: pair generation is row-local (zip_with over two slices —
+    NOT positional get-lookups, per the lm_bigram_topk O(n²) lesson);
+    the only wide stages are one pair-keyed aggregate with map-side
+    partials and a TakeOrdered top-k — no full sort, no vocabulary
+    broadcast. Subsequent merge rounds re-run the same shape over the
+    re-paired corpus."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    word = F.explode(F.split(F.col("text"), " ")).alias("word")
+    ch = F.split(F.col("word"), "")
+    n = F.size(ch)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ch, 1, n - 1),
+            F.slice(ch, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(word)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(20)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

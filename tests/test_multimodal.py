@@ -163,3 +163,50 @@ def test_synth_and_stats_end_to_end(spark):
         expect_mean = sum((d * 31 + i) % 256 for i in range(144)) / 144.0
         assert (r.fmt, r.width, r.height, r.n_bytes) == ("ppm", 8, 6, 155)
         assert r.mean_pixel == expect_mean
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode_wav → parse_wav identity, including a payload with an
+    extra (odd-sized, word-aligned) chunk before the data chunk."""
+    import struct
+
+    import numpy as np
+
+    from ohlc_spark_streaming_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav,
+    )
+
+    samples = ((np.arange(512, dtype=np.int64) * 13 + 7) % 4096) - 2048
+    data = encode_wav(samples, rate=8000)
+    got, rate = parse_wav(data)
+    assert rate == 8000
+    assert np.array_equal(got, samples)
+
+    # Inject a 3-byte LIST chunk (padded to 4) after "WAVE": the parser
+    # must skip it by the chunk walk, not a fixed 44-byte offset.
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    patched = data[:12] + extra + data[12:]
+    got2, rate2 = parse_wav(patched)
+    assert rate2 == 8000
+    assert np.array_equal(got2, samples)
+
+
+def test_decode_audio_chunks_matches_numpy(spark):
+    import numpy as np
+
+    from ohlc_spark_streaming_spark.operators.multimodal import (
+        decode_audio_chunks,
+        synth_wav_assets,
+    )
+
+    ids = spark.createDataFrame([(3,), (17,)], "doc_id long")
+    rows = decode_audio_chunks(synth_wav_assets(ids)).collect()
+    assert len(rows) == 2 * 4  # 1024 samples / 256-chunks
+    for r in rows:
+        i = np.arange(r["chunk_id"] * 256, (r["chunk_id"] + 1) * 256)
+        a = np.abs(((r["asset_id"] * 7 + i * 13) % 4096) - 2048)
+        assert r["n_samples"] == 256
+        assert r["sum_abs"] == int(a.sum())
+        assert r["peak"] == int(a.max())
+        assert r["sample_rate"] == 16000
