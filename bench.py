@@ -119,6 +119,7 @@ HEADLINE = [
     "feature_hash_bow",
     "bpe_top_merges",
     "multimodal_audio_chunks",
+    "json_roundtrip_lines",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

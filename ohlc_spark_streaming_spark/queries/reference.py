@@ -697,3 +697,47 @@ def q_ohlc_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = ohlc_rollup(fine, coarse="1 hour")
     return ohlc_rollup(hourly, coarse="1 day")
+
+
+@register(
+    "variant_props_stats",
+    """
+SELECT
+  event_type,
+  COUNT(*) AS n_rows,
+  CAST(MIN(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(SUM(CASE WHEN CAST(props ->> 'k' AS BIGINT) % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT)        AS n_even_k,
+  CAST(SUM(CASE WHEN props ->> 'missing' IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT)        AS n_missing
+FROM events
+GROUP BY event_type
+""",
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` → binary variant encoding → ``variant_get`` typed
+    path extraction (and a missing-path probe returning NULL, not an
+    error). The engine-native semi-structured path next to
+    json_extract_props' string-functions path: VARIANT parses once
+    into a shredded binary form, so repeated typed accesses skip
+    re-parsing — the layout a 100 TB telemetry table wants.
+
+    Aggregates are exact integers, so the oracle (DuckDB's JSON
+    operators over the same rows) hash-matches bit-for-bit."""
+    events = load_table(spark, sf_dir, "events", parallelize=True)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    missing = F.variant_get(v, "$.missing", "string")
+    return events.select("event_type", k.alias("k"), missing.alias("m")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even_k"),
+        F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+    )

@@ -1661,3 +1661,80 @@ def q_string_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "json_roundtrip_lines",
+    """
+SELECT o.o_orderpriority,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT)                     AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def q_json_roundtrip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialization losslessness proof: per-order nested documents are
+    BUILT in-engine (``to_json`` of a struct holding the order key,
+    priority, and a partkey-sorted array of line structs), PARSED back
+    (``from_json`` with the explicit schema), exploded, and
+    re-aggregated — while the oracle computes the same aggregates
+    straight from the base tables, never touching JSON. A hash match
+    therefore proves the serialize→parse round trip dropped and mangled
+    nothing (quantities survive as exact decimals).
+
+    This is the document-assembly shape of every event-feed export /
+    reimport path. Scale: one orderkey-shuffled collect_list whose
+    arrays are bounded by order width (≤7 lines in TPC-H — bounded
+    collect_list, per the registry discipline), then row-local JSON
+    codec and explode; the final aggregate is priority-keyed."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    lines = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_partkey").alias("pk"),
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("lines")
+        )
+    )
+    docs = (
+        orders.join(lines, orders["o_orderkey"] == lines["l_orderkey"])
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("ok"),
+                    F.col("o_orderpriority").alias("prio"),
+                    F.col("lines"),
+                )
+            ).alias("doc")
+        )
+    )
+    schema = (
+        "struct<ok:bigint, prio:string, "
+        "lines:array<struct<pk:bigint, ln:int, qty:double>>>"
+    )
+    parsed = docs.select(F.from_json(F.col("doc"), schema).alias("d"))
+    exploded = parsed.select(
+        F.col("d.ok").alias("ok"),
+        F.col("d.prio").alias("prio"),
+        F.explode(F.col("d.lines")).alias("line"),
+    )
+    return exploded.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.count_distinct(F.col("ok")).cast("long").alias("n_orders"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("line.qty").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
