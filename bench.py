@@ -120,6 +120,8 @@ HEADLINE = [
     "bpe_top_merges",
     "multimodal_audio_chunks",
     "json_roundtrip_lines",
+    "event_transition_matrix",
+    "dedup_survivorship",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

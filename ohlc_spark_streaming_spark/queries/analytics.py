@@ -2658,3 +2658,174 @@ def q_daily_active_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS BIGINT)
+         / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob
+FROM cnt
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the statistic behind
+    next-action prediction features, journey clustering, and anomaly
+    scoring of improbable transitions.
+
+    Plan: ONE (user_id)-keyed sort exchange serves the lead() window
+    (ties broken by event_id for a total, engine-independent order);
+    transitions then reduce in a (from, to)-keyed aggregate — at most
+    |event types|² rows — and the row-probability window runs over that
+    tiny matrix, not over events. Exact counts; prob divides exact
+    longs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    cnt = (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.col("n").cast("long")
+            / F.sum("n").over(wrow).cast("long")
+        ).alias("prob"),
+    )
+
+
+@register(
+    "split_drift_ks",
+    f"""
+WITH assigned AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens,
+         CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % 1000000007) % 100 < 80 THEN 'train'
+              WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, c) -> (acc*31 + c) % 1000000007) % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+),
+bucketed AS (
+  SELECT split, CAST(least(n_tokens // 20, 9) AS BIGINT) AS bucket
+  FROM assigned
+),
+cnts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ntr,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS nte
+  FROM bucketed GROUP BY bucket
+),
+cum AS (
+  SELECT bucket,
+         CAST(SUM(ntr) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ctr,
+         CAST(SUM(nte) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cte
+  FROM cnts
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ttr,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tte
+  FROM bucketed
+),
+d AS (SELECT bucket, abs(ctr / ttr - cte / tte) AS gap FROM cum, tot)
+SELECT (min(struct_pack(g := -gap, b := bucket))).b AS at_bucket,
+       max(gap) AS ks_stat,
+       (SELECT ttr FROM tot) AS n_train,
+       (SELECT tte FROM tot) AS n_test
+FROM d
+""",
+)
+def q_split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift statistic between the train and test
+    splits: the max ECDF gap over the bucketed document-length
+    distribution — the cumulative complement of split_drift_tvd's
+    pointwise TVD (KS catches location shifts that per-bucket diffs
+    smear out). Log-free by construction: ECDFs are exact-count
+    divisions, the argmax tie-breaks to the smallest bucket via the
+    struct-min discipline, so both engines agree to the bit.
+
+    Scale: one scan computes split + bucket in-row; the cumulative
+    window and argmax run over the ≤10-row bucket grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    h = hashing.rolling_hash("text") % 100
+    assigned = docs.select(
+        F.size(toks).alias("n_tokens"),
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+        .alias("split"),
+    )
+    bucketed = assigned.select(
+        "split",
+        F.least(F.floor(F.col("n_tokens") / 20), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+    )
+    cnts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("ntr"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("nte"),
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnts.select(
+        "bucket",
+        F.sum("ntr").over(wcum).cast("long").alias("ctr"),
+        F.sum("nte").over(wcum).cast("long").alias("cte"),
+    )
+    tot = bucketed.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("ttr"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("tte"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.abs(
+            F.col("ctr") / F.col("ttr") - F.col("cte") / F.col("tte")
+        ).alias("gap"),
+        "ttr",
+        "tte",
+    )
+    return d.agg(
+        F.min(
+            F.struct((-F.col("gap")).alias("g"), F.col("bucket").alias("b"))
+        )["b"].alias("at_bucket"),
+        F.max("gap").alias("ks_stat"),
+        F.max("ttr").alias("n_train"),
+        F.max("tte").alias("n_test"),
+    )

@@ -2543,3 +2543,81 @@ def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(20)
     w = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _survivorship_oracle_sql() -> str:
+    """Golden-record selection over the near-dup clusters: the
+    transitive-closure cluster CTE of _clusters_oracle_sql, joined back
+    to documents with the struct-max survivor pick."""
+    return f"""
+WITH RECURSIVE {_minhash_sql_cte().lstrip()},
+bands AS ({_minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list(DISTINCT sh) AS units, count(DISTINCT sh) AS n_units
+  FROM shg GROUP BY doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sets sa ON sa.doc_id = id_a
+  JOIN sets sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.units, sb.units))
+      / (sa.n_units + sb.n_units - len(list_intersect(sa.units, sb.units))) >= 0.7
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), clusters AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT c.cluster_id,
+       -(max(struct_pack(q := d.n_chars, nd := -d.doc_id))).nd AS survivor_doc,
+       CAST(count(*) AS BIGINT)        AS n_members,
+       CAST(sum(d.n_chars) AS BIGINT)  AS total_chars,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+FROM clusters c JOIN documents d USING (doc_id)
+GROUP BY c.cluster_id
+"""
+
+
+@register("dedup_survivorship", _survivorship_oracle_sql())
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: after near-dup clustering, each
+    cluster keeps ONE canonical document — the longest member, ties to
+    the smallest id (the MDM "survivor" rule, here quality ≈ length) —
+    plus merge provenance (member count, total bytes, distinct
+    sources). This is the step that turns dedup CLUSTERS into an
+    actionable keep/drop list; singletons survive as themselves.
+
+    The survivor pick is the registry's lexicographic struct-max
+    discipline (max over (n_chars, -doc_id), negate back), so the
+    choice is total and engine-independent. Scale: clustering runs on
+    the collapsed rep graph (minhash_components); the survivorship pass
+    is one cluster-keyed aggregate over the membership table."""
+    from ..operators.dedup import minhash_components
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    clusters = minhash_components(docs, threshold=0.7)
+    joined = clusters.join(
+        docs.select("doc_id", "n_chars", "source"), "doc_id"
+    )
+    return joined.groupBy("cluster_id").agg(
+        (
+            -F.max(
+                F.struct(
+                    F.col("n_chars").alias("q"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            )["nd"]
+        ).alias("survivor_doc"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
