@@ -121,6 +121,7 @@ HEADLINE = [
     "multimodal_audio_chunks",
     "json_roundtrip_lines",
     "event_transition_matrix",
+    "streaming_transition_counts",
     "dedup_survivorship",
 ]
 

@@ -857,3 +857,40 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in chunks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "streaming_transition_counts",
+    """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+)
+def q_streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_transition_matrix's count core: per-user
+    transitions extracted by a custom stateful operator
+    (applyInPandasWithState carrying the last sighting across
+    micro-batches), then counted over the append-mode emission log.
+    Every transition is emitted exactly once, so the bounded replay's
+    counts equal the batch lead() aggregate bit-for-bit — the oracle IS
+    the batch SQL."""
+    from ..session import default_parallelism
+    from ..streaming.stateful import stateful_transitions
+
+    stream = events_stream(spark, sf_dir)
+    emissions = stateful_transitions(stream)
+    name = f"stream_transitions_{next(_counter)}"
+    log = run_to_memory(
+        emissions, name, output_mode="append",
+        partitions=max(8, default_parallelism() // 2),
+    )
+    return log.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

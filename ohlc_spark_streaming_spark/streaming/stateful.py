@@ -166,3 +166,55 @@ def stateful_interarrival_gaps(stream) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _transitions_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user event-type transitions with the previous sighting carried
+    across micro-batches.
+
+    Within a batch the group sorts by (ts, event_id) — the batch twin's
+    lead() order — and the state tuple holds the last (ts_us, event_id,
+    event_type) so the first event of batch N+1 forms its transition
+    against the last event of batch N. Each transition is emitted exactly
+    once, so the emission log is append-safe under any batching, PROVIDED
+    per-key arrival is event-time-ordered across batches (time-ordered
+    replay/log; out-of-order arrival needs the batch twin)."""
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    ts = pdf["ts"]
+    if getattr(ts.dtype, "tz", None) is not None:
+        ts = ts.dt.tz_localize(None)
+    pdf = pdf.assign(
+        _ts_us=ts.astype("datetime64[us]").astype("int64")
+    ).sort_values(["_ts_us", "event_id"], ignore_index=True)
+
+    types = pdf["event_type"].tolist()
+    froms = types[:-1]
+    tos = types[1:]
+    if state.exists and types:
+        froms = [state.get[2]] + types[:-1]
+        tos = types
+    if types:
+        state.update(
+            (
+                int(pdf["_ts_us"].iloc[-1]),
+                int(pdf["event_id"].iloc[-1]),
+                str(types[-1]),
+            )
+        )
+    yield pd.DataFrame({"from_type": froms, "to_type": tos})
+
+
+def stateful_transitions(stream) -> DataFrame:
+    """Event-type transition extraction as a custom stateful operator:
+    one (ts, event_id, type) struct of state per user — O(keys) state,
+    RocksDB-ready. The batch twin is the lead() window in
+    queries/analytics.py::q_event_transition_matrix."""
+    return stream.select(
+        "user_id", "event_type", "ts", "event_id"
+    ).groupBy("user_id").applyInPandasWithState(
+        _transitions_per_key,
+        outputStructType="from_type string, to_type string",
+        stateStructType="ts_us long, event_id long, last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

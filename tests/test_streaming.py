@@ -505,3 +505,60 @@ def test_incremental_candles_fold_across_batches(tmp_path, spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stateful_transitions_carry_across_batches(tmp_path, spark):
+    """stateful_transitions must form the boundary transition of batch
+    N+1 against the last sighting of batch N — same 4-way time-range
+    split harness as the gaps test; the transition multiset must equal
+    the batch lead() window exactly."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from ohlc_spark_streaming_spark.streaming.candles import run_to_memory
+    from ohlc_spark_streaming_spark.streaming.stateful import (
+        stateful_transitions,
+    )
+
+    src = tmp_path / "events_timesplit_tr"
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    ranked = events.withColumn(
+        "_q", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        part = ranked.where(F.col("_q") == i).drop("_q")
+        path = src / f"part_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(path))
+        t = time.time() - 400 + i * 100
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (t, t))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part_*"))
+    )
+    log = run_to_memory(
+        stateful_transitions(stream), "stateful_tr_log", output_mode="append"
+    )
+
+    got = sorted((r.from_type, r.to_type) for r in log.collect())
+    want = sorted(
+        (r.from_type, r.to_type)
+        for r in events.select(
+            F.col("event_type").alias("from_type"),
+            F.expr(
+                "lead(event_type) OVER (PARTITION BY user_id"
+                " ORDER BY ts, event_id)"
+            ).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
