@@ -206,6 +206,58 @@ NOTES = {
         "ranks are order-independent bit-for-bit; node table "
         "checkpointed once and reused."
     ),
+    "triangle_count_copurchase": (
+        "Degree-ordered (compact-forward) triangles: canonical edges → "
+        "degree join → orientation by (deg, id) → wedge self-join on the "
+        "shared tail → one closing equi-join on the head pair. Out-degree "
+        "is O(√m) under any hub skew, so the wedge stage — the only "
+        "super-linear candidate — stays bounded; all three joins are "
+        "plain shuffles AQE can re-balance."
+    ),
+    "link_predict_copurchase": (
+        "Common-neighbor scoring with a declared pivot degree cap "
+        "(stop-node removal): the capped wedge self-join bounds candidate "
+        "pairs, existing edges leave via LEFT ANTI, degrees attach with "
+        "two joins, and the top-k is TakeOrderedAndProject — no full "
+        "sort, no windows over the pair set."
+    ),
+    "ship_interval_coverage": (
+        "Interval-union sweep: orders⋈lineitem equi-join, DISTINCT "
+        "interval collapse, then BOTH window layers (running-max-end "
+        "island flags, running flag-sum island ids) share ONE "
+        "(s, st, en) sort exchange — the plan shows a single Exchange "
+        "feeding two Window nodes; final island groupBy is key-local."
+    ),
+    "zonemap_prune_audit": (
+        "Data-skipping audit: one scan unioned under two layout tags, "
+        "one (layout, file_id) aggregate building the #files-sized zone "
+        "map table, then a 2-row summary. The per-row file id and probe "
+        "bounds are computed in-row; no join, no broadcast."
+    ),
+    "compaction_plan": (
+        "OPTIMIZE planning: one running-sum window PARTITIONED BY source "
+        "(parallel — per-source file lists are the scheduler's unit), "
+        "bin id as exclusive-prefix DIV, one (source, bin) aggregate. "
+        "Output is #bins-sized; nothing driver-side."
+    ),
+    "dataset_shuffle_order": (
+        "Epoch shuffle: md5 keys ranked by the two-phase distributed "
+        "global rank — range exchange on the hash, parallel per-range "
+        "windows, an O(#partitions) offset table broadcast back. No "
+        "rand(), no single-partition window; the plan a 100 TB epoch "
+        "order wants."
+    ),
+    "event_transition_matrix": (
+        "Markov transitions: ONE user-keyed sort exchange serves the "
+        "lead() window; the (from,to) aggregate and the per-row "
+        "probability window run over the |types|²-sized matrix."
+    ),
+    "dedup_survivorship": (
+        "Golden-record pass: clustering reuses the collapsed rep graph "
+        "(distinct shingle sets) and survivorship is one cluster-keyed "
+        "aggregate with the (n_chars, -doc_id) struct-max pick — no "
+        "per-pair work after the LSH stage."
+    ),
 }
 
 
