@@ -123,6 +123,7 @@ HEADLINE = [
     "event_transition_matrix",
     "streaming_transition_counts",
     "dedup_survivorship",
+    "dedup_incremental_probe",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -960,3 +960,88 @@ def connected_components_star(
         )
     )
     return out
+
+
+def minhash_probe_pairs(
+    new_sets: DataFrame,
+    corpus_sets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """INCREMENTAL near-dup: probe a NEW batch's documents against an
+    existing corpus without generating any corpus×corpus pair — the
+    shape an ingest pipeline runs per arrival, where re-pairing the
+    whole corpus (minhash_lsh_pairs) would redo work proportional to
+    history instead of to the delta.
+
+    Both inputs are shingle-set tables (share ONE shingle_sets pass and
+    split, or keep the corpus side as a persisted/checkpointed index —
+    the band table is exactly what a production pipeline stores between
+    arrivals). Each side collapses to distinct-set representatives
+    first (k_new × k_corp identical copies would otherwise multiply
+    BOTH candidate and verification volume; after collapse they cost
+    one rep pair plus output-bound expansion). Candidates come from an
+    asymmetric band equi-join (new side ⋈ corpus side only), are
+    verified with exact Jaccard, and expand to (new_id, corpus_id,
+    jaccard). Cost is delta-bound: no stage touches corpus×corpus.
+    """
+    gn = _persist_tracked(_set_groups(new_sets, id_col))
+    gc = _persist_tracked(_set_groups(corpus_sets, id_col))
+
+    def bands_of(groups: DataFrame, rep_alias: str) -> DataFrame:
+        sig = groups.select(F.col("rep"), *_signature_cols(F.col("units")))
+        return sig.select(
+            F.col("rep").alias(rep_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            band_key(
+                                F.col(f"mh{j * BAND_ROWS}"),
+                                F.col(f"mh{j * BAND_ROWS + 1}"),
+                            ).alias("key"),
+                        )
+                        for j in range(N_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            rep_alias, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    cand = (
+        bands_of(gn, "rep_n")
+        .join(bands_of(gc, "rep_c"), ["band", "key"])
+        .select("rep_n", "rep_c")
+        .distinct()
+    )
+    jac = _jaccard(F.col("n_units_arr"), F.col("c_units_arr"), F.col("n_n"), F.col("c_n"))
+    rep_pairs = (
+        cand.join(
+            gn.select(
+                F.col("rep").alias("rep_n"),
+                F.col("units").alias("n_units_arr"),
+                F.col("n_units").alias("n_n"),
+                F.col("members").alias("_mn"),
+            ),
+            "rep_n",
+        )
+        .join(
+            gc.select(
+                F.col("rep").alias("rep_c"),
+                F.col("units").alias("c_units_arr"),
+                F.col("n_units").alias("c_n"),
+                F.col("members").alias("_mc"),
+            ),
+            "rep_c",
+        )
+        .select("_mn", "_mc", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return (
+        rep_pairs.select(F.explode("_mn").alias("new_id"), "_mc", "jaccard")
+        .select(
+            "new_id", F.explode("_mc").alias("corpus_id"), "jaccard"
+        )
+    )

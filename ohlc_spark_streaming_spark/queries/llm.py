@@ -2621,3 +2621,50 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("source").cast("long").alias("n_sources"),
     )
+
+
+@register(
+    "dedup_incremental_probe",
+    f"""
+WITH {_minhash_sql_cte().lstrip()},
+bands AS ({_minhash_bands_sql()}),
+sets AS (
+  SELECT doc_id, list(DISTINCT sh) AS units, count(DISTINCT sh) AS n_units
+  FROM shg GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM bands n JOIN bands c ON n.band = c.band AND n.key = c.key
+  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+)
+SELECT cand.new_id, cand.corpus_id,
+       len(list_intersect(sn.units, sc.units))
+         / (sn.n_units + sc.n_units
+            - len(list_intersect(sn.units, sc.units))) AS jaccard
+FROM cand
+JOIN sets sn ON sn.doc_id = cand.new_id
+JOIN sets sc ON sc.doc_id = cand.corpus_id
+WHERE len(list_intersect(sn.units, sc.units))
+        / (sn.n_units + sc.n_units
+           - len(list_intersect(sn.units, sc.units))) >= 0.7
+""",
+)
+def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup probe: documents with
+    ``doc_id % 10 == 0`` play the newly arrived batch and are probed
+    against the rest of the corpus through an ASYMMETRIC LSH band join
+    (operators/dedup.py minhash_probe_pairs) — no corpus×corpus pair is
+    ever generated, so per-arrival cost tracks the delta, not history.
+    This is the production shape of dedup-on-ingest; the full-corpus
+    twin is dedup_minhash_lsh.
+
+    One shared shingle-set pass feeds both sides; each side collapses
+    to distinct-set reps before banding (duplication-invariance), and
+    matches expand back output-bound."""
+    from ..operators.dedup import minhash_probe_pairs, shingle_sets
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    sets = shingle_sets(docs).persist()
+    new_sets = sets.where(F.col("doc_id") % 10 == 0)
+    corpus_sets = sets.where(F.col("doc_id") % 10 != 0)
+    return minhash_probe_pairs(new_sets, corpus_sets, threshold=0.7)

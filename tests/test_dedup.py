@@ -102,3 +102,34 @@ def test_shingle_sets_equals_grouped_shingle_hashes(spark):
     }
     assert fast == slow
     assert fast, "empty corpus would vacuously pass"
+
+
+def test_incremental_probe_equals_full_lsh_cross_pairs(spark):
+    """The asymmetric new-vs-corpus probe must find EXACTLY the full
+    LSH pair list restricted to cross-side pairs — incrementality may
+    not lose or invent matches."""
+    from ohlc_spark_streaming_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_probe_pairs,
+        shingle_sets,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+        if (r.id_a % 10 == 0) != (r.id_b % 10 == 0)
+    }
+    sets = shingle_sets(docs).persist()
+    probe = minhash_probe_pairs(
+        sets.where("doc_id % 10 = 0"),
+        sets.where("doc_id % 10 != 0"),
+        threshold=0.7,
+    )
+    got = {
+        (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id),
+         round(r.jaccard, 12))
+        for r in probe.collect()
+    }
+    assert got == full
+    assert len(got) > 0
