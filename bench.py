@@ -124,6 +124,7 @@ HEADLINE = [
     "streaming_transition_counts",
     "dedup_survivorship",
     "dedup_incremental_probe",
+    "denylist_redact",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

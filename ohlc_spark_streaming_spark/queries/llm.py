@@ -2668,3 +2668,74 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_sets = sets.where(F.col("doc_id") % 10 == 0)
     corpus_sets = sets.where(F.col("doc_id") % 10 != 0)
     return minhash_probe_pairs(new_sets, corpus_sets, threshold=0.7)
+
+
+#: Denylist scrubbing pattern (word-boundary alternation): ASCII-only, so
+#: Java and RE2 regex semantics agree byte-for-byte (text_normalize rule).
+_DENYLIST_RE = r"\b(spark|stream|merge)\b"
+
+
+@register(
+    "denylist_scan",
+    rf"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_DENYLIST_RE}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(len(regexp_extract_all(text, '{_DENYLIST_RE}')))
+            AS BIGINT) AS total_hits
+FROM documents
+GROUP BY source
+""",
+)
+def q_denylist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term scan (the PII/secret-scrubbing audit shape): per
+    source, how many documents mention a denylisted term and how many
+    total hits — the report a compliance gate produces before release.
+    Word-boundary ASCII alternation, so Java and RE2 agree
+    byte-for-byte; one scan, one source-keyed aggregate with map-side
+    partials. At 100 TB the same query costs one pass — counts only,
+    no flagged rows materialize."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_DENYLIST_RE)))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(hits > 0, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.sum(hits).cast("long").alias("total_hits"),
+    )
+
+
+@register(
+    "denylist_redact",
+    rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_DENYLIST_RE}')) AS BIGINT)
+         AS n_hits,
+       md5(regexp_replace(text, '{_DENYLIST_RE}', '[REDACTED]', 'g'))
+         AS redacted_md5,
+       CAST(length(regexp_replace(text, '{_DENYLIST_RE}', '[REDACTED]', 'g'))
+            AS BIGINT) AS redacted_len
+FROM documents
+WHERE len(regexp_extract_all(text, '{_DENYLIST_RE}')) > 0
+""",
+)
+def q_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term REDACTION with bitwise proof: flagged documents
+    get every denylisted term replaced by a placeholder, and the query
+    returns the md5 of the redacted text — so the oracle check proves
+    both engines produced the IDENTICAL scrubbed byte stream, not just
+    matching counts (the property a compliance pipeline actually needs
+    before the redacted corpus ships). Scan-shaped: row-local regex +
+    hash, a filter, no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_DENYLIST_RE)))
+    red = F.regexp_replace(F.col("text"), _DENYLIST_RE, "[REDACTED]")
+    return (
+        docs.select(
+            "doc_id",
+            hits.cast("long").alias("n_hits"),
+            F.md5(red.cast("binary")).alias("redacted_md5"),
+            F.length(red).cast("long").alias("redacted_len"),
+        )
+        .where(F.col("n_hits") > 0)
+    )
