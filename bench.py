@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_survivorship",
     "dedup_incremental_probe",
     "denylist_redact",
+    "embedding_pq_audit",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);
