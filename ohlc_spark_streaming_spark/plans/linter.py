@@ -100,8 +100,16 @@ def lint_plan(df: DataFrame) -> list[tuple[str, str, str]]:
             )
         )
 
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        n_cols = m.group(1).count(",") + 1 if m.group(1) else 0
+    # Line-bounded on purpose: executedPlan().toString() TRUNCATES a long
+    # ReadSchema without its closing '>', so a multi-line match would lump
+    # several scans' schemas into one bogus count ("... N more fields"
+    # stays on the scan's own line and is parsed below).
+    for m in re.finditer(r"ReadSchema: struct<([^\n>]*)>?", plan):
+        frag = m.group(1)
+        n_cols = frag.count(",") + 1 if frag else 0
+        more = re.search(r"(\d+) more fields", frag)
+        if more:
+            n_cols += int(more.group(1))
         if n_cols >= 15:
             findings.append(
                 (

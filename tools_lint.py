@@ -54,6 +54,26 @@ EXPECTED = {
     ("embedding_quantize_int8", "COLLECT_LIST"),
     ("user_event_type_sets", "COLLECT_LIST"),
     ("basket_part_pairs", "COLLECT_LIST"),
+    # Identical-content collapse groups: the members array is bounded by
+    # the duplication multiplicity of ONE distinct text/vector/name — the
+    # documented boundary of operators/dedup._set_groups (if a corpus has
+    # million-fold boilerplate, the PAIR SEMANTICS are the problem; run
+    # exact dedup first).
+    ("embedding_near_dup", "COLLECT_LIST"),
+    ("fuzzy_match_parts", "COLLECT_LIST"),
+    ("split_leakage_audit", "COLLECT_LIST"),
+    ("dedup_survivorship", "COLLECT_LIST"),
+    ("dedup_incremental_probe", "COLLECT_LIST"),
+    # Bounded by a declared schema dimension, not group cardinality:
+    # #labels rows (centroid assign), order width ≤ 7 lines (TPC-H
+    # basket), per-order status vocabulary, the scalar-battery demo rows.
+    ("embedding_centroid_assign", "COLLECT_LIST"),
+    ("json_roundtrip_lines", "COLLECT_LIST"),
+    ("string_agg_statuses", "COLLECT_LIST"),
+    ("array_functions", "COLLECT_LIST"),
+    # Deliberate Python-execution exhibit: the UDTF demonstrates the
+    # lateral-join surface OFF the hot path (queries/llm.py docstring).
+    ("udtf_token_positions", "ROW_PYTHON"),
 }
 
 
