@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_incremental_probe",
     "denylist_redact",
     "embedding_pq_audit",
+    "map_functions_battery",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1738,3 +1738,97 @@ def q_json_roundtrip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@register(
+    "above_p90_lineitems",
+    """
+WITH thr AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.9) AS p90
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_above,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS revenue_above,
+       max(thr.p90) AS p90_price
+FROM lineitem l JOIN thr ON l.l_returnflag = thr.l_returnflag
+WHERE l.l_extendedprice > thr.p90
+GROUP BY l.l_returnflag
+""",
+)
+def q_above_p90_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-decile filter per group: line items priced above their return
+    flag's exact p90, with the surviving tail's count and exact-decimal
+    revenue — the percentile cousin of above_avg_orders' correlated
+    average (thresholds that are ORDER STATISTICS, not moments).
+
+    Plan: the threshold table is one groupBy over ≤|flags| rows joined
+    back (AQE broadcasts the 3-row build — no hard hint, per the
+    broadcast policy); exact percentile needs each group sorted once,
+    the production swap at 100 TB is approx_percentile's mergeable
+    t-digest (approx_percentile_audit quantifies that trade)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    thr = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90")
+    )
+    return (
+        l.join(thr, "l_returnflag")
+        .where(F.col("l_extendedprice") > F.col("p90"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_above"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("revenue_above"),
+            F.max("p90").alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "map_functions_battery",
+    """
+SELECT user_id, event_type,
+       CAST(n * 10 + length(event_type) AS BIGINT) AS score
+FROM (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+WHERE n >= 2
+""",
+)
+def q_map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions exercised end-to-end:
+    ``map_from_entries`` builds a per-user event-type→count map (the
+    collect is bounded by the event-type VOCABULARY, not user activity),
+    ``map_filter`` drops rare types, ``transform_values`` rescores, and
+    exploding the map flattens back to rows. The oracle computes the
+    same result straight from GROUP BY + HAVING — a hash match proves
+    the whole map round trip (build → filter → transform → explode) is
+    semantically lossless, the same oracle trick as
+    json_roundtrip_lines.
+
+    Plan: one (user, type) aggregate, one user-keyed map build, then
+    row-local map ops — the map layer adds no shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+        ).alias("by_type")
+    )
+    scored = m.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter(F.col("by_type"), lambda k, v: v >= 2),
+            lambda k, v: v * 10 + F.length(k),
+        ).alias("scores"),
+    )
+    return scored.select(
+        "user_id", F.explode(F.col("scores")).alias("event_type", "score")
+    ).select("user_id", "event_type", F.col("score").cast("long").alias("score"))

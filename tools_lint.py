@@ -53,6 +53,7 @@ EXPECTED = {
     # Vocab-bounded or k-bounded collects (documented at the call sites).
     ("embedding_quantize_int8", "COLLECT_LIST"),
     ("user_event_type_sets", "COLLECT_LIST"),
+    ("map_functions_battery", "COLLECT_LIST"),
     ("basket_part_pairs", "COLLECT_LIST"),
     # Identical-content collapse groups: the members array is bounded by
     # the duplication multiplicity of ONE distinct text/vector/name — the
