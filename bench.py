@@ -127,6 +127,7 @@ HEADLINE = [
     "denylist_redact",
     "embedding_pq_audit",
     "map_functions_battery",
+    "revenue_growth_mom",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1832,3 +1832,75 @@ def q_map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "user_id", F.explode(F.col("scores")).alias("event_type", "score")
     ).select("user_id", "event_type", F.col("score").cast("long").alias("score"))
+
+
+@register(
+    "revenue_growth_mom",
+    """
+WITH monthly AS (
+  SELECT n.n_name,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, CAST(date_trunc('month', o.o_orderdate) AS DATE)
+)
+SELECT n_name, month, revenue,
+       lag(revenue) OVER (PARTITION BY n_name ORDER BY month) AS prev_revenue,
+       revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY month)
+         AS delta,
+       revenue / lag(revenue) OVER (PARTITION BY n_name ORDER BY month) - 1
+         AS growth
+FROM monthly
+""",
+)
+def q_revenue_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the standard BI
+    trend query: exact-decimal monthly revenue (order-independent
+    bits), then lag/delta/ratio windows over the MONTHLY table (≤
+    nations × months rows, each partition a nation — parallel and
+    tiny regardless of corpus scale). The discount expression shares
+    the q1 scalar shape; growth divides the identical doubles both
+    engines produced, so even the ratios hash-match."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    monthly = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "n_name", F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "n_name",
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("delta"),
+        (F.col("revenue") / prev - 1).alias("growth"),
+    )
