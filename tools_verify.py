@@ -4,6 +4,7 @@ Usage::
 
     python tools_verify.py                    # sweep at sf0.01 (driver's sf)
     python tools_verify.py --sf /root/testdata/sf0.001
+    python tools_verify.py --window           # exactly the driver's 50-slot window
     python tools_verify.py bm25_search scd2_user_state   # subset
 
 Runs ``__spark_entry__.entry()`` under a PLAIN SparkSession (no engine
@@ -30,7 +31,14 @@ def main() -> int:
         i = argv.index("--sf")
         sf_dir = argv[i + 1]
         del argv[i : i + 2]
+    use_window = "--window" in argv
+    if use_window:
+        argv.remove("--window")
     only = set(argv)
+    if use_window:
+        from ohlc_spark_streaming_spark.registry import DRIVER_WINDOW
+
+        only |= set(DRIVER_WINDOW)
 
     from pyspark.sql import SparkSession
 
