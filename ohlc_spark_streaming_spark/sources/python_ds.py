@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 MULT = 2654435761
@@ -114,3 +116,94 @@ SELECT i AS tick_id,
        ((i * {MULT}) % {MOD} % {PRICE_CENTS_MOD}) / 100.0 AS price
 FROM (SELECT unnest(range(0, {n_total})) AS i)
 """
+
+
+# --- Python DataSource WRITER: JSONL directory sink --------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: (file name, row count)."""
+
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class _JsonlDirWriter(DataSourceWriter):
+    """One JSONL file per partition, object-store-safe commit protocol:
+
+    * each task writes a UNIQUELY named file (uuid — task retries and
+      speculative attempts can never collide or corrupt a committed
+      file),
+    * ``commit`` (driver, exactly once, after every task succeeded)
+      writes the ``_MANIFEST.json`` naming the files that BELONG to the
+      dataset — readers that honor the manifest see all-or-nothing,
+    * ``abort`` best-effort removes the orphan attempt files.
+
+    This is the same two-phase shape as Spark's file-sink transaction
+    log, expressed through the Python DataSource writer API."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(
+                (
+                    {"name": m.filename, "n_rows": m.n_rows}
+                    for m in messages
+                    if m is not None
+                ),
+                key=lambda d: d["name"],
+            ),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlDirSink(DataSource):
+    """``df.write.format("jsonl_dir").option("path", d).save()`` — the
+    write-side twin of SyntheticTickSource's read connector."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlDirWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirSink)
