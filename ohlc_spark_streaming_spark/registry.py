@@ -132,6 +132,21 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 )
 
 #: Round-6 rotation: final 27 first-time names + 22 oldest re-checks.
+#:
+#: ROUND-7 PREP (do NOT apply mid-round-6 — the driver hashes the window
+#: below at round-6 end): the 26 round-6 additions that need first-time
+#: driver slots next rotation are
+#:   variant_props_stats json_roundtrip_lines above_p90_lineitems
+#:   map_functions_battery revenue_growth_mom dataset_shuffle_order
+#:   source_quota_sample epoch_shard_assign ngram_novelty
+#:   feature_hash_bow multimodal_audio_chunks bpe_top_merges
+#:   dedup_survivorship dedup_incremental_probe denylist_scan
+#:   denylist_redact embedding_pq_audit triangle_count_copurchase
+#:   ship_interval_coverage zonemap_prune_audit compaction_plan
+#:   link_predict_copurchase daily_active_cumulative
+#:   event_transition_matrix split_drift_ks streaming_transition_counts
+#: (1 anchor + 26 first-time leaves 23 slots for the next-oldest
+#: re-checks; regenerate ROTATION.md with `python tools_rotation.py`).
 DRIVER_ROTATION: tuple[str, ...] = (
     # --- First-time names (27): the complete round-5 tranche ---
     # Candle / OHLC extensions
