@@ -41,4 +41,12 @@ scale-check:
     python3 tools_scale_check.py --window --md SCALE.md
 
 scale-check-all:
-    python3 tools_scale_check.py --all --md SCALE.md
+    python3 tools_scale_check.py --all --md SCALE.md --ledger /tmp/scale_ledger.jsonl
+
+# Driver-contract replica: t1 smoke + strict DuckDB sweep at sf0.01.
+verify:
+    python3 tools_verify.py
+
+# Exactly the 50-slot correctness window the driver will hash.
+verify-window:
+    python3 tools_verify.py --window
