@@ -119,11 +119,14 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # (green) driver CORRECTNESS row, until every oracle-backed query has one
 # (tracked in ROTATION.md — regenerate with tools_rotation.py).
 #
-# Round-6 window (VERDICT r5 items 1 + 6): the FINAL 27 never-checked
-# names (all round-5 additions) close the verification backlog —
-# cumulative 179/179 after this round — and the 22 spare slots re-check
-# the oldest green rows (21 names last driver-checked in r1 + 1 from r2),
-# which predate the Arrow-typed comparator and several operator rewrites.
+# Round-7 window (VERDICT r6 item 1): the FINAL 26 never-checked names
+# (all round-6 additions) close the entire driver-verification backlog —
+# cumulative 205/205 after this round — and the spare slots continue the
+# re-verification program with the oldest remaining green rows (2 names
+# last checked in r2, plus the riskiest r3-era names: joins, dedup,
+# streaming, TPC-H plan shapes, multimodal, packing, similarity).
+# New round-7 queries take slots from the re-check tail as they land, so
+# the backlog stays at zero.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
@@ -131,84 +134,70 @@ DRIVER_ANCHORS: tuple[str, ...] = (
     "ohlc_candles",
 )
 
-#: Round-6 rotation: final 27 first-time names + 22 oldest re-checks.
-#:
-#: ROUND-7 PREP (do NOT apply mid-round-6 — the driver hashes the window
-#: below at round-6 end): the 26 round-6 additions that need first-time
-#: driver slots next rotation are
-#:   variant_props_stats json_roundtrip_lines above_p90_lineitems
-#:   map_functions_battery revenue_growth_mom dataset_shuffle_order
-#:   source_quota_sample epoch_shard_assign ngram_novelty
-#:   feature_hash_bow multimodal_audio_chunks bpe_top_merges
-#:   dedup_survivorship dedup_incremental_probe denylist_scan
-#:   denylist_redact embedding_pq_audit triangle_count_copurchase
-#:   ship_interval_coverage zonemap_prune_audit compaction_plan
-#:   link_predict_copurchase daily_active_cumulative
-#:   event_transition_matrix split_drift_ks streaming_transition_counts
-#: (1 anchor + 26 first-time leaves 23 slots for the next-oldest
-#: re-checks; regenerate ROTATION.md with `python tools_rotation.py`).
+#: Round-7 rotation: final 26 first-time names + 23 oldest re-checks.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # --- First-time names (27): the complete round-5 tranche ---
-    # Candle / OHLC extensions
-    "candles_incremental_update",
-    "ohlc_rollup_daily",
-    "approx_percentile_audit",
-    # Dedup extensions
-    "dedup_containment",
-    "dedup_cross_source",
-    "dedup_hybrid_pairs",
-    "minhash_recall_audit",
-    # Embedding audits
-    "embedding_quantize_int8",
-    "embedding_centroid_assign",
-    "embedding_dim_variance",
-    # Corpus statistics
-    "doc_length_histogram",
-    "cooc_lift_topk",
-    "stats_chi2_independence",
-    # IR pair + UDTF exhibit
-    "inverted_index_champions",
-    "conjunctive_search",
-    "udtf_token_positions",
-    # Graph / hierarchy / spatial
-    "pagerank_copurchase",
-    "bfs_distance_copurchase",
-    "part_hierarchy_rollup",
-    "spatial_neighbor_pairs",
-    # Event analytics
-    "funnel_timed",
-    # Streaming twins
-    "streaming_session_funnel",
-    "streaming_interarrival_stats",
-    "streaming_candle_mad_outliers",
-    "streaming_dedup_exact",
-    "streaming_incremental_candles",
-    "streaming_asof_enrich",
-    # --- Re-checks (22): oldest driver rows, pre-Arrow-comparator ---
-    # r1-only rows (21)
-    "candle_gap_fill",
-    "candle_trend_slope",
-    "candle_minmax_norm",
-    "twap_candles",
-    "ohlc_rollup_candles",
-    "candle_bollinger",
-    "q5_region_revenue",
-    "window_running_total",
-    "window_candle_returns",
-    "topk_per_group",
-    "cube_orders",
-    "agg_distinct_counts",
-    "orderby_limit",
-    "error_streaks",
-    "unpivot_lineitem_measures",
-    "above_avg_orders",
-    "price_histogram",
-    "funnel_view_purchase",
-    "user_event_type_sets",
-    "stats_corr_qty_price",
-    "mode_order_priority",
-    # r2-only row (1)
-    "date_functions",
+    # --- First-time names (26): the complete round-6 tranche ---
+    # Scalar / JSON / VARIANT surface
+    "variant_props_stats",
+    "json_roundtrip_lines",
+    "above_p90_lineitems",
+    "map_functions_battery",
+    "revenue_growth_mom",
+    # Training-data last mile
+    "dataset_shuffle_order",
+    "source_quota_sample",
+    "epoch_shard_assign",
+    "ngram_novelty",
+    "feature_hash_bow",
+    "bpe_top_merges",
+    # Dedup production shapes
+    "dedup_survivorship",
+    "dedup_incremental_probe",
+    # Corpus hygiene
+    "denylist_scan",
+    "denylist_redact",
+    # Embedding / multimodal
+    "embedding_pq_audit",
+    "multimodal_audio_chunks",
+    # Graph pair
+    "triangle_count_copurchase",
+    "link_predict_copurchase",
+    # Interval / storage-layout audits
+    "ship_interval_coverage",
+    "zonemap_prune_audit",
+    "compaction_plan",
+    # Event analytics + drift
+    "daily_active_cumulative",
+    "event_transition_matrix",
+    "split_drift_ks",
+    # Streaming
+    "streaming_transition_counts",
+    # --- Re-checks (23): oldest remaining driver rows ---
+    # r2-era rows (2)
+    "pivot_linestatus",
+    "window_value_functions",
+    # r3-era rows (21): joins / dedup / streaming / plan-shape risk first
+    "join_full_outer",
+    "join_interval_overlap",
+    "join_null_safe",
+    "join_range_shipdelay",
+    "dedup_clusters",
+    "decontaminate_ngram",
+    "quality_repetition",
+    "similarity_lsh_topk",
+    "multimodal_features",
+    "pack_sequences",
+    "streaming_interval_join",
+    "streaming_vwap_candles",
+    "window_trailing_range",
+    "array_functions",
+    "null_semantics",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)
