@@ -52,6 +52,12 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Public alias: other modules with loop-invariant persists (graph
+#: PageRank's degree-annotated edges, llm.py's shared shingle-set pass)
+#: route through the same ledger so :func:`release_caches` reclaims them.
+persist_tracked = _persist_tracked
+
+
 def release_caches() -> int:
     """Unpersist every DataFrame cached by the near-dup operators; returns
     the number released. Safe to call at any time — subsequent use of a

@@ -74,8 +74,12 @@ def pagerank(
     # localCheckpoint, which was measured ~2x slower here: it forces a
     # full serialized write before the first iteration can start). The
     # per-iteration plan is then ranks ⋈ edges_with_deg, one join, with
-    # no re-derivation of the edge list from source.
-    edeg = e.join(deg, "_src").persist()
+    # no re-derivation of the edge list from source. Tracked in the dedup
+    # module's cache ledger so release_caches() can reclaim it between
+    # queries in a long-lived session (ADVICE r6).
+    from .dedup import persist_tracked
+
+    edeg = persist_tracked(e.join(deg, "_src"))
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))

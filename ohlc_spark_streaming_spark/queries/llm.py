@@ -2661,10 +2661,10 @@ def q_dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shared shingle-set pass feeds both sides; each side collapses
     to distinct-set reps before banding (duplication-invariance), and
     matches expand back output-bound."""
-    from ..operators.dedup import minhash_probe_pairs, shingle_sets
+    from ..operators.dedup import minhash_probe_pairs, persist_tracked, shingle_sets
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    sets = shingle_sets(docs).persist()
+    sets = persist_tracked(shingle_sets(docs))
     new_sets = sets.where(F.col("doc_id") % 10 == 0)
     corpus_sets = sets.where(F.col("doc_id") % 10 != 0)
     return minhash_probe_pairs(new_sets, corpus_sets, threshold=0.7)

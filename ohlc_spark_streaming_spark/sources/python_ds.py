@@ -129,6 +129,24 @@ class _JsonlCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
+def _json_default(v):
+    """JSON encoder fallback for the non-primitive Spark types a row can
+    carry (ADVICE r6: ``json.dumps`` alone rejects datetime/Decimal/bytes,
+    limiting the sink to primitive schemas). Deterministic text forms:
+    ISO timestamps, exact decimal strings, base64 bytes."""
+    import base64
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    raise TypeError(f"jsonl_dir cannot serialize {type(v).__name__}")
+
+
 class _JsonlDirWriter(DataSourceWriter):
     """One JSONL file per partition, object-store-safe commit protocol:
 
@@ -137,7 +155,12 @@ class _JsonlDirWriter(DataSourceWriter):
       file),
     * ``commit`` (driver, exactly once, after every task succeeded)
       writes the ``_MANIFEST.json`` naming the files that BELONG to the
-      dataset — readers that honor the manifest see all-or-nothing,
+      dataset — readers that honor the manifest see all-or-nothing.
+      ``mode("append")`` MERGES the prior manifest's file list;
+      ``mode("overwrite")`` replaces it and clears superseded part
+      files (manifest is written first, so a crash mid-cleanup leaves
+      stale-but-unreferenced files, never a manifest naming deleted
+      ones),
     * ``abort`` best-effort removes the orphan attempt files.
 
     This is the same two-phase shape as Spark's file-sink transaction
@@ -159,7 +182,7 @@ class _JsonlDirWriter(DataSourceWriter):
         n = 0
         with open(os.path.join(self.path, fname), "w") as f:
             for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
+                f.write(json.dumps(row.asDict(), default=_json_default) + "\n")
                 n += 1
         return _JsonlCommit(fname, n)
 
@@ -167,19 +190,34 @@ class _JsonlDirWriter(DataSourceWriter):
         import json
         import os
 
-        manifest = {
-            "files": sorted(
-                (
-                    {"name": m.filename, "n_rows": m.n_rows}
-                    for m in messages
-                    if m is not None
-                ),
-                key=lambda d: d["name"],
+        new_files = sorted(
+            (
+                {"name": m.filename, "n_rows": m.n_rows}
+                for m in messages
+                if m is not None
             ),
-            "n_rows": sum(m.n_rows for m in messages if m is not None),
+            key=lambda d: d["name"],
+        )
+        prior_files: list[dict] = []
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior_files = json.load(f).get("files", [])
+        files = [*prior_files, *new_files]
+        manifest = {
+            "files": files,
+            "n_rows": sum(e["n_rows"] for e in files),
         }
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        with open(manifest_path, "w") as f:
             json.dump(manifest, f)
+        if self.overwrite:
+            keep = {e["name"] for e in new_files}
+            for fname in os.listdir(self.path):
+                if fname.endswith(".jsonl") and fname not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, fname))
+                    except OSError:
+                        pass
 
     def abort(self, messages):
         import os

@@ -118,6 +118,21 @@ def tws_event_counts(
     )
 
 
+def _check_ordered_arrival(saved: tuple, first: tuple, key) -> None:
+    """Guard the cross-batch ordering precondition (ADVICE r6): the
+    stateful extractors are only correct when each key's events arrive
+    event-time-ordered ACROSS micro-batches. A batch whose first
+    (ts_us, event_id) precedes the saved state tuple would silently form
+    a wrong gap/transition — fail loudly instead; out-of-order sources
+    belong on the batch twin (or need watermarked reordering upstream)."""
+    if first < saved:
+        raise ValueError(
+            f"out-of-order cross-batch arrival for key {key}: batch starts at "
+            f"{first} but state already saw {saved}; this stateful operator "
+            "requires per-key event-time-ordered arrival across micro-batches"
+        )
+
+
 def _gaps_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     """Per-(user, type) inter-arrival gaps with the previous sighting
     carried across micro-batches.
@@ -142,6 +157,11 @@ def _gaps_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     us = pdf["_ts_us"].to_numpy()
     gaps = pd.Series(us).diff()
     if prev_us is not None and len(us):
+        _check_ordered_arrival(
+            (prev_us, state.get[1]),
+            (int(us[0]), int(pdf["event_id"].iloc[0])),
+            key,
+        )
         gaps.iloc[0] = us[0] - prev_us
     if len(us):
         state.update((int(us[-1]), int(pdf["event_id"].iloc[-1])))
@@ -191,6 +211,11 @@ def _transitions_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     froms = types[:-1]
     tos = types[1:]
     if state.exists and types:
+        _check_ordered_arrival(
+            (state.get[0], state.get[1]),
+            (int(pdf["_ts_us"].iloc[0]), int(pdf["event_id"].iloc[0])),
+            key,
+        )
         froms = [state.get[2]] + types[:-1]
         tos = types
     if types:

@@ -441,6 +441,55 @@ def test_stateful_gaps_carry_across_batches(tmp_path, spark):
     assert len(got) > 0
 
 
+def test_stateful_guard_rejects_out_of_order_batches(tmp_path, spark):
+    """The stateful extractors' cross-batch ordering precondition is
+    RUNTIME-ENFORCED (ADVICE r6): replaying the later time-half BEFORE
+    the earlier one must fail the query with the ordering error, not
+    silently emit wrong gaps."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from ohlc_spark_streaming_spark.streaming.candles import run_to_memory
+    from ohlc_spark_streaming_spark.streaming.stateful import (
+        stateful_interarrival_gaps,
+    )
+
+    src = tmp_path / "events_reversed"
+    events = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .where(F.col("user_id") % 7 == 0)
+    )
+    halves = events.withColumn(
+        "_q", F.ntile(2).over(W.orderBy("ts", "event_id"))
+    )
+    # LATER half gets the EARLIER mtime → the file source replays it first.
+    for i, mtime_rank in ((1, 2), (2, 1)):
+        path = src / f"part_{i}"
+        halves.where(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+        t = time.time() - 400 + mtime_rank * 100
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (t, t))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part_*"))
+    )
+    with pytest.raises(Exception, match="out-of-order cross-batch arrival"):
+        run_to_memory(
+            stateful_interarrival_gaps(stream),
+            "stateful_guard_log",
+            output_mode="append",
+        )
+
+
 def test_incremental_candles_fold_across_batches(tmp_path, spark):
     """The foreachBatch candle fold must merge state ACROSS micro-batches:
     4 time-split files (one per batch) folded through the candle monoid
