@@ -131,6 +131,113 @@ def q_dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_span_extents",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+wins AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(list_slice(t, u.i, u.i + {_SPAN_K} - 1), ' ') AS win
+  FROM toks, unnest(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(t) >= {_SPAN_K}
+),
+dup AS (
+  SELECT win FROM (SELECT DISTINCT doc_id, win FROM wins)
+  GROUP BY win HAVING count(*) >= 2
+),
+cov AS (
+  SELECT w.doc_id, w.pos AS st, w.pos + {_SPAN_K} - 1 AS en
+  FROM wins w JOIN dup USING (win)
+),
+m AS (
+  SELECT doc_id, st, en,
+         max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM cov
+),
+isl AS (
+  SELECT doc_id, st, en,
+         SUM(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+)
+SELECT doc_id,
+       CAST(island AS BIGINT)              AS island,
+       CAST(min(st) AS BIGINT)             AS span_start,
+       CAST(max(en) AS BIGINT)             AS span_end,
+       CAST(max(en) - min(st) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT)            AS n_windows
+FROM isl GROUP BY doc_id, island
+""",
+)
+def q_dedup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span EXTENTS: the production substring-dedup output
+    shape (VERDICT r6 item 4). ``dedup_span_windows`` scores documents;
+    this query tells downstream exactly WHAT to cut — each maximal run
+    of corpus-duplicated 8-token windows, merged into one
+    ``[span_start, span_end]`` token interval per document (the
+    two-pass suffix-array-dedup answer, re-expressed scan-shaped).
+
+    Plan: pass 1 is the span-windows shape (posexplode of the sliding
+    windows, distinct (doc, win) collapse IN-ROW, one map-side-combined
+    groupBy to find windows in ≥2 docs); pass 2 joins positions against
+    only the FILTERED duplicated-window keys, turns each hit into the
+    closed token interval [pos, pos+K-1], and merges intervals per doc
+    with operators/sessions.py::interval_union — both window layers of
+    the island sweep share ONE (doc, start) sort exchange, partitioned
+    by doc_id, so no single-partition window exists anywhere. Output is
+    one row per maximal span: cut-ready, O(spans) not O(tokens).
+
+    Adjacency semantics are interval_union's closed-integer rule:
+    windows at positions i and i+8 cover [i, i+7] ∪ [i+8, i+15] — no
+    uncovered token between them — so they merge into one span;
+    ``span_tokens`` is exactly the duplicated-token count of the span.
+    """
+    from ..operators.sessions import interval_union
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    wins = F.when(
+        n >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _SPAN_K + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _SPAN_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_wins = docs.select(
+        "doc_id", F.posexplode(wins).alias("pos0", "win")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "win"
+    )
+    dup_wins = (
+        pos_wins.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("win")
+    )
+    cov = pos_wins.join(dup_wins, "win").select(
+        "doc_id",
+        F.col("pos").alias("st"),
+        (F.col("pos") + _SPAN_K - 1).alias("en"),
+    )
+    spans = interval_union(cov, key_col="doc_id", start_col="st", end_col="en")
+    return spans.select(
+        "doc_id",
+        F.col("island").cast("long").alias("island"),
+        F.col("island_start").cast("long").alias("span_start"),
+        F.col("island_end").cast("long").alias("span_end"),
+        (F.col("island_end") - F.col("island_start") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+        F.col("n_intervals").cast("long").alias("n_windows"),
+    )
+
+
 # --- conditional bigram language model ---------------------------------------
 
 

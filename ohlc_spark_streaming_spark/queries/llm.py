@@ -997,6 +997,195 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- markup stripping (round 7) ---------------------------------------------
+
+#: The synthetic corpus is markup-free, so the RENDER stage (identical
+#: expression in both engines) reconstructs the web-crawl input shape —
+#: real tags, a script block, attribute noise, HTML entities — from the
+#: row's own columns; the STRIP stage is the operator under test. Both
+#: stages are ASCII-only, so Java and RE2 regex semantics agree
+#: byte-for-byte (text_normalize rule).
+_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&amp;", "&"),
+)
+
+_HTML_RENDER_SQL = (
+    "'<div id=\"doc-' || CAST(doc_id AS VARCHAR) || '\" class=\"' || lang"
+    " || '\"><h1>' || source || '</h1><script>var x = 1;</script><p>' || text"
+    " || '</p><br/>&nbsp;<a href=\"https://example.com/'"
+    " || CAST(doc_id AS VARCHAR)"
+    " || '?a=1&amp;b=2\">more &lt;here&gt;</a></div>'"
+)
+
+
+def _html_render_col():
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit('<div id="doc-'),
+        did,
+        F.lit('" class="'),
+        F.col("lang"),
+        F.lit('"><h1>'),
+        F.col("source"),
+        F.lit("</h1><script>var x = 1;</script><p>"),
+        F.col("text"),
+        F.lit('</p><br/>&nbsp;<a href="https://example.com/'),
+        did,
+        F.lit('?a=1&amp;b=2">more &lt;here&gt;</a></div>'),
+    )
+
+
+def _strip_markup_col(c):
+    """Tag/entity/whitespace normalization: drop script blocks wholesale,
+    drop remaining tags, decode the common entities (&amp; LAST so
+    double-encoded text is not double-decoded), collapse whitespace."""
+    c = F.regexp_replace(c, r"<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, " +", " "))
+
+
+def _strip_markup_sql(expr: str) -> str:
+    s = f"regexp_replace({expr}, '<script[^>]*>.*?</script>', ' ', 'g')"
+    s = f"regexp_replace({s}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        s = f"replace({s}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return f"trim(regexp_replace({s}, ' +', ' ', 'g'))"
+
+
+@register(
+    "text_strip_markup",
+    f"""
+WITH rendered AS (
+  SELECT doc_id, source, text, {_HTML_RENDER_SQL} AS html FROM documents
+),
+c AS (
+  SELECT doc_id, source, text, html,
+         {_strip_markup_sql("html")} AS clean
+  FROM rendered
+)
+SELECT doc_id,
+       md5(clean)                                      AS clean_md5,
+       CAST(length(clean) AS BIGINT)                   AS clean_len,
+       CAST(length(html) - length(clean) AS BIGINT)    AS removed_chars,
+       clean = trim(regexp_replace(
+                 source || ' ' || text || ' more <here>', ' +', ' ', 'g'))
+                                                       AS roundtrip_ok
+FROM c
+""",
+)
+def q_text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/markup stripping (VERDICT r6 item 5) — the web-crawl
+    corpus-prep stage ahead of every quality gate: drop <script> blocks
+    wholesale, drop remaining tags, decode HTML entities, collapse
+    whitespace. The md5 column proves both engines produced the
+    IDENTICAL cleaned byte stream (the denylist_redact discipline), and
+    ``roundtrip_ok`` asserts the strip recovered exactly the visible
+    text that was rendered in. Scan-shaped: row-local regex + hash,
+    zero shuffles — at 100 TB this is one pass over the corpus."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    html = _html_render_col()
+    clean = _strip_markup_col(html)
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                F.col("source"), F.lit(" "), F.col("text"), F.lit(" more <here>")
+            ),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+        (F.length(html) - F.length(clean)).cast("long").alias("removed_chars"),
+        (clean == expected).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "corpus_prep_markup",
+    f"""
+WITH rendered AS (
+  SELECT doc_id, {_HTML_RENDER_SQL} AS html FROM documents
+),
+c AS (
+  SELECT doc_id, {_strip_markup_sql("html")} AS clean FROM rendered
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id FROM c GROUP BY sha256(clean)
+),
+toks AS (
+  SELECT c.doc_id, clean, string_split(clean, ' ') AS t
+  FROM c JOIN deduped USING (doc_id)
+),
+kept AS (
+  SELECT doc_id, clean, len(t) AS n_tokens
+  FROM toks
+  WHERE len(t) >= 30
+    AND len(list_distinct(t)) / len(t) >= 0.3
+    AND len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) / len(t) <= 0.5
+),
+assigned AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN {hashing.rolling_hash_sql("clean")} % 100 < 80 THEN 'train'
+              WHEN {hashing.rolling_hash_sql("clean")} % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM assigned
+GROUP BY split
+""",
+)
+def q_corpus_prep_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_prep_pipeline variant with the markup stage composed in
+    FRONT (VERDICT r6 item 5): render the web-crawl input shape → strip
+    markup → fingerprint-dedup on the CLEANED text → quality gate on
+    the cleaned tokens → content-hash split → per-split accounting.
+    Every stage reuses its standalone operator's semantics, so the
+    composition is oracle-checked end-to-end. Shuffle budget is
+    unchanged from corpus_prep_pipeline (dedup groupBy + final 3-group
+    aggregate); the strip is scan-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = _strip_markup_col(_html_render_col())
+    c = docs.select("doc_id", clean.alias("clean"))
+    deduped = (
+        c.groupBy(F.sha2("clean", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = F.split(F.col("clean"), " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / n
+    kept = (
+        c.join(deduped, "doc_id")
+        .where((n >= 30) & (ttr >= 0.3) & (stop <= 0.5))
+        .select("doc_id", "clean", n.alias("n_tokens"))
+    )
+    h = hashing.rolling_hash("clean") % 100
+    split = F.when(h < 80, "train").when(h < 90, "valid").otherwise("test")
+    return (
+        kept.select("doc_id", "n_tokens", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
 @register(
     "text_chunks",
     f"""
@@ -2086,6 +2275,181 @@ def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared whitening oracle CTE chain (embedding_whiten /
+#: embedding_whiten_ivf): per-dim moments as exact integer 1e-12 units
+#: (embedding_dim_variance discipline), then the apply step
+#: w = (x - mean) / sqrt(var + 1e-9). Subtract, add, sqrt, divide are
+#: all correctly-rounded IEEE ops, so whitened components are
+#: bit-identical across engines — no quantization needed until a SUM.
+_WHITEN_CTES = """
+comp AS (
+  SELECT vec_id, u.i AS i, u.v AS x FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding::DOUBLE[],
+                                 (x, i) -> {'i': i, 'v': x})) AS u
+    FROM embeddings)
+),
+s AS (
+  SELECT i, count(*) AS n,
+         SUM(CAST(floor(x * 1e12 + CAST(0.5 AS DOUBLE))
+                  AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(floor(x * x * 1e12 + CAST(0.5 AS DOUBLE))
+                  AS DECIMAL(38,0))) AS sx2
+  FROM comp GROUP BY i
+),
+st AS (
+  SELECT i,
+         CAST(sx AS DOUBLE) / 1e12 / n AS m,
+         CAST(sx2 AS DOUBLE) / 1e12 / n
+           - (CAST(sx AS DOUBLE) / 1e12 / n)
+             * (CAST(sx AS DOUBLE) / 1e12 / n) AS v
+  FROM s
+),
+w AS (
+  SELECT comp.vec_id, comp.i,
+         (comp.x - st.m) / sqrt(st.v + CAST(1e-9 AS DOUBLE)) AS wx
+  FROM comp JOIN st USING (i)
+)
+"""
+
+
+def _whitened_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) with each vector mean-centered and
+    variance-scaled per dimension — the normalize-before-index stage
+    IVF/PQ assumes (VERDICT r6 item 7).
+
+    Plan: per-dim moments via ONE posexplode + one 64-key map-side-
+    combined aggregate (embedding_dim_variance's exact-integer-unit
+    discipline), collapsed into a SINGLE row of (means, inv-var) arrays
+    ordered by dim (sort_array of structs — deterministic regardless of
+    partition arrival), then broadcast back across the corpus as a
+    1-row crossJoin (the lint-sanctioned bounded-build shape). The
+    apply is two zip_with passes — scan-local, ZERO vector-side
+    shuffles; at 100 TB the stats fit in one cache line per dim and
+    the corpus is touched exactly twice (once for moments, once for
+    the apply)."""
+    from ..functions.vectorops import as_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode(as_double_array("embedding")).alias("_p", "x")
+    )
+    ux = F.floor(F.col("x") * F.lit(1.0e12) + F.lit(0.5)).cast("decimal(38,0)")
+    ux2 = F.floor(
+        F.col("x") * F.col("x") * F.lit(1.0e12) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    s = comp.groupBy("_p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ux).alias("_sx"),
+        F.sum(ux2).alias("_sx2"),
+    )
+    sx_d = F.col("_sx").cast("double") / F.lit(1.0e12) / F.col("n")
+    sx2_d = F.col("_sx2").cast("double") / F.lit(1.0e12) / F.col("n")
+    stats_row = (
+        s.select("_p", sx_d.alias("m"), (sx2_d - sx_d * sx_d).alias("v"))
+        .groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_p"), F.col("m"), F.col("v")))
+            ).alias("_s")
+        )
+        .select(
+            F.transform(F.col("_s"), lambda e: e.getField("m")).alias("_means"),
+            F.transform(F.col("_s"), lambda e: e.getField("v")).alias("_vars"),
+        )
+    )
+    e = as_double_array("embedding")
+    centered = F.zip_with(e, F.col("_means"), lambda x, m: x - m)
+    w = F.zip_with(
+        centered, F.col("_vars"), lambda c, v: c / F.sqrt(v + F.lit(1.0e-9))
+    )
+    return emb.crossJoin(F.broadcast(stats_row)).select(
+        "vec_id", w.alias("embedding")
+    )
+
+
+@register(
+    "embedding_whiten",
+    f"""
+WITH {_WHITEN_CTES}
+SELECT vec_id,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(SUM(CAST(floor(wx * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS w_sum_units,
+       CAST(SUM(CAST(floor(wx * wx * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS w_norm2_units
+FROM w GROUP BY vec_id
+""",
+)
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding whitening APPLY (VERDICT r6 item 7):
+    embedding_dim_variance computes the moments; this query applies
+    them — mean-center + per-dim diagonal scale 1/sqrt(var + 1e-9) —
+    and proves the whitened corpus bit-exactly via per-vector
+    quantized component-sum and norm² (integer 1e-9 units, the
+    operators/graph.py rule; quantization BEFORE the sum makes the
+    per-vector fold order-independent). See
+    :func:`_whitened_embeddings` for the broadcast-1-row plan."""
+    w = _whitened_embeddings(spark, sf_dir)
+    units = lambda x: F.floor(x * F.lit(1.0e9) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    zero = F.lit(0).cast("bigint")
+    return w.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.aggregate(
+            "embedding", zero, lambda acc, x: acc + units(x)
+        ).alias("w_sum_units"),
+        F.aggregate(
+            "embedding", zero, lambda acc, x: acc + units(x * x)
+        ).alias("w_norm2_units"),
+    )
+
+
+@register(
+    "embedding_whiten_ivf",
+    f"""
+WITH {_WHITEN_CTES},
+wl AS (
+  SELECT vec_id, list(wx ORDER BY i) AS e FROM w GROUP BY vec_id
+),
+cents AS (SELECT vec_id AS cid, e AS cv FROM wl WHERE vec_id < 8),
+dists AS (
+  SELECT vec_id, cid,
+         list_sum(list_transform(list_zip(e, cv),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+  FROM wl CROSS JOIN cents
+),
+cells AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell
+  FROM dists GROUP BY vec_id
+),
+assigned AS (SELECT wl.vec_id, wl.e, cells.cell FROM wl JOIN cells USING (vec_id)),
+q AS (SELECT vec_id AS query_id, e AS qe, cell FROM assigned WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, a.vec_id, list_cosine_similarity(a.e, qe) AS cos_sim
+  FROM assigned a JOIN q USING (cell) WHERE a.vec_id != query_id
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def q_embedding_whiten_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whiten-then-index audit (VERDICT r6 item 7's composition):
+    the whitened corpus feeds similarity_ivf_topk's IVF ANN unchanged —
+    coarse argmin-L2 cells over WHITENED vectors + exact cosine re-rank
+    in the probed cell. This is the production normalize-before-index
+    pipeline as one oracle-checked query; whitening changes the cell
+    geometry, so the oracle replays the whole composed path, not just
+    the final ranks."""
+    from ..operators import similarity as sim_ops
+
+    w = _whitened_embeddings(spark, sf_dir)
+    return sim_ops.ivf_cosine_topk(w, n_cells=8, n_queries=10, k=5)
+
+
 @register(
     "dedup_hybrid_pairs",
     f"""
@@ -2738,6 +3102,108 @@ def q_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(red).cast("long").alias("redacted_len"),
         )
         .where(F.col("n_hits") > 0)
+    )
+
+
+#: Structured-PII regex families (VERDICT r6 item 6). ASCII-only, no
+#: bounded-repetition braces beyond {m,n} (supported identically by Java
+#: and RE2), so both engines match byte-for-byte.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_PII_PHONE_RE = r"\+[1-9][0-9]{7,14}"
+_PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+#: Deterministic PII enrichment: the synthetic corpus carries no PII, so
+#: the render stage (identical expression both engines) embeds an email,
+#: an E.164 phone, and an IPv4 address derived from doc_id — the
+#: redactor is then exercised on real pattern instances in every row.
+_PII_RENDER_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com or +15'"
+    " || lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0')"
+    " || ' at ' || CAST(10 + doc_id % 240 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 37) % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 91) % 256 AS VARCHAR)"
+    " || '.' || CAST(1 + doc_id % 254 AS VARCHAR)"
+)
+
+
+def _pii_render_col():
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        s(did),
+        F.lit("@mail"),
+        s(did % 7),
+        F.lit(".example.com or +15"),
+        F.lpad(s((did * 7919) % 100000000), 8, "0"),
+        F.lit(" at "),
+        s(did % 240 + 10),
+        F.lit("."),
+        s((did * 37) % 256),
+        F.lit("."),
+        s((did * 91) % 256),
+        F.lit("."),
+        s(did % 254 + 1),
+    )
+
+
+@register(
+    "pii_redact",
+    f"""
+WITH rendered AS (
+  SELECT doc_id, {_PII_RENDER_SQL} AS pii_text FROM documents
+),
+red AS (
+  SELECT doc_id, pii_text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(pii_text, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+           '{_PII_IPV4_RE}', '[IP]', 'g') AS redacted
+  FROM rendered
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_EMAIL_RE}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_PHONE_RE}')) AS BIGINT)
+         AS n_phone,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_IPV4_RE}')) AS BIGINT)
+         AS n_ip,
+       md5(redacted)                       AS redacted_md5,
+       CAST(length(redacted) AS BIGINT)    AS redacted_len
+FROM red
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-PII redaction (VERDICT r6 item 6): the denylist_redact
+    discipline extended to the pattern families a compliance gate
+    actually scrubs — emails, E.164 phone numbers, IPv4 addresses —
+    applied sequentially (email → phone → ip, declared order shared by
+    the oracle) with per-family hit counts measured pre-redaction and
+    an md5-of-scrubbed-bytes proof that both engines produced the
+    IDENTICAL redacted byte stream. Scan-shaped: row-local regex +
+    hash, zero shuffles — one pass at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    pii = _pii_render_col()
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii, _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        _PII_IPV4_RE,
+        "[IP]",
+    )
+    n_of = lambda p: F.size(F.regexp_extract_all(pii, F.lit(p), 0)).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        n_of(_PII_EMAIL_RE).alias("n_email"),
+        n_of(_PII_PHONE_RE).alias("n_phone"),
+        n_of(_PII_IPV4_RE).alias("n_ip"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
     )
 
 

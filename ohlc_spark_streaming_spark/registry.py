@@ -134,7 +134,8 @@ DRIVER_ANCHORS: tuple[str, ...] = (
     "ohlc_candles",
 )
 
-#: Round-7 rotation: final 26 first-time names + 23 oldest re-checks.
+#: Round-7 rotation: final 26 round-6 names + 6 round-7 additions
+#: (immediate first-time slots) + 17 oldest re-checks.
 DRIVER_ROTATION: tuple[str, ...] = (
     # --- First-time names (26): the complete round-6 tranche ---
     # Scalar / JSON / VARIANT surface
@@ -172,6 +173,14 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "split_drift_ks",
     # Streaming
     "streaming_transition_counts",
+    # --- Round-7 additions (6): first driver slots immediately, so the
+    # --- verification backlog stays at zero (VERDICT r6 item 2)
+    "dedup_span_extents",
+    "text_strip_markup",
+    "corpus_prep_markup",
+    "pii_redact",
+    "embedding_whiten",
+    "embedding_whiten_ivf",
     # --- Re-checks (23): oldest remaining driver rows ---
     # r2-era rows (2)
     "pivot_linestatus",
@@ -192,12 +201,6 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "window_trailing_range",
     "array_functions",
     "null_semantics",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

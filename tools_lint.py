@@ -69,6 +69,11 @@ EXPECTED = {
     # #labels rows (centroid assign), order width ≤ 7 lines (TPC-H
     # basket), per-order status vocabulary, the scalar-battery demo rows.
     ("embedding_centroid_assign", "COLLECT_LIST"),
+    # Whitening stats row: the collect is over the 64 PER-DIM moment
+    # rows (embedding dimensionality, a schema constant), folded into
+    # one broadcast row — queries/llm.py::_whitened_embeddings.
+    ("embedding_whiten", "COLLECT_LIST"),
+    ("embedding_whiten_ivf", "COLLECT_LIST"),
     ("json_roundtrip_lines", "COLLECT_LIST"),
     ("string_agg_statuses", "COLLECT_LIST"),
     ("array_functions", "COLLECT_LIST"),
