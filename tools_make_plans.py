@@ -18,6 +18,15 @@ from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 NOTES = {
+    "approx_percentile_audit": (
+        "One scan + one 3-group ObjectHashAggregate; the cost is the exact-"
+        "percentile yardstick buffering every group value, inherent to the "
+        "audit. In-session A/B (round 7): steady-state 0.46s at sf0.1 both "
+        "for the six separate percentile calls AND for a fused array-"
+        "argument variant — the per-call buffers are NOT the cost, so the "
+        "clearer form stays. The 0.199s round-5 baseline row was cross-"
+        "session VM weather (bench-baseline refreshed round 7)."
+    ),
     "ohlc_candles": (
         "Flagship: scan → partial aggregate → single shuffle on (window, "
         "symbol) → final aggregate. Struct-ordered extrema (min_by/max_by) "
