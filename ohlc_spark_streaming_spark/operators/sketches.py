@@ -88,3 +88,39 @@ def cms_estimates(
         .groupBy(*key_cols)
         .agg(F.min("c").alias("cms_count"))
     )
+
+
+# --- Bloom filter (Bloom 1970 — public algorithm) ----------------------------
+
+#: Bloom geometry: m bits, k hash rows. Declared constants — the audit
+#: query reports the resulting FP rate rather than assuming one; a
+#: production build sizes m ∝ expected build-side cardinality.
+BLOOM_M = 16384
+BLOOM_K = 5
+#: k modular hash pairs (the MinHash family extended by one public pair).
+BLOOM_A = (*MINHASH_A[:4], 21001)
+BLOOM_B = (*MINHASH_B[:4], 6007)
+
+
+def bloom_positions(key: Column) -> Column:
+    """The (distinct) bit positions key sets/probes: k modular hashes in
+    [0, m). ``key % P`` first keeps every product inside exact int64 at
+    any bigint key magnitude (the operators/spatial.py overflow rule)."""
+    kh = key.cast("long") % P
+    return F.array_distinct(
+        F.array(
+            *[
+                ((F.lit(a) * kh + F.lit(b)) % P) % BLOOM_M
+                for a, b in zip(BLOOM_A, BLOOM_B)
+            ]
+        )
+    )
+
+
+def bloom_positions_sql(expr: str) -> str:
+    """DuckDB twin of :func:`bloom_positions` (same hashes, same order)."""
+    terms = ", ".join(
+        f"(({a} * ({expr} % {P}) + {b}) % {P}) % {BLOOM_M}"
+        for a, b in zip(BLOOM_A, BLOOM_B)
+    )
+    return f"list_distinct([{terms}])"

@@ -2557,6 +2557,124 @@ def q_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bloom-filter semi-join prune audit (round 7) ----------------------------
+
+_BLOOM_LO, _BLOOM_HI = "1995-03-01", "1995-03-31"
+
+
+def _bloom_oracle() -> str:
+    from ..operators.sketches import bloom_positions_sql
+
+    pos = bloom_positions_sql("key")
+    return f"""
+WITH bkeys AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+  WHERE o_orderdate BETWEEN DATE '{_BLOOM_LO}' AND DATE '{_BLOOM_HI}'
+),
+bpos AS (SELECT DISTINCT unnest({pos}) AS pos FROM bkeys),
+probe AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+ppos AS (SELECT key, unnest({pos}) AS pos FROM probe),
+cand AS (
+  SELECT p.key,
+         count(*) AS n_pos,
+         sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos
+  GROUP BY p.key
+),
+flags AS (
+  SELECT c.key, (c.n_hit = c.n_pos) AS is_cand, (t.key IS NOT NULL) AS is_true
+  FROM cand c LEFT JOIN bkeys t ON c.key = t.key
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_probe_keys,
+  CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+  CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos,
+  CAST(sum(CASE WHEN is_true AND NOT is_cand THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_neg,
+  CASE WHEN count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END) = 0
+       THEN CAST(0 AS DOUBLE)
+       ELSE CAST(sum(CASE WHEN is_cand AND NOT is_true THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            / CAST(count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END)
+                   AS DOUBLE) END AS fp_rate
+FROM flags
+"""
+
+
+@register("bloom_prune_audit", _bloom_oracle())
+def q_bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prune audit (completes the sketch battery:
+    HLL approx_distinct_parts, KLL approx_percentile_audit, CMS
+    cms_token_counts — this is the MEMBERSHIP sketch). A bloom built
+    from one month of order keys is probed by every lineitem key; the
+    audit reports candidates vs exact semi-join truth — n_false_neg
+    must be 0 (the bloom guarantee) and fp_rate is the measured cost of
+    the m/k geometry. This is the data-skipping decision a 100 TB scan
+    makes before shipping a shuffled semi-join (Spark's own
+    runtime-bloom rule is plan-tested in test_scale_discipline.py; this
+    query makes the construction itself oracle-checkable).
+
+    Plan: the bit-position table is bounded by m = 16384 rows — a
+    DECLARED CONSTANT, so the probe side joins a broadcast build no
+    matter the corpus size; probe cost is k·|keys| narrow rows with
+    map-side combine into per-key hit counts. Everything is modular
+    integer arithmetic, bit-identical in both engines."""
+    from ..operators.sketches import bloom_positions
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(_BLOOM_LO, _BLOOM_HI)
+    )
+    bkeys = orders.select(F.col("o_orderkey").alias("key")).distinct()
+    bpos = (
+        bkeys.select(F.explode(bloom_positions(F.col("key"))).alias("pos"))
+        .distinct()
+        .withColumn("_b", F.lit(1))
+    )
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("key"))
+        .distinct()
+    )
+    ppos = probe.select(
+        "key", F.explode(bloom_positions(F.col("key"))).alias("pos")
+    )
+    cand = (
+        ppos.join(F.broadcast(bpos), "pos", "left")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias(
+                "n_hit"
+            ),
+        )
+    )
+    flags = cand.join(
+        bkeys.withColumn("_t", F.lit(1)), "key", "left"
+    ).select(
+        (F.col("n_hit") == F.col("n_pos")).alias("is_cand"),
+        F.col("_t").isNotNull().alias("is_true"),
+    )
+    n_true = F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+    n_fp = F.sum(F.when(F.col("is_cand") & ~F.col("is_true"), 1).otherwise(0))
+    n_all = F.count(F.lit(1))
+    return flags.agg(
+        n_all.cast("long").alias("n_probe_keys"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_candidates"),
+        n_true.cast("long").alias("n_true"),
+        n_fp.cast("long").alias("n_false_pos"),
+        F.sum(F.when(F.col("is_true") & ~F.col("is_cand"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+        F.when((n_all - n_true) == 0, F.lit(0.0))
+        .otherwise(n_fp.cast("double") / (n_all - n_true).cast("double"))
+        .alias("fp_rate"),
+    )
+
+
 # --- compaction planning (round 6) -------------------------------------------
 
 _COMPACT_TARGET = 20_000  # target chars per output file

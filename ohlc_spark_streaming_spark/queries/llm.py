@@ -573,6 +573,113 @@ def q_embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmeans_update_step",
+    """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS cv FROM d WHERE vec_id < 8),
+dists AS (
+  SELECT vec_id, cid,
+         list_sum(list_transform(list_zip(e, cv),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+  FROM d CROSS JOIN cents
+),
+cells AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell
+  FROM dists GROUP BY vec_id
+),
+comp AS (
+  SELECT cells.cell, u.i AS dim, u.v AS x
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(e, (x, i) -> {'i': i, 'v': x})) AS u
+    FROM d
+  ) t JOIN cells USING (vec_id)
+),
+upd AS (
+  SELECT cell, dim, count(*) AS n_members,
+         CAST(SUM(CAST(floor(x * 1e12 + CAST(0.5 AS DOUBLE))
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / count(*)
+           AS new_c
+  FROM comp GROUP BY cell, dim
+),
+seedc AS (
+  SELECT cid AS cell, u.i AS dim, u.v AS c0
+  FROM (
+    SELECT cid,
+           unnest(list_transform(cv, (x, i) -> {'i': i, 'v': x})) AS u
+    FROM cents
+  ) s
+)
+SELECT u.cell,
+       CAST(u.dim AS BIGINT)       AS dim,
+       CAST(n_members AS BIGINT)   AS n_members,
+       new_c,
+       new_c - c0                  AS shift
+FROM upd u JOIN seedc ON u.cell = seedc.cell AND u.dim = seedc.dim
+""",
+)
+def q_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of distributed k-means, oracle-checked:
+    assign every vector to its nearest seed centroid (the IVF coarse
+    quantizer's argmin-L2, ties to the smallest id), then UPDATE — each
+    centroid moves to the per-dimension mean of its members. Completes
+    the clustering triad: embedding_centroid_assign audits assignment,
+    embedding_pq_audit the codebook, this the training step itself.
+
+    Plan: assignment is |vecs| × broadcast(8 centroids) → struct-min
+    (no vector-side shuffle); the update is ONE posexplode + one
+    (cell, dim)-keyed aggregate with map-side partials — 512 output
+    rows regardless of corpus size, so iterating k-means at 100 TB
+    costs one narrow scan per round. Member means sum exact integer
+    1e-12 units (the embedding_dim_variance discipline) inside
+    DECIMAL(38,0), so the new centroids are bit-identical cross-engine;
+    ``shift`` (new − seed component) is the per-dim convergence signal
+    a training loop thresholds on."""
+    from ..functions.vectorops import as_double_array, sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", as_double_array("embedding").alias("e"))
+    cents = d.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("cv")
+    )
+    dists = d.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", sqdist(F.col("e"), F.col("cv")).alias("dist")
+    )
+    cells = dists.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("dist").alias("d"), F.col("cid").alias("c")))
+        .getField("c")
+        .alias("cell")
+    )
+    comp = (
+        d.join(cells, "vec_id")
+        .select("cell", F.posexplode("e").alias("_p", "x"))
+        .select("cell", (F.col("_p") + 1).cast("long").alias("dim"), "x")
+    )
+    ux = F.floor(F.col("x") * F.lit(1.0e12) + F.lit(0.5)).cast("decimal(38,0)")
+    upd = comp.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(ux).alias("_sx"),
+    ).select(
+        "cell",
+        "dim",
+        F.col("n_members").cast("long").alias("n_members"),
+        (
+            F.col("_sx").cast("double") / F.lit(1.0e12) / F.col("n_members")
+        ).alias("new_c"),
+    )
+    seedc = cents.select(
+        F.col("cid").alias("cell"), F.posexplode("cv").alias("_p", "c0")
+    ).select("cell", (F.col("_p") + 1).cast("long").alias("dim"), "c0")
+    return upd.join(F.broadcast(seedc), ["cell", "dim"]).select(
+        "cell",
+        "dim",
+        "n_members",
+        "new_c",
+        (F.col("new_c") - F.col("c0")).alias("shift"),
+    )
+
+
 # --- text analysis ----------------------------------------------------------
 
 

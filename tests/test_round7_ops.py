@@ -155,6 +155,40 @@ def test_whitening_centers_and_scales(spark):
     assert np.abs(variances[live] - 1.0).max() < 1e-3
 
 
+def test_bloom_never_false_negative_and_sane_fp(spark):
+    """The Bloom guarantee: every true member is a candidate. FP rate is
+    whatever the m/k geometry yields, but must stay a valid ratio."""
+    row = QUERIES["bloom_prune_audit"](spark, SF_SMOKE).head()
+    assert row.n_false_neg == 0
+    assert row.n_true <= row.n_candidates <= row.n_probe_keys
+    assert 0.0 <= row.fp_rate <= 1.0
+
+
+def test_kmeans_update_is_memberwise_mean(spark):
+    """Replay one Lloyd step in numpy: assignments by argmin-L2 to the
+    first 8 vectors (ties → smallest id), new centroids = member means."""
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    mat = np.array([np.array(r.embedding, dtype=np.float64) for r in emb])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    seeds = mat[ids < 8]
+    d2 = ((mat[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # argmin returns smallest index on ties
+
+    got = QUERIES["kmeans_update_step"](spark, SF_SMOKE).collect()
+    for r in got:
+        members = mat[assign == r.cell]
+        assert r.n_members == len(members)
+        want = members[:, r.dim - 1].mean()
+        assert abs(r.new_c - want) < 1e-9, (r.cell, r.dim)
+        assert abs(r.shift - (want - seeds[r.cell, r.dim - 1])) < 1e-9
+
+
 def test_whiten_ivf_ranks_are_dense_topk(spark):
     out = QUERIES["embedding_whiten_ivf"](spark, SF_SMOKE).collect()
     by_q: dict[int, list] = {}
