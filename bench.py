@@ -128,6 +128,15 @@ HEADLINE = [
     "embedding_pq_audit",
     "map_functions_battery",
     "revenue_growth_mom",
+    # round 7: corpus-prep last mile + sketch/clustering completions
+    "dedup_span_extents",
+    "text_strip_markup",
+    "corpus_prep_markup",
+    "pii_redact",
+    "embedding_whiten",
+    "embedding_whiten_ivf",
+    "bloom_prune_audit",
+    "kmeans_update_step",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);
