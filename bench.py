@@ -137,6 +137,12 @@ HEADLINE = [
     "embedding_whiten_ivf",
     "bloom_prune_audit",
     "kmeans_update_step",
+    # round 7 (session 2): pipeline-ops tranche — diff / planner audit /
+    # contrastive mining / time-decay features
+    "snapshot_diff_orders",
+    "join_cardinality_audit",
+    "contrastive_pairs",
+    "ewma_candles",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -3054,3 +3054,386 @@ def q_split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ttr").alias("n_train"),
         F.max("tte").alias("n_test"),
     )
+
+
+# --- snapshot diff (round 7, session 2) --------------------------------------
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS tp FROM orders
+),
+newsnap AS (
+  SELECT k, 'U' AS st, tp + 1.0 AS tp FROM base WHERE k % 89 = 0
+  UNION ALL
+  SELECT k, st, tp FROM base WHERE k % 89 <> 0 AND k % 91 <> 0
+  UNION ALL
+  SELECT k + 100000000 AS k, 'N' AS st, tp FROM base WHERE k % 93 = 0
+),
+d AS (
+  SELECT coalesce(b.k, n.k) AS k,
+         CASE WHEN b.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN b.st IS DISTINCT FROM n.st
+                   OR b.tp IS DISTINCT FROM n.tp THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM base b FULL OUTER JOIN newsnap n ON b.k = n.k
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+       min(k) AS min_key, max(k) AS max_key
+FROM d GROUP BY change_type ORDER BY change_type
+""",
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the lakehouse regression test (and the inverse of
+    cdc_merge_orders' MERGE apply): two table versions full-outer-joined
+    on the key, every row classified added / removed / changed /
+    unchanged by null-safe column comparison, reported as per-class
+    counts with key extents. The "new" version is derived
+    deterministically from the base (update keys % 89, delete keys % 91,
+    insert clones of keys % 93 at key+1e8) so both engines diff
+    identical inputs.
+
+    Plan: one full outer hash join on the key — the diff never
+    materializes row pairs beyond the join itself, and the classifier is
+    a null-safe scan expression (``<=>``), so the whole audit is
+    join + map-side-combinable count. At 100 TB both sides would be
+    bucketed on the key and the join exchange-free; change detection
+    cost stays one comparison per column per matched row."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    upd = base.where(F.col("k") % 89 == 0).select(
+        "k", F.lit("U").alias("st"), (F.col("tp") + F.lit(1.0)).alias("tp")
+    )
+    keep = base.where((F.col("k") % 89 != 0) & (F.col("k") % 91 != 0))
+    ins = base.where(F.col("k") % 93 == 0).select(
+        (F.col("k") + F.lit(100000000)).alias("k"),
+        F.lit("N").alias("st"),
+        "tp",
+    )
+    new = upd.unionByName(keep).unionByName(ins)
+    b = base.alias("b")
+    n = new.alias("n")
+    joined = b.join(n, F.col("b.k") == F.col("n.k"), "full_outer")
+    change = (
+        F.when(F.col("b.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(
+            ~F.col("b.st").eqNullSafe(F.col("n.st"))
+            | ~F.col("b.tp").eqNullSafe(F.col("n.tp")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("b.k"), F.col("n.k")).alias("k"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# --- join cardinality audit (round 7, session 2) -----------------------------
+
+
+@register(
+    "join_cardinality_audit",
+    """
+WITH l AS (
+  SELECT l_orderkey AS k FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+),
+o AS (SELECT o_orderkey AS k FROM orders),
+lc AS (SELECT k, count(*) AS nl FROM l GROUP BY k),
+oc AS (SELECT k, count(*) AS no FROM o GROUP BY k),
+t AS (
+  SELECT CAST(coalesce(sum(nl * no), 0) AS BIGINT) AS actual_rows
+  FROM lc JOIN oc USING (k)
+),
+s AS (
+  SELECT (SELECT count(*) FROM l) AS n_left,
+         (SELECT count(*) FROM o) AS n_right,
+         (SELECT count(*) FROM lc) AS ndv_left,
+         (SELECT count(*) FROM oc) AS ndv_right
+)
+SELECT CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right,
+       CAST(ndv_left AS BIGINT) AS ndv_left,
+       CAST(ndv_right AS BIGINT) AS ndv_right,
+       CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+         / CAST(greatest(ndv_left, ndv_right) AS DOUBLE) AS est_rows,
+       actual_rows,
+       CAST(actual_rows AS DOUBLE)
+         / (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+            / CAST(greatest(ndv_left, ndv_right) AS DOUBLE)) AS err_ratio
+FROM s, t
+""",
+)
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine auditing its planner's textbook estimate: predicted
+    join cardinality under the uniform-independence assumption
+    (|L|·|R| / max(ndv_L, ndv_R) — the formula every cost-based
+    optimizer starts from) vs the EXACT join size, computed WITHOUT
+    executing the join — Σ_k n_L(k)·n_R(k) over the two per-key count
+    tables. err_ratio > 1 means the estimator undercounts (key-frequency
+    correlation), the miss that turns a planned broadcast into an OOM at
+    100 TB.
+
+    Plan: two map-side-combinable per-key counts, one equi-join of the
+    count tables (rows = distinct keys, not join output), three scalar
+    aggregates broadcast together — the audit's cost is O(distinct keys)
+    regardless of how large the actual join output would be. The
+    estimate is computed in double precision so the formula never
+    overflows at real row counts."""
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").between(lo, hi) & (F.col("l_shipdate") < hi))
+        .select(F.col("l_orderkey").alias("k"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lc = l.groupBy("k").agg(F.count(F.lit(1)).alias("nl"))
+    oc = o.groupBy("k").agg(F.count(F.lit(1)).alias("no"))
+    actual = lc.join(oc, "k").agg(
+        F.coalesce(F.sum(F.col("nl") * F.col("no")), F.lit(0))
+        .cast("long")
+        .alias("actual_rows")
+    )
+    stats = (
+        l.agg(F.count(F.lit(1)).alias("n_left"))
+        .crossJoin(o.agg(F.count(F.lit(1)).alias("n_right")))
+        .crossJoin(lc.agg(F.count(F.lit(1)).alias("ndv_left")))
+        .crossJoin(oc.agg(F.count(F.lit(1)).alias("ndv_right")))
+    )
+    est = (
+        F.col("n_left").cast("double")
+        * F.col("n_right").cast("double")
+        / F.greatest("ndv_left", "ndv_right").cast("double")
+    )
+    return stats.crossJoin(F.broadcast(actual)).select(
+        F.col("n_left").cast("long").alias("n_left"),
+        F.col("n_right").cast("long").alias("n_right"),
+        F.col("ndv_left").cast("long").alias("ndv_left"),
+        F.col("ndv_right").cast("long").alias("ndv_right"),
+        est.alias("est_rows"),
+        "actual_rows",
+        (F.col("actual_rows").cast("double") / est).alias("err_ratio"),
+    )
+
+
+# --- contrastive pair mining (round 7, session 2) ----------------------------
+
+
+@register(
+    "contrastive_pairs",
+    """
+WITH bp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT a.pk AS a, b.pk AS b, count(*) AS cnt
+  FROM bp a JOIN bp b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+),
+top AS (SELECT a, b FROM e ORDER BY cnt DESC, a, b LIMIT 50),
+np AS (SELECT count(*) AS n FROM part),
+cand AS (
+  SELECT t.a, t.b, js.j,
+         (t.a * 131 + t.b * 137 + js.j * 139) % np.n AS neg
+  FROM top t CROSS JOIN np CROSS JOIN (VALUES (0), (1)) AS js(j)
+)
+SELECT c.a AS anchor, c.b AS pos,
+       CAST(c.neg AS BIGINT) AS neg, CAST(c.j AS BIGINT) AS j
+FROM cand c
+WHERE c.neg <> c.a AND c.neg <> c.b
+  AND NOT EXISTS (
+    SELECT 1 FROM e
+    WHERE e.a = least(c.a, c.neg) AND e.b = greatest(c.a, c.neg)
+  )
+ORDER BY anchor, pos, j
+""",
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining — the (anchor, positive,
+    negative) triple builder behind embedding/retrieval training.
+    Positives are the top-50 co-purchased part pairs (count desc, fully
+    tie-broken); negatives are DETERMINISTIC hash candidates
+    ((a·131 + b·137 + j·139) mod |parts| — pure integer arithmetic, so
+    both engines draw the same "random" parts with no rand()), kept only
+    if they are genuinely non-adjacent to the anchor (anti-join against
+    the full co-purchase edge set — the hard-negative hygiene step that
+    keeps false negatives out of the loss).
+
+    Plan: the edge set is the same basket self-join as
+    basket_part_pairs (distinct-collapsed first, so duplicate line items
+    never square); top-k is a TakeOrdered, never a full sort; candidate
+    generation is k·50 rows against a broadcast 1-row part count; the
+    negative filter is one anti-join of a tiny left against the edge
+    set. At 100 TB the edge set is the expensive side and it shuffles
+    once, keyed (a, b)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = bp.alias("a")
+    b = bp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        edges.orderBy(F.col("cnt").desc(), "a", "b").limit(50).select("a", "b")
+    )
+    npart = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    js = spark.range(2).select(F.col("id").alias("j"))
+    cand = (
+        top.crossJoin(F.broadcast(npart))
+        .crossJoin(F.broadcast(js))
+        .select(
+            "a",
+            "b",
+            "j",
+            (
+                (F.col("a") * 131 + F.col("b") * 137 + F.col("j") * 139)
+                % F.col("n")
+            ).alias("neg"),
+        )
+        .where((F.col("neg") != F.col("a")) & (F.col("neg") != F.col("b")))
+    )
+    probe = cand.withColumn(
+        "ea", F.least("a", "neg")
+    ).withColumn("eb", F.greatest("a", "neg"))
+    kept = probe.join(
+        edges.select(F.col("a").alias("ea"), F.col("b").alias("eb")),
+        ["ea", "eb"],
+        "left_anti",
+    )
+    return kept.select(
+        F.col("a").alias("anchor"),
+        F.col("b").alias("pos"),
+        F.col("neg").cast("long").alias("neg"),
+        F.col("j").cast("long").alias("j"),
+    ).orderBy("anchor", "pos", "j")
+
+
+# --- EWMA smoothing (round 7, session 2) -------------------------------------
+
+
+@register(
+    "ewma_candles",
+    """
+WITH candles AS (
+  SELECT event_type AS symbol,
+         date_trunc('hour', ts) AS ws,
+         CAST(round(max(struct_pack(t := ts, p := value)).p * 100) AS BIGINT)
+           AS close_cents
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT symbol, ws, close_cents,
+         CAST(epoch(ws) AS BIGINT) // 3600 AS hh
+  FROM candles
+),
+j AS (
+  SELECT c.symbol, c.ws, c.close_cents,
+         CAST(sum(p.close_cents
+                  * CAST(power(2.0, 11 - (c.hh - p.hh)) AS BIGINT))
+              AS BIGINT) AS num,
+         CAST(sum(CAST(power(2.0, 11 - (c.hh - p.hh)) AS BIGINT))
+              AS BIGINT) AS den,
+         CAST(count(*) AS BIGINT) AS n_window
+  FROM h c JOIN h p
+    ON c.symbol = p.symbol AND c.hh - p.hh BETWEEN 0 AND 11
+  GROUP BY 1, 2, 3
+)
+SELECT symbol, ws AS window_start, close_cents / 100.0 AS close,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ewma,
+       n_window
+FROM j
+""",
+)
+def q_ewma_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed EWMA over hourly closes (half-life = 1 hour, memory
+    = 12 hours): the exponential-smoothing feature every trading /
+    forecasting pipeline derives next to the flat moving average
+    (candle_bollinger). Decay is by HOUR DISTANCE, not row offset, so
+    gaps in the candle grid decay correctly; weights 2^(11-d) and
+    integer-cents closes make both window moments EXACT integers — the
+    only float ops are the two final divisions, applied identically in
+    both engines.
+
+    A recursive EWMA (state folded row-by-row) cannot scale-out; the
+    windowed form is the distributed shape. A plain window frame cannot
+    express per-partner weights (the weight depends on the CURRENT
+    row's hour), so this is a banded self-join: candidate partner
+    buckets of width 12h are enumerated per row (exactly 2 — the band
+    spans at most 2 buckets), making the join an equi-join on
+    (symbol, bucket) with fan-out ≤ 12 partners/row. Linear in rows at
+    any scale; no window over an unbounded symbol partition."""
+    from ..operators.ohlc import ohlc_candles
+
+    events = load_table(spark, sf_dir, "events")
+    candles = ohlc_candles(
+        events, ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    ).select(
+        "symbol",
+        F.col("window_start").alias("ws"),
+        F.round(F.col("close") * 100).cast("long").alias("close_cents"),
+        F.expr(
+            "unix_seconds(cast(window_start as timestamp)) DIV 3600"
+        ).alias("hh"),
+    )
+    left = candles.withColumn(
+        "cb",
+        F.explode(
+            F.array(F.expr("hh DIV 12"), F.expr("hh DIV 12 - 1"))
+        ),
+    )
+    part = candles.select(
+        F.col("symbol").alias("symbol_p"),
+        F.col("close_cents").alias("cc_p"),
+        F.col("hh").alias("hh_p"),
+        F.expr("hh DIV 12").alias("cb_p"),
+    )
+    d = F.col("hh") - F.col("hh_p")
+    wgt = F.pow(F.lit(2.0), (F.lit(11) - d).cast("double")).cast("long")
+    joined = left.join(
+        part,
+        (F.col("symbol") == F.col("symbol_p")) & (F.col("cb") == F.col("cb_p")),
+    ).where((d >= 0) & (d <= 11))
+    agg = joined.groupBy("symbol", "ws", "close_cents").agg(
+        F.sum(F.col("cc_p") * wgt).cast("long").alias("num"),
+        F.sum(wgt).cast("long").alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n_window"),
+    )
+    return agg.select(
+        "symbol",
+        F.col("ws").alias("window_start"),
+        (F.col("close_cents") / F.lit(100.0)).alias("close"),
+        (
+            F.col("num").cast("double") / F.col("den").cast("double")
+            / F.lit(100.0)
+        ).alias("ewma"),
+        "n_window",
+    )

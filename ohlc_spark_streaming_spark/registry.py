@@ -138,12 +138,14 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 #: (immediate first-time slots) + 17 oldest re-checks.
 #:
 #: ROUND-8 PREP (apply at the START of round 8, never mid-round): the
-#: only names without a driver row after this round are the two late
-#: round-7 additions `bloom_prune_audit` and `kmeans_update_step`
-#: (landed after the window filled). Give both first-time slots, then
-#: spend the ~47 spare slots continuing the re-verification program
-#: with the oldest remaining rows (ROTATION.md's per-name ages; the
-#: r3-era names not re-checked this round, then r4-era).
+#: only names without a driver row after this round are the six late
+#: round-7 additions `bloom_prune_audit`, `kmeans_update_step`,
+#: `snapshot_diff_orders`, `join_cardinality_audit`,
+#: `contrastive_pairs`, `ewma_candles` (landed after the window
+#: filled). Give all six first-time slots, then spend the ~43 spare
+#: slots continuing the re-verification program with the oldest
+#: remaining rows (ROTATION.md's per-name ages; the r3-era names not
+#: re-checked this round, then r4-era).
 DRIVER_ROTATION: tuple[str, ...] = (
     # --- First-time names (26): the complete round-6 tranche ---
     # Scalar / JSON / VARIANT surface

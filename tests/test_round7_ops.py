@@ -201,3 +201,126 @@ def test_whiten_ivf_ranks_are_dense_topk(spark):
         assert len(ranks) <= 5
         sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
         assert sims == sorted(sims, reverse=True), (qid, sims)
+
+
+# --- round-7 session-2 operators ---------------------------------------------
+
+
+def test_snapshot_diff_class_counts_reconcile(spark):
+    """The diff classes must reconcile exactly with the deterministic
+    edit recipe: every %93 key is added (at key+1e8), every %91-not-%89
+    key removed, every %89 key changed (price +1.0 always differs), and
+    the rest unchanged."""
+    from ohlc_spark_streaming_spark.queries.analytics import (
+        q_snapshot_diff_orders,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    got = {
+        r.change_type: r.n_rows
+        for r in q_snapshot_diff_orders(spark, SF_SMOKE).collect()
+    }
+    keys = [
+        r.k
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .collect()
+    ]
+    n = len(keys)
+    exp_added = sum(1 for k in keys if k % 93 == 0)
+    exp_removed = sum(1 for k in keys if k % 91 == 0 and k % 89 != 0)
+    exp_changed = sum(1 for k in keys if k % 89 == 0)
+    assert got.get("added", 0) == exp_added
+    assert got.get("removed", 0) == exp_removed
+    assert got.get("changed", 0) == exp_changed
+    assert got.get("unchanged", 0) == n - exp_removed - exp_changed
+
+
+def test_join_cardinality_actual_matches_executed_join(spark):
+    """actual_rows (computed join-free from per-key counts) must equal
+    the row count of the actually-executed join."""
+    from ohlc_spark_streaming_spark.queries.analytics import (
+        q_join_cardinality_audit,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    row = q_join_cardinality_audit(spark, SF_SMOKE).collect()[0]
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    l = load_table(spark, SF_SMOKE, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    executed = l.join(o, l.l_orderkey == o.o_orderkey).count()
+    assert row.actual_rows == executed
+    assert row.est_rows > 0
+    assert abs(row.err_ratio - row.actual_rows / row.est_rows) < 1e-12
+
+
+def test_contrastive_negatives_are_clean(spark):
+    """Every emitted negative must be (a) distinct from anchor and
+    positive and (b) non-adjacent to the anchor in the co-purchase
+    edge set — the false-negative hygiene guarantee."""
+    from ohlc_spark_streaming_spark.queries.analytics import (
+        q_contrastive_pairs,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = q_contrastive_pairs(spark, SF_SMOKE).collect()
+    assert rows, "expected surviving negatives on the sf0.001 graph"
+    assert len(rows) <= 100  # 50 positives x 2 candidates max
+    bp = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set] = {}
+    for r in bp:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    for r in rows:
+        assert r.j in (0, 1)
+        assert r.neg != r.anchor and r.neg != r.pos
+        assert (min(r.anchor, r.neg), max(r.anchor, r.neg)) not in edges
+
+
+def test_ewma_is_a_convex_combination(spark):
+    """EWMA must equal close when the trailing window holds a single
+    candle, and always lie within [min, max] of the closes it averages
+    (convexity of the normalized dyadic weights)."""
+    from ohlc_spark_streaming_spark.queries.analytics import q_ewma_candles
+    from ohlc_spark_streaming_spark.operators.ohlc import ohlc_candles
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = q_ewma_candles(spark, SF_SMOKE).collect()
+    assert rows
+    closes: dict[tuple, float] = {}
+    hours: dict[str, list] = {}
+    candles = ohlc_candles(
+        load_table(spark, SF_SMOKE, "events"),
+        ts_col="ts", symbol_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 hour",
+    ).collect()
+    for c in candles:
+        hh = int(c.window_start.timestamp()) // 3600
+        closes[(c.symbol, hh)] = round(c.close * 100) / 100.0
+        hours.setdefault(c.symbol, []).append(hh)
+    n_single = 0
+    for r in rows:
+        hh = int(r.window_start.timestamp()) // 3600
+        trailing = [
+            closes[(r.symbol, h)]
+            for h in range(hh - 11, hh + 1)
+            if (r.symbol, h) in closes
+        ]
+        assert r.n_window == len(trailing)
+        assert min(trailing) - 1e-9 <= r.ewma <= max(trailing) + 1e-9
+        if r.n_window == 1:
+            n_single += 1
+            assert r.ewma == r.close

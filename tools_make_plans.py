@@ -267,6 +267,31 @@ NOTES = {
         "aggregate with the (n_chars, -doc_id) struct-max pick — no "
         "per-pair work after the LSH stage."
     ),
+    "snapshot_diff_orders": (
+        "Version diff: derive-new is three narrow filters over one scan; "
+        "the diff itself is ONE full-outer SortMergeJoin on the key plus a "
+        "null-safe scan classifier into a 4-group aggregate. At scale "
+        "both snapshots bucket on the key and the join goes exchange-free."
+    ),
+    "join_cardinality_audit": (
+        "Planner audit without the join: two map-side-combinable per-key "
+        "counts, an equi-join of the COUNT tables (rows = ndv, never the "
+        "join output), and four scalar aggregates broadcast into one row. "
+        "Cost is O(distinct keys) however large the estimated join is."
+    ),
+    "contrastive_pairs": (
+        "Edge set = distinct-collapsed basket self-join (shared with "
+        "basket_part_pairs); top-50 positives via TakeOrderedAndProject; "
+        "negatives are 100 integer-hash rows against a broadcast 1-row "
+        "part count, cleaned by one LEFT ANTI join against the edges."
+    ),
+    "ewma_candles": (
+        "Per-partner decay weights rule out a window frame, so the EWMA "
+        "is a banded self-join: each candle enumerates 2 candidate 12h "
+        "buckets, the join is equi on (symbol, bucket) with fan-out <= 12, "
+        "and the integer moments (cents x dyadic weights) make the "
+        "aggregate bit-stable. Linear in candles at any scale."
+    ),
 }
 
 
