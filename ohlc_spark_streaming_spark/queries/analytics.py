@@ -3437,3 +3437,160 @@ def q_ewma_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma"),
         "n_window",
     )
+
+
+# --- point-in-time feature join (round 7, session 2) -------------------------
+
+
+@register(
+    "pit_feature_join",
+    """
+WITH browse AS (
+  SELECT user_id, ts,
+         max(struct_pack(e := event_id, s := event_type)).s AS state
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY user_id, ts
+),
+ordered AS (
+  SELECT user_id, state, ts,
+         lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev_state
+  FROM browse
+),
+changes AS (
+  SELECT user_id, state, ts AS valid_from
+  FROM ordered WHERE prev_state IS NULL OR state <> prev_state
+),
+iv AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM changes
+)
+SELECT p.user_id, p.event_id, p.ts, i.state, i.valid_from AS state_since
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN iv i
+  ON p.user_id = i.user_id AND p.ts >= i.valid_from
+ AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+""",
+)
+def q_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) feature join — the feature-store primitive:
+    each purchase event enriched with the user's browsing state AS OF
+    the purchase timestamp, against the SCD2 change log built from the
+    non-purchase events (per-(user, ts) states collapsed to the last
+    event first, so simultaneous events give ONE deterministic state).
+    Training-serving skew is exactly what this shape prevents: the
+    feature value is the one that was valid when the label happened,
+    never a later leak.
+
+    Plan: the PIT join is NOT an interval join here — the SCD2 change
+    log is as-of-joinable (backward, inclusive), so operators/joins.py's
+    single-exchange union + last-ignorenulls window does it with ONE
+    hash exchange on user_id and no range predicate. The oracle replays
+    the equivalent [valid_from, valid_to) interval semantics; the hash
+    match is the proof the two formulations agree."""
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    browse = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("event_id").alias("e"),
+                    F.col("event_type").alias("s"),
+                )
+            )["s"].alias("state")
+        )
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts")
+    changes = (
+        browse.withColumn("prev_state", F.lag("state").over(w_ord))
+        .where(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+        .select("user_id", "state", F.col("ts").alias("valid_from"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        changes,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        right_payload=["state"],
+        how="left",
+        direction="backward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("asof_state").alias("state"),
+        F.col("asof_ts").alias("state_since"),
+    )
+
+
+# --- join skew audit (round 7, session 2) ------------------------------------
+
+
+@register(
+    "join_skew_audit",
+    """
+WITH f AS (
+  SELECT l_orderkey AS k, count(*) AS freq FROM lineitem GROUP BY k
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(freq) AS BIGINT) AS n_rows
+  FROM f
+)
+SELECT k, CAST(freq AS BIGINT) AS freq,
+       CAST(freq AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+       CAST(freq AS DOUBLE)
+         / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio,
+       n_keys, n_rows
+FROM f, t
+ORDER BY freq DESC, k
+LIMIT 10
+""",
+)
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the report you run BEFORE choosing a
+    salting factor or trusting AQE's skew-join split: the 10 heaviest
+    join keys with their absolute frequency, share of all rows, and
+    skew ratio vs the mean key frequency. Together with
+    join_cardinality_audit this is the planner's pre-flight: one query
+    says how BIG the join is, this one says how UNEVEN it is.
+
+    Plan: one map-side-combinable per-key count, a TakeOrdered top-10
+    (local heaps only — the frequency table is never globally sorted),
+    and a broadcast 1-row totals join. O(distinct keys) at any scale;
+    the hot keys themselves never concentrate on one task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    t = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("freq").cast("long").alias("n_rows"),
+    )
+    top = f.orderBy(F.col("freq").desc(), "k").limit(10)
+    return top.crossJoin(F.broadcast(t)).select(
+        "k",
+        F.col("freq").cast("long").alias("freq"),
+        (F.col("freq").cast("double") / F.col("n_rows").cast("double")).alias(
+            "share"
+        ),
+        (
+            F.col("freq").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
+        ).alias("skew_ratio"),
+        "n_keys",
+        "n_rows",
+    ).orderBy(F.col("freq").desc(), "k")

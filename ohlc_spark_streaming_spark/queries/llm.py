@@ -3419,3 +3419,90 @@ def q_embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_assigned"),
         F.sum("_eu").cast("long").alias("err_units"),
     )
+
+
+# --- token-id encoding (round 7, session 2) ----------------------------------
+
+_ENC_VOCAB = 1000  # vocabulary size (top tokens by count)
+_ENC_PREFIX = 24  # tokens encoded per document
+
+
+@register(
+    "token_id_encode",
+    f"""
+WITH counts AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+  GROUP BY token
+),
+v AS (
+  SELECT list(token ORDER BY cnt DESC, token) AS vlist
+  FROM (SELECT token, cnt FROM counts
+        ORDER BY cnt DESC, token LIMIT {_ENC_VOCAB})
+),
+enc AS (
+  SELECT doc_id,
+         list_transform(list_slice({_TOKENS}, 1, {_ENC_PREFIX}),
+                        t -> CAST(list_position(v.vlist, t) AS BIGINT))
+           AS ids
+  FROM documents, v
+)
+SELECT doc_id, ids,
+       CAST(len(ids) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov
+FROM enc
+""",
+)
+def q_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-to-id encoding — the stage between tokenizer training
+    (bpe_top_merges builds the rules, vocab_top_tokens the vocabulary)
+    and sequence packing (pack_sequences): each document's first 24
+    tokens mapped to integer ids by frequency rank, with id 0 as UNK
+    for out-of-vocabulary tokens. The id arrays are what a training
+    loader memory-maps; n_oov is the coverage metric that sizes the
+    vocabulary.
+
+    Plan: the vocabulary is a TakeOrdered top-1000 (a DECLARED
+    constant), so the encode join is a BroadcastHashJoin no matter the
+    corpus size — documents posexplode to (doc, pos, token) narrow
+    rows, match the broadcast vocab, and re-assemble in-partition via
+    a doc-keyed aggregate with a position-sorted collect. One shuffle
+    on doc_id; the rank window runs over exactly 1000 survivor rows.
+    The oracle encodes via list_position against the same ordered
+    vocabulary list (position = rank; 0 = absent = UNK)."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+        _ENC_VOCAB
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = top.select(
+        "token", F.row_number().over(w).cast("long").alias("id")
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.slice(F.split(F.col("text"), " "), 1, _ENC_PREFIX)
+        ).alias("pos", "token"),
+    )
+    joined = pos.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).cast("long").alias("id")
+    )
+    enc = joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("id")))
+            ),
+            lambda s: s["id"],
+        ).alias("ids")
+    )
+    return enc.select(
+        "doc_id",
+        "ids",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.size(F.filter("ids", lambda i: i == 0)).cast("long").alias("n_oov"),
+    )

@@ -324,3 +324,96 @@ def test_ewma_is_a_convex_combination(spark):
         if r.n_window == 1:
             n_single += 1
             assert r.ewma == r.close
+
+
+def test_pit_join_never_leaks_future_state(spark):
+    """The PIT guarantee: every attached state must come from a browsing
+    event at-or-before the purchase ts, and must be the LATEST such
+    state change — never a future leak, never a stale skip."""
+    from ohlc_spark_streaming_spark.queries.analytics import (
+        q_pit_feature_join,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = q_pit_feature_join(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    browse: dict[int, dict] = {}
+    for e in ev:
+        if e.event_type != "purchase":
+            key = (e.user_id, e.ts)
+            cur = browse.get(key)
+            if cur is None or e.event_id > cur[0]:
+                browse[key] = (e.event_id, e.event_type)
+    # per-user time-ordered state sequence (collapsed per ts)
+    seq: dict[int, list] = {}
+    for (uid, ts), (_eid, st) in browse.items():
+        seq.setdefault(uid, []).append((ts, st))
+    for uid in seq:
+        seq[uid].sort()
+    n_matched = 0
+    for r in rows:
+        states = [(ts, st) for ts, st in seq.get(r.user_id, []) if ts <= r.ts]
+        if not states:
+            assert r.state is None and r.state_since is None
+            continue
+        n_matched += 1
+        assert r.state_since <= r.ts  # never from the future
+        assert r.state == states[-1][1]  # the latest at-or-before state
+    assert n_matched > 0
+
+
+def test_skew_audit_identities(spark):
+    """Top keys must be the true heaviest, shares/ratios must reconcile
+    with the totals, and rows are freq-descending."""
+    from ohlc_spark_streaming_spark.queries.analytics import q_join_skew_audit
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = q_join_skew_audit(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    freq: dict[int, int] = {}
+    for r in li:
+        freq[r.l_orderkey] = freq.get(r.l_orderkey, 0) + 1
+    true_top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.k, r.freq) for r in rows] == true_top
+    for r in rows:
+        assert r.n_rows == len(li) and r.n_keys == len(freq)
+        assert abs(r.share - r.freq / r.n_rows) < 1e-15
+        assert abs(r.skew_ratio - r.freq / (r.n_rows / r.n_keys)) < 1e-12
+
+
+def test_token_id_encode_roundtrip(spark):
+    """ids must decode back to the original token prefix through the
+    vocabulary (rank -> token), with 0 exactly where the token is
+    out-of-vocabulary."""
+    from ohlc_spark_streaming_spark.queries.llm import (
+        _ENC_PREFIX,
+        _ENC_VOCAB,
+        q_token_id_encode,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = q_token_id_encode(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    assert set(docs) == {r.doc_id for r in rows}
+    counts: dict[str, int] = {}
+    for toks in docs.values():
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_ENC_VOCAB]
+    id_of = {tok: i + 1 for i, (tok, _c) in enumerate(ranked)}
+    n_oov_total = 0
+    for r in rows:
+        prefix = docs[r.doc_id][:_ENC_PREFIX]
+        assert r.n_tokens == len(prefix) == len(r.ids)
+        expected = [id_of.get(t, 0) for t in prefix]
+        assert list(r.ids) == expected
+        assert r.n_oov == sum(1 for i in expected if i == 0)
+        n_oov_total += r.n_oov
+    if len(counts) <= _ENC_VOCAB:
+        # every token is in-vocabulary at this corpus size
+        assert n_oov_total == 0

@@ -77,6 +77,10 @@ EXPECTED = {
     ("json_roundtrip_lines", "COLLECT_LIST"),
     ("string_agg_statuses", "COLLECT_LIST"),
     ("array_functions", "COLLECT_LIST"),
+    # Bounded by the declared _ENC_PREFIX=24 slice: only the first 24
+    # tokens per doc are posexploded, so the per-doc collect holds ≤24
+    # (pos, id) structs — queries/llm.py::q_token_id_encode.
+    ("token_id_encode", "COLLECT_LIST"),
     # Deliberate Python-execution exhibit: the UDTF demonstrates the
     # lateral-join surface OFF the hot path (queries/llm.py docstring).
     ("udtf_token_positions", "ROW_PYTHON"),
