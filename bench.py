@@ -143,6 +143,12 @@ HEADLINE = [
     "join_cardinality_audit",
     "contrastive_pairs",
     "ewma_candles",
+    # round 7 (session 3): feature-store + training-loader last mile
+    "pit_feature_join",
+    "join_skew_audit",
+    "token_id_encode",
+    "length_bucket_batches",
+    "source_interleave_order",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

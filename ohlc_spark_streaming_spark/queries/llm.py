@@ -3506,3 +3506,189 @@ def q_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ids").cast("long").alias("n_tokens"),
         F.size(F.filter("ids", lambda i: i == 0)).cast("long").alias("n_oov"),
     )
+
+
+# --- length-bucketed batch planning (round 7, session 3) ----------------------
+
+_BUCKET_WIDTH = 16  # token-length bucket width (pad target granularity)
+_BATCH_TOKENS = 256  # padded-token budget per training batch
+
+
+@register(
+    "length_bucket_batches",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (CAST(len(string_split(text, ' ')) AS BIGINT) - 1)
+           // {_BUCKET_WIDTH} AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+r AS (
+  SELECT *,
+         (bucket + 1) * {_BUCKET_WIDTH} AS pad_len,
+         greatest({_BATCH_TOKENS} // ((bucket + 1) * {_BUCKET_WIDTH}), 1)
+           AS per_batch,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc_id)
+           AS bucket_rn
+  FROM d
+)
+SELECT bucket, (bucket_rn - 1) // per_batch AS batch_id, pad_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * pad_len AS BIGINT) AS padded_tokens,
+       CAST(count(*) * pad_len - sum(n_tokens) AS DOUBLE)
+         / CAST(count(*) * pad_len AS DOUBLE) AS waste_ratio
+FROM r
+GROUP BY bucket, batch_id, pad_len
+""",
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning — the training-loader stage after
+    tokenization: documents are bucketed by token length (width-16
+    buckets, each padded to the bucket ceiling), deterministically
+    ordered within each bucket by the md5 shuffle key, and cut into
+    batches of at most _BATCH_TOKENS padded tokens (an oversized doc
+    gets a singleton batch). The per-batch summary — real vs padded
+    tokens and the padding-waste ratio — is exactly the report that
+    justifies bucketing over naive fixed-length batching.
+
+    Plan: NO per-bucket window ever sees the corpus — the within-bucket
+    rank comes from operators/ranking's two-phase GLOBAL rank over
+    (bucket, shuffle_key, doc_id) minus each bucket's min rank, where
+    the per-bucket min table is O(#buckets) rows and broadcast. A
+    dominant bucket (most real corpora pile into 2-3 length bands)
+    therefore spreads over all range partitions instead of hashing onto
+    one task, which is what Window.partitionBy(bucket) would do at
+    100 TB. Batch ids are pure arithmetic on the rank; one final
+    map-side-combinable aggregate."""
+    from ..operators.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    w = F.lit(_BUCKET_WIDTH).cast("long")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("_k"),
+    ).withColumn("bucket", F.floor((F.col("n_tokens") - 1) / w).cast("long"))
+    d = d.withColumn("pad_len", (F.col("bucket") + 1) * w).withColumn(
+        "per_batch",
+        F.greatest(
+            F.floor(F.lit(_BATCH_TOKENS).cast("long") / F.col("pad_len")),
+            F.lit(1),
+        ).cast("long"),
+    )
+    ranked = with_global_rank(d, ["bucket", "_k", "doc_id"], rank_col="_rn")
+    minr = ranked.groupBy(F.col("bucket").alias("_b")).agg(
+        F.min("_rn").alias("_minrn")
+    )
+    j = ranked.join(
+        F.broadcast(minr), ranked["bucket"] == minr["_b"], "inner"
+    ).withColumn("_bucket_rn", F.col("_rn") - F.col("_minrn") + 1)
+    batched = j.withColumn(
+        "batch_id",
+        F.floor((F.col("_bucket_rn") - 1) / F.col("per_batch")).cast("long"),
+    )
+    agg = batched.groupBy("bucket", "batch_id", "pad_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    return agg.select(
+        "bucket",
+        "batch_id",
+        "pad_len",
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs") * F.col("pad_len")).cast("long").alias("padded_tokens"),
+        (
+            (F.col("n_docs") * F.col("pad_len") - F.col("sum_tokens")).cast(
+                "double"
+            )
+            / (F.col("n_docs") * F.col("pad_len")).cast("double")
+        ).alias("waste_ratio"),
+    )
+
+
+# --- weighted source interleave (round 7, session 3) ---------------------------
+
+#: Integer strides per source: stride = LCM / weight for the declared
+#: mixture weights {src0: 4, src1: 2, rest: 1} (LCM base 12). The k-th
+#: document of a source is emitted at virtual time k * stride, so src0
+#: appears 4x as often as a default source in any prefix of the order —
+#: the fixed-ratio source-mixing schedule a training run consumes.
+_INTERLEAVE_STRIDES = {"src0": 3, "src1": 6}
+_INTERLEAVE_DEFAULT_STRIDE = 12
+
+
+@register(
+    "source_interleave_order",
+    f"""
+WITH d AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+         CASE WHEN source = 'src0' THEN 3
+              WHEN source = 'src1' THEN 6
+              ELSE {_INTERLEAVE_DEFAULT_STRIDE} END AS stride
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, stride,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id)
+           AS src_rank
+  FROM d
+),
+v AS (
+  SELECT source, doc_id, CAST(src_rank AS BIGINT) AS src_rank,
+         CAST(src_rank * stride AS BIGINT) AS vt
+  FROM r
+)
+SELECT ROW_NUMBER() OVER (ORDER BY vt, source, doc_id) AS interleave_rank,
+       source, doc_id, src_rank, vt
+FROM v
+""",
+)
+def q_source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave — the data-mixture
+    schedule: each source's documents (in their own md5-shuffled order)
+    are merged into ONE global training order so that source s with
+    weight w_s appears w_s times per 12 virtual-time units in every
+    prefix (src0 4x, src1 2x, others 1x). Unlike source_quota_sample
+    (which CAPS volume) this PACES it — the stream a curriculum loader
+    reads is ratio-correct at every step, not just in aggregate.
+
+    Plan: both ranks are two-phase global ranks (operators/ranking) —
+    the per-source rank reuses the broadcast min-rank subtraction over
+    the O(#sources) min table, the final interleave rank range-
+    partitions on (vt, source). No single-partition window, no
+    Window.partitionBy(source) hot task when one source dominates.
+    Everything is exact integer arithmetic (strides, not float ratios),
+    so the order is bit-reproducible across engines and reruns."""
+    from ..operators.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    stride = F.when(F.col("source") == "src0", F.lit(3))
+    stride = stride.when(F.col("source") == "src1", F.lit(6)).otherwise(
+        F.lit(_INTERLEAVE_DEFAULT_STRIDE)
+    )
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("_k"),
+        stride.cast("long").alias("_stride"),
+    )
+    ranked = with_global_rank(d, ["source", "_k", "doc_id"], rank_col="_rn")
+    minr = ranked.groupBy(F.col("source").alias("_s")).agg(
+        F.min("_rn").alias("_minrn")
+    )
+    v = (
+        ranked.join(
+            F.broadcast(minr), ranked["source"] == minr["_s"], "inner"
+        )
+        .withColumn("src_rank", (F.col("_rn") - F.col("_minrn") + 1))
+        .withColumn("vt", (F.col("src_rank") * F.col("_stride")).cast("long"))
+        .select("source", "doc_id", F.col("src_rank").cast("long").alias("src_rank"), "vt")
+    )
+    out = with_global_rank(
+        v, ["vt", "source", "doc_id"], rank_col="interleave_rank"
+    )
+    return out.select("interleave_rank", "source", "doc_id", "src_rank", "vt")

@@ -417,3 +417,75 @@ def test_token_id_encode_roundtrip(spark):
     if len(counts) <= _ENC_VOCAB:
         # every token is in-vocabulary at this corpus size
         assert n_oov_total == 0
+
+
+def test_length_bucket_batches_invariants(spark):
+    """Every batch must respect the token budget (except declared
+    singleton oversize batches), pad to its bucket ceiling, and cover
+    every document exactly once."""
+    from ohlc_spark_streaming_spark.queries.llm import (
+        _BATCH_TOKENS,
+        _BUCKET_WIDTH,
+        q_length_bucket_batches,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = q_length_bucket_batches(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    assert sum(r.n_docs for r in rows) == len(docs)
+    assert sum(r.sum_tokens for r in rows) == sum(
+        len(d.text.split(" ")) for d in docs
+    )
+    for r in rows:
+        assert r.pad_len == (r.bucket + 1) * _BUCKET_WIDTH
+        assert r.padded_tokens == r.n_docs * r.pad_len
+        if r.pad_len <= _BATCH_TOKENS:
+            assert r.padded_tokens <= _BATCH_TOKENS
+        else:  # oversized docs: declared singleton batches
+            assert r.n_docs == 1
+        # docs in the bucket are shorter than the ceiling but longer
+        # than the previous bucket's ceiling
+        assert r.sum_tokens <= r.n_docs * r.pad_len
+        assert r.sum_tokens > r.n_docs * (r.pad_len - _BUCKET_WIDTH)
+        assert 0.0 <= r.waste_ratio < 1.0
+
+
+def test_source_interleave_ratio_correct_in_prefixes(spark):
+    """The interleave order must be a permutation, per-source ranks must
+    be contiguous from 1, and in any prefix closed under a full stride
+    cycle src0 appears ~4x and src1 ~2x as often as a default source."""
+    from ohlc_spark_streaming_spark.queries.llm import (
+        q_source_interleave_order,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = sorted(
+        q_source_interleave_order(spark, SF_SMOKE).collect(),
+        key=lambda r: r.interleave_rank,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    assert len(rows) == len(docs)
+    assert [r.interleave_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert {r.doc_id for r in rows} == {d.doc_id for d in docs}
+    # per-source ranks contiguous, vt = rank * stride
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+        stride = {"src0": 3, "src1": 6}.get(r.source, 12)
+        assert r.vt == r.src_rank * stride
+    for src, rs in per_src.items():
+        assert sorted(x.src_rank for x in rs) == list(range(1, len(rs) + 1))
+        # emission order respects per-source rank order
+        by_rank = sorted(rs, key=lambda x: x.src_rank)
+        ranks = [x.interleave_rank for x in by_rank]
+        assert ranks == sorted(ranks)
+    # ratio check on a vt-closed prefix: everything with vt <= 36 holds
+    # 12 src0 docs, 6 src1 docs, 3 of each default source (if available)
+    n_src0 = sum(1 for r in rows if r.source == "src0" and r.vt <= 36)
+    n_src1 = sum(1 for r in rows if r.source == "src1" and r.vt <= 36)
+    n_src2 = sum(1 for r in rows if r.source == "src2" and r.vt <= 36)
+    avail = lambda s: sum(1 for d in docs if d.source == s)  # noqa: E731
+    assert n_src0 == min(12, avail("src0"))
+    assert n_src1 == min(6, avail("src1"))
+    assert n_src2 == min(3, avail("src2"))
