@@ -82,3 +82,42 @@ def ntile_expr(rank_col: str, total_col: str, n_buckets: int) -> Column:
         .otherwise(big + F.floor((rn - big * size_big - 1) / size_small) + 1)
         .cast("int")
     )
+
+
+def with_group_rank(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Attach a 1-based per-group ``row_number`` (partition by
+    ``group_cols``, order by ``order_cols``) WITHOUT
+    ``Window.partitionBy`` — which hashes each whole group onto one
+    task and melts under a dominant group (one length bucket, one
+    boilerplate source) at 100 TB.
+
+    Layout: ONE two-phase global rank over ``group_cols + order_cols``
+    (so a dominant group spreads across all range partitions), then the
+    per-group rank is pure arithmetic: global rank minus the group's
+    min rank + 1. The min-rank table has one row per group — bounded by
+    group cardinality, not data volume — and is broadcast. Requires the
+    concatenated columns to form a total order (same contract as
+    :func:`with_global_rank`); group cardinality must be broadcast-safe,
+    which is the declared regime (length buckets, sources, symbols).
+    """
+    gcols = [F.col(c) if isinstance(c, str) else c for c in group_cols]
+    names = [c if isinstance(c, str) else None for c in group_cols]
+    if any(n is None for n in names):
+        raise ValueError("with_group_rank needs named group columns")
+    ranked = with_global_rank(df, gcols + list(order_cols), rank_col="_grn")
+    mins = ranked.groupBy(*[F.col(n).alias(f"_g_{n}") for n in names]).agg(
+        F.min("_grn").alias("_gmin")
+    )
+    cond = None
+    for n in names:
+        c = ranked[n] == mins[f"_g_{n}"]
+        cond = c if cond is None else (cond & c)
+    out = ranked.join(F.broadcast(mins), cond, "inner").withColumn(
+        rank_col, (F.col("_grn") - F.col("_gmin") + 1).cast("long")
+    )
+    return out.drop("_grn", "_gmin", *[f"_g_{n}" for n in names])

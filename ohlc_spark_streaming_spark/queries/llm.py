@@ -3554,16 +3554,16 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens and the padding-waste ratio — is exactly the report that
     justifies bucketing over naive fixed-length batching.
 
-    Plan: NO per-bucket window ever sees the corpus — the within-bucket
-    rank comes from operators/ranking's two-phase GLOBAL rank over
-    (bucket, shuffle_key, doc_id) minus each bucket's min rank, where
-    the per-bucket min table is O(#buckets) rows and broadcast. A
-    dominant bucket (most real corpora pile into 2-3 length bands)
-    therefore spreads over all range partitions instead of hashing onto
-    one task, which is what Window.partitionBy(bucket) would do at
-    100 TB. Batch ids are pure arithmetic on the rank; one final
-    map-side-combinable aggregate."""
-    from ..operators.ranking import with_global_rank
+    Plan: NO per-bucket window ever sees the corpus —
+    operators/ranking.with_group_rank derives the within-bucket rank
+    from ONE two-phase global rank over (bucket, shuffle_key, doc_id)
+    minus a broadcast O(#buckets) min-rank table. A dominant bucket
+    (most real corpora pile into 2-3 length bands) therefore spreads
+    over all range partitions instead of hashing onto one task, which
+    is what Window.partitionBy(bucket) would do at 100 TB. Batch ids
+    are pure arithmetic on the rank; one final map-side-combinable
+    aggregate."""
+    from ..operators.ranking import with_group_rank
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     w = F.lit(_BUCKET_WIDTH).cast("long")
@@ -3579,13 +3579,9 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).cast("long"),
     )
-    ranked = with_global_rank(d, ["bucket", "_k", "doc_id"], rank_col="_rn")
-    minr = ranked.groupBy(F.col("bucket").alias("_b")).agg(
-        F.min("_rn").alias("_minrn")
+    j = with_group_rank(
+        d, ["bucket"], ["_k", "doc_id"], rank_col="_bucket_rn"
     )
-    j = ranked.join(
-        F.broadcast(minr), ranked["bucket"] == minr["_b"], "inner"
-    ).withColumn("_bucket_rn", F.col("_rn") - F.col("_minrn") + 1)
     batched = j.withColumn(
         "batch_id",
         F.floor((F.col("_bucket_rn") - 1) / F.col("per_batch")).cast("long"),
@@ -3657,13 +3653,13 @@ def q_source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads is ratio-correct at every step, not just in aggregate.
 
     Plan: both ranks are two-phase global ranks (operators/ranking) —
-    the per-source rank reuses the broadcast min-rank subtraction over
-    the O(#sources) min table, the final interleave rank range-
-    partitions on (vt, source). No single-partition window, no
-    Window.partitionBy(source) hot task when one source dominates.
+    the per-source rank via with_group_rank (broadcast min-rank
+    subtraction over the O(#sources) min table), the final interleave
+    rank range-partitions on (vt, source). No single-partition window,
+    no Window.partitionBy(source) hot task when one source dominates.
     Everything is exact integer arithmetic (strides, not float ratios),
     so the order is bit-reproducible across engines and reruns."""
-    from ..operators.ranking import with_global_rank
+    from ..operators.ranking import with_global_rank, with_group_rank
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     stride = F.when(F.col("source") == "src0", F.lit(3))
@@ -3676,17 +3672,10 @@ def q_source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("_k"),
         stride.cast("long").alias("_stride"),
     )
-    ranked = with_global_rank(d, ["source", "_k", "doc_id"], rank_col="_rn")
-    minr = ranked.groupBy(F.col("source").alias("_s")).agg(
-        F.min("_rn").alias("_minrn")
-    )
     v = (
-        ranked.join(
-            F.broadcast(minr), ranked["source"] == minr["_s"], "inner"
-        )
-        .withColumn("src_rank", (F.col("_rn") - F.col("_minrn") + 1))
+        with_group_rank(d, ["source"], ["_k", "doc_id"], rank_col="src_rank")
         .withColumn("vt", (F.col("src_rank") * F.col("_stride")).cast("long"))
-        .select("source", "doc_id", F.col("src_rank").cast("long").alias("src_rank"), "vt")
+        .select("source", "doc_id", "src_rank", "vt")
     )
     out = with_global_rank(
         v, ["vt", "source", "doc_id"], rank_col="interleave_rank"

@@ -57,3 +57,26 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(a, b, "n_regionkey", "n_nationkey", how=how)
+
+
+def test_with_group_rank_matches_window(spark):
+    """with_group_rank must equal Window.partitionBy(...).row_number()
+    exactly, including under a heavily dominant group."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ohlc_spark_streaming_spark.operators.ranking import with_group_rank
+
+    rows = [(i, "hot" if i % 10 != 9 else f"cold{i % 3}", (i * 37) % 101)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long").repartition(8)
+    got = {
+        (r.grp, r.id): r.rn
+        for r in with_group_rank(df, ["grp"], ["v", "id"]).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want = {
+        (r.grp, r.id): r.rn
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
