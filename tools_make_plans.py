@@ -292,6 +292,29 @@ NOTES = {
         "and the integer moments (cents x dyadic weights) make the "
         "aggregate bit-stable. Linear in candles at any scale."
     ),
+    "pit_feature_join": (
+        "The SCD2 change log (per-user lag-compare) and the as-of join "
+        "share ONE hashpartitioning(user_id) layout: the purchase side "
+        "unions into the change stream and a last-ignorenulls window "
+        "attaches the latest at-or-before state — no range predicate, no "
+        "interval explosion, one exchange end to end."
+    ),
+    "length_bucket_batches": (
+        "with_group_rank keeps the dominant length bucket off a single "
+        "task: one range exchange over (bucket, md5, doc_id), parallel "
+        "local row_numbers, an O(#partitions) offset broadcast, and an "
+        "O(#buckets) min-rank broadcast; batch ids are arithmetic on the "
+        "rank and the summary aggregate is map-side combinable. The "
+        "duplicated rank subtrees in the static plan collapse to "
+        "ReusedExchange at runtime (10x point: 1.3x)."
+    ),
+    "source_interleave_order": (
+        "Two two-phase ranks: per-source rank (with_group_rank) then the "
+        "global merge rank over integer virtual time (src_rank * stride). "
+        "No Window.partitionBy(source); strides are exact integers so the "
+        "interleave is bit-reproducible; every exchange below the final "
+        "range partition is reused, not recomputed (10x point: 1.2x)."
+    ),
 }
 
 
