@@ -215,3 +215,55 @@ def test_conjunctive_search_is_scan_shaped(spark):
     contain NO exchange at all (pure scan → project → filter)."""
     plan = _plan(QUERIES["conjunctive_search"](spark, SF_SMOKE))
     assert "Exchange" not in plan
+
+
+def test_pit_feature_join_is_windowed_not_joined(spark):
+    """The PIT enrichment must plan as union + window (the as-of
+    formulation), never as a range/interval join — no join operator of
+    any kind, and the only hash exchanges are the user_id layouts the
+    change-log build and the as-of window share."""
+    plan = _plan(QUERIES["pit_feature_join"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_length_bucket_batches_no_per_bucket_window(spark):
+    """The within-bucket rank must come from the two-phase layout: range
+    partition + per-_pid windows + broadcast min table. A window
+    PARTITIONED BY bucket (the 100 TB hot-task shape) must not appear;
+    bucket may only occur as an ORDER column."""
+    plan = _plan(QUERIES["length_bucket_batches"](spark, SF_SMOKE))
+    assert "rangepartitioning(bucket" in plan
+    assert "windowspecdefinition(bucket" not in plan
+    assert "BroadcastHashJoin" in plan  # O(#buckets) min-rank table
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_interleave_no_per_source_window(spark):
+    """Both ranks must be two-phase: no window partitioned by source and
+    no window partitioned by vt — only _pid-partitioned local ranks and
+    the O(#partitions) totals windows."""
+    plan = _plan(QUERIES["source_interleave_order"](spark, SF_SMOKE))
+    assert "windowspecdefinition(source" not in plan
+    assert "windowspecdefinition(vt" not in plan
+    assert "rangepartitioning(source" in plan
+    assert "rangepartitioning(vt" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_id_encode_vocab_is_broadcast(spark):
+    """The vocabulary is k-bounded (top-1000) so the encode join must be
+    a BroadcastHashJoin — a shuffle join on token would re-shuffle the
+    whole exploded corpus at 100 TB."""
+    plan = _plan(QUERIES["token_id_encode"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_skew_audit_is_take_ordered(spark):
+    """Top-10 hot keys must come from TakeOrdered local heaps, never a
+    global sort of the frequency table."""
+    plan = _plan(QUERIES["join_skew_audit"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
