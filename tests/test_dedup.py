@@ -133,3 +133,42 @@ def test_incremental_probe_equals_full_lsh_cross_pairs(spark):
     }
     assert got == full
     assert len(got) > 0
+
+
+def test_minhash_pairs_invariant_under_exact_duplication(spark):
+    """Metamorphic duplication-invariance — the CORRECTNESS side of the
+    SCALE.md timing claim: injecting exact copies of existing documents
+    (fresh ids, identical text) must not change the near-dup pair set
+    restricted to the original ids, and every injected copy must pair
+    with its source's group. If the identical-set collapse ever leaked
+    duplicates into candidate generation, extra bucket collisions could
+    only be masked by luck — this asserts the semantics directly."""
+    from pyspark.sql import functions as F
+
+    from ohlc_spark_streaming_spark.operators.dedup import minhash_lsh_pairs
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+
+    offset = 10_000_000
+    copies = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
+    )
+    dup_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs.unionByName(copies), threshold=0.7).collect()
+    }
+
+    restricted = {
+        (a, b) for a, b in dup_pairs if a < offset and b < offset
+    }
+    assert restricted == base_pairs
+    # every copy must be paired with its identical source (Jaccard 1.0)
+    copied_ids = {r.doc_id for r in copies.collect()}
+    for cid in copied_ids:
+        src = cid - offset
+        assert (min(src, cid), max(src, cid)) in dup_pairs
