@@ -149,6 +149,7 @@ HEADLINE = [
     "token_id_encode",
     "length_bucket_batches",
     "source_interleave_order",
+    "dedup_span_cut",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

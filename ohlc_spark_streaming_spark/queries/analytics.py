@@ -3594,3 +3594,146 @@ def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         "n_rows",
     ).orderBy(F.col("freq").desc(), "k")
+
+
+# --- duplicated-span CUT (round 7, session 3) ---------------------------------
+
+
+@register(
+    "dedup_span_cut",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+wins AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(list_slice(t, u.i, u.i + {_SPAN_K} - 1), ' ') AS win
+  FROM toks, unnest(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(t) >= {_SPAN_K}
+),
+dup AS (
+  SELECT win FROM (SELECT DISTINCT doc_id, win FROM wins)
+  GROUP BY win HAVING count(*) >= 2
+),
+cov AS (
+  SELECT w.doc_id, w.pos AS st, w.pos + {_SPAN_K} - 1 AS en
+  FROM wins w JOIN dup USING (win)
+),
+m AS (
+  SELECT doc_id, st, en,
+         max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM cov
+),
+isl AS (
+  SELECT doc_id, st, en,
+         SUM(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+spans AS (
+  SELECT doc_id, min(st) AS st, max(en) AS en
+  FROM isl GROUP BY doc_id, island
+),
+covs AS (
+  SELECT doc_id, list(struct_pack(st := st, en := en)) AS spans,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id, t.t, coalesce(c.n_spans, 0) AS n_spans,
+         CASE WHEN c.spans IS NULL THEN t.t
+              ELSE list_transform(
+                     list_filter(
+                       range(1, len(t.t) + 1),
+                       p -> len(list_filter(c.spans,
+                                s -> p >= s.st AND p <= s.en)) = 0),
+                     p -> t.t[p]) END AS k
+  FROM toks t LEFT JOIN covs c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT)          AS n_tokens,
+       CAST(len(k) AS BIGINT)          AS n_kept,
+       CAST(len(t) - len(k) AS BIGINT) AS n_cut,
+       CAST(n_spans AS BIGINT)         AS n_spans,
+       md5(coalesce(array_to_string(k, ' '), ''))  AS scrub_md5
+FROM kept
+""",
+)
+def q_dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span CUT — the stage dedup_span_extents exists to
+    feed: every token covered by a corpus-duplicated maximal span is
+    REMOVED from the document, and the result is proved byte-for-byte
+    (md5 of the scrubbed, space-rejoined text — the same
+    redaction-proof discipline as pii_redact). Together the trio is the
+    full substring-dedup pipeline: span_windows scores, span_extents
+    locates, span_cut produces the training-ready text.
+
+    Plan: the extents pipeline unchanged (scan-shaped window explode,
+    map-side-combined dup filter, ONE doc-keyed sort exchange for the
+    interval-union island merge), then the merged spans fold into an
+    O(spans)-sized per-doc array — bounded by document length / K, the
+    same boundary as the shingle-set collects — and the cut itself is
+    IN-ROW: a higher-order filter over (token, index) probing the span
+    array, zero additional shuffles past the doc-keyed join back to the
+    text. Docs with nothing to cut pass through the left join
+    untouched."""
+    from ..operators.sessions import interval_union
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    wins = F.when(
+        n >= _SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _SPAN_K + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _SPAN_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_wins = docs.select(
+        "doc_id", F.posexplode(wins).alias("pos0", "win")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "win"
+    )
+    dup_wins = (
+        pos_wins.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("win")
+    )
+    cov = pos_wins.join(dup_wins, "win").select(
+        "doc_id",
+        F.col("pos").alias("st"),
+        (F.col("pos") + _SPAN_K - 1).alias("en"),
+    )
+    spans = interval_union(cov, key_col="doc_id", start_col="st", end_col="en")
+    covs = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("island_start").alias("st"),
+                F.col("island_end").alias("en"),
+            )
+        ).alias("spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    j = docs.select("doc_id", toks.alias("t")).join(covs, "doc_id", "left")
+
+    def _uncovered(tok, i0):
+        p = i0 + F.lit(1).cast("long")
+        return ~F.exists(
+            F.col("spans"), lambda s: (p >= s["st"]) & (p <= s["en"])
+        )
+
+    kept = F.when(F.col("spans").isNull(), F.col("t")).otherwise(
+        F.filter("t", _uncovered)
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_cut"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("scrub_md5"),
+    )

@@ -489,3 +489,55 @@ def test_source_interleave_ratio_correct_in_prefixes(spark):
     assert n_src0 == min(12, avail("src0"))
     assert n_src1 == min(6, avail("src1"))
     assert n_src2 == min(3, avail("src2"))
+
+
+def test_span_cut_reconstructs_and_agrees_with_extents(spark):
+    """The cut must remove EXACTLY the tokens covered by the maximal
+    duplicated spans (n_cut == sum of span_tokens from
+    dedup_span_extents), the scrubbed md5 must equal a from-scratch
+    Python replay, and untouched docs must keep their original text."""
+    import hashlib
+
+    from ohlc_spark_streaming_spark.queries.analytics import (
+        _SPAN_K,
+        q_dedup_span_cut,
+        q_dedup_span_extents,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = {r.doc_id: r for r in q_dedup_span_cut(spark, SF_SMOKE).collect()}
+    extents: dict[int, list] = {}
+    for e in q_dedup_span_extents(spark, SF_SMOKE).collect():
+        extents.setdefault(e.doc_id, []).append(e)
+    docs = {
+        d.doc_id: d.text.split(" ")
+        for d in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    assert set(rows) == set(docs)
+    # independent replay: corpus-duplicated windows -> covered positions
+    win_docs: dict[str, set] = {}
+    for did, toks in docs.items():
+        for i in range(len(toks) - _SPAN_K + 1):
+            win_docs.setdefault(" ".join(toks[i : i + _SPAN_K]), set()).add(did)
+    n_with_spans = 0
+    for did, toks in docs.items():
+        covered = set()
+        for i in range(len(toks) - _SPAN_K + 1):
+            if len(win_docs[" ".join(toks[i : i + _SPAN_K])]) >= 2:
+                covered.update(range(i, i + _SPAN_K))
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        r = rows[did]
+        assert r.n_tokens == len(toks)
+        assert r.n_kept == len(kept)
+        assert r.n_cut == len(covered)
+        assert r.scrub_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        exts = extents.get(did, [])
+        assert r.n_spans == len(exts)
+        assert r.n_cut == sum(e.span_tokens for e in exts)
+        if exts:
+            n_with_spans += 1
+        else:
+            assert r.scrub_md5 == hashlib.md5(
+                " ".join(toks).encode()
+            ).hexdigest()
+    assert n_with_spans > 0  # the fixture must actually exercise the cut

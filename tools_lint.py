@@ -81,6 +81,10 @@ EXPECTED = {
     # tokens per doc are posexploded, so the per-doc collect holds ≤24
     # (pos, id) structs — queries/llm.py::q_token_id_encode.
     ("token_id_encode", "COLLECT_LIST"),
+    # Per-doc MERGED span array: ≤ n_tokens/(K+1)+1 structs — bounded by
+    # document length like the shingle-set collects, never by corpus
+    # cardinality (queries/analytics.py::q_dedup_span_cut).
+    ("dedup_span_cut", "COLLECT_LIST"),
     # Deliberate Python-execution exhibit: the UDTF demonstrates the
     # lateral-join surface OFF the hot path (queries/llm.py docstring).
     ("udtf_token_positions", "ROW_PYTHON"),
