@@ -308,6 +308,15 @@ NOTES = {
         "duplicated rank subtrees in the static plan collapse to "
         "ReusedExchange at runtime (10x point: 1.3x)."
     ),
+    "dedup_span_cut": (
+        "The extents pipeline (scan-shaped window explode, map-side dup "
+        "filter, one doc-keyed sort exchange for the island merge) plus "
+        "an O(spans)-per-doc array fold; the cut is an in-row "
+        "higher-order filter over (token, index) — the only added "
+        "shuffle is the doc-keyed join back to the text. Fully-cut docs "
+        "hash to md5('') on both engines (oracle coalesces DuckDB's "
+        "NULL array_to_string([]))."
+    ),
     "source_interleave_order": (
         "Two two-phase ranks: per-source rank (with_group_rank) then the "
         "global merge rank over integer virtual time (src_rank * stride). "
