@@ -150,6 +150,7 @@ HEADLINE = [
     "length_bucket_batches",
     "source_interleave_order",
     "dedup_span_cut",
+    "corpus_curation_report",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

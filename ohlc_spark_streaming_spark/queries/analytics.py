@@ -3678,9 +3678,29 @@ def q_dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, zero additional shuffles past the doc-keyed join back to the
     text. Docs with nothing to cut pass through the left join
     untouched."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    j = _span_kept(docs)
+    return j.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.size("t") - F.size("kept")).cast("long").alias("n_cut"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.md5(F.concat_ws(" ", F.col("kept")).cast("binary")).alias(
+            "scrub_md5"
+        ),
+    )
+
+
+def _span_kept(docs: DataFrame) -> DataFrame:
+    """Span-cut core over any (doc_id, text) frame: returns one row per
+    document with ``t`` (the token array), ``kept`` (tokens surviving
+    the cut of corpus-duplicated maximal spans — duplication measured
+    WITHIN the given frame), and ``n_spans``. Shared by dedup_span_cut
+    (the per-doc proof query) and corpus_curation_report (which cuts
+    the post-dedup survivor corpus)."""
     from ..operators.sessions import interval_union
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     wins = F.when(
@@ -3731,9 +3751,172 @@ def q_dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        F.size(kept).cast("long").alias("n_kept"),
-        (F.size("t") - F.size(kept)).cast("long").alias("n_cut"),
+        "t",
+        kept.alias("kept"),
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
-        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("scrub_md5"),
+    )
+
+
+# --- corpus curation capstone (round 7, session 3) ----------------------------
+
+
+def _curation_oracle_sql() -> str:
+    """Full curation-funnel replay: near-dup clustering (shared minhash
+    CTEs + recursive transitive closure), struct-max survivor pick,
+    span-cut token accounting over the SURVIVOR corpus, exact-dedup
+    keep counts — folded to one row per source."""
+    from ._oracles import minhash_bands_sql, minhash_sql_cte
+
+    k = _SPAN_K
+    return f"""
+WITH RECURSIVE {minhash_sql_cte().lstrip()},
+bands AS ({minhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list(DISTINCT sh) AS units, count(DISTINCT sh) AS n_units
+  FROM shg GROUP BY doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sets sa ON sa.doc_id = id_a
+  JOIN sets sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.units, sb.units))
+      / (sa.n_units + sb.n_units - len(list_intersect(sa.units, sb.units)))
+        >= 0.7
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), clusters AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), surv_pick AS (
+  SELECT c.cluster_id,
+         -(max(struct_pack(q := d.n_chars, nd := -d.doc_id))).nd AS doc_id
+  FROM clusters c JOIN documents d USING (doc_id)
+  GROUP BY c.cluster_id
+), surv AS (
+  SELECT d.doc_id, d.source, string_split(d.text, ' ') AS t
+  FROM documents d JOIN surv_pick sp ON d.doc_id = sp.doc_id
+), swins AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(list_slice(t, u.i, u.i + {k} - 1), ' ') AS win
+  FROM surv, unnest(range(1, len(t) - {k} + 2)) AS u(i)
+  WHERE len(t) >= {k}
+), sdup AS (
+  SELECT win FROM (SELECT DISTINCT doc_id, win FROM swins)
+  GROUP BY win HAVING count(*) >= 2
+), scov AS (
+  SELECT DISTINCT w.doc_id, u.p
+  FROM swins w JOIN sdup USING (win),
+       unnest(range(w.pos, w.pos + {k})) AS u(p)
+), scut AS (
+  SELECT doc_id, count(*) AS n_cut FROM scov GROUP BY doc_id
+), exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), exact_per_source AS (
+  SELECT d.source, count(*) AS n_docs_exact
+  FROM documents d JOIN exact USING (doc_id) GROUP BY d.source
+), raw AS (
+  SELECT source, count(*) AS n_docs_raw FROM documents GROUP BY source
+), surv_stats AS (
+  SELECT s.source,
+         count(*) AS n_docs_surviving,
+         sum(len(s.t)) AS n_tokens_surviving,
+         sum(len(s.t) - coalesce(c.n_cut, 0)) AS n_tokens_final
+  FROM surv s LEFT JOIN scut c USING (doc_id)
+  GROUP BY s.source
+)
+SELECT r.source,
+       CAST(r.n_docs_raw AS BIGINT)                   AS n_docs_raw,
+       CAST(coalesce(e.n_docs_exact, 0) AS BIGINT)    AS n_docs_exact,
+       CAST(coalesce(s.n_docs_surviving, 0) AS BIGINT)
+                                                      AS n_docs_surviving,
+       CAST(coalesce(s.n_tokens_surviving, 0) AS BIGINT)
+                                                      AS n_tokens_surviving,
+       CAST(coalesce(s.n_tokens_final, 0) AS BIGINT)  AS n_tokens_final
+FROM raw r
+LEFT JOIN exact_per_source e USING (source)
+LEFT JOIN surv_stats s USING (source)
+"""
+
+
+@register("corpus_curation_report", _curation_oracle_sql())
+def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation capstone — the per-source funnel a data team
+    reads before a training run: raw documents → exact-dedup keeps
+    (min-id per distinct text) → near-dup SURVIVORS (MinHash-LSH
+    clustering + the survivorship golden-record pick) → tokens
+    remaining after duplicated-span cutting of the survivor corpus.
+    Composes the registry's dedup DAG end-to-end in their production
+    order: doc-level dedup FIRST, then span-level dedup over what
+    survives (spans shared only between a survivor and its discarded
+    duplicates no longer count as corpus-duplicated).
+
+    Scale: every stage is the already-audited operator it names —
+    clustering on the collapsed rep graph, survivor pick as one
+    cluster-keyed struct-max aggregate, span cut scan-shaped over the
+    (smaller) survivor corpus; the final funnel join is over O(#sources)
+    rows. Nothing here adds a shuffle the components didn't already
+    pay."""
+    from ..operators.dedup import minhash_components
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_raw")
+    )
+    exact_ids = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact = (
+        docs.join(exact_ids.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_exact"))
+    )
+    clusters = minhash_components(docs, threshold=0.7)
+    members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    surv_ids = members.groupBy("cluster_id").agg(
+        (
+            -F.max(
+                F.struct(
+                    F.col("n_chars").alias("q"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            )["nd"]
+        ).alias("doc_id")
+    )
+    survivors = docs.join(surv_ids.select("doc_id"), "doc_id", "left_semi")
+    kept = _span_kept(survivors.select("doc_id", "text"))
+    surv_stats = (
+        survivors.select("doc_id", "source")
+        .join(kept, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_surviving"),
+            F.sum(F.size("t")).cast("long").alias("n_tokens_surviving"),
+            F.sum(F.size("kept")).cast("long").alias("n_tokens_final"),
+        )
+    )
+    return (
+        raw.join(exact, "source", "left")
+        .join(surv_stats, "source", "left")
+        .select(
+            "source",
+            "n_docs_raw",
+            F.coalesce("n_docs_exact", F.lit(0))
+            .cast("long")
+            .alias("n_docs_exact"),
+            F.coalesce("n_docs_surviving", F.lit(0))
+            .cast("long")
+            .alias("n_docs_surviving"),
+            F.coalesce("n_tokens_surviving", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_surviving"),
+            F.coalesce("n_tokens_final", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_final"),
+        )
     )

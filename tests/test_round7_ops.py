@@ -541,3 +541,36 @@ def test_span_cut_reconstructs_and_agrees_with_extents(spark):
                 " ".join(toks).encode()
             ).hexdigest()
     assert n_with_spans > 0  # the fixture must actually exercise the cut
+
+
+def test_curation_report_funnel_identities(spark):
+    """The funnel must be monotone per source, reconcile exactly with
+    its component queries (survivorship clusters, exact dedup), and
+    count every raw document exactly once."""
+    from ohlc_spark_streaming_spark.queries.analytics import (
+        q_corpus_curation_report,
+    )
+    from ohlc_spark_streaming_spark.queries.llm import (
+        q_dedup_exact,
+        q_dedup_survivorship,
+    )
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    rows = q_corpus_curation_report(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    assert sum(r.n_docs_raw for r in rows) == len(docs)
+    for r in rows:
+        assert r.n_docs_raw >= r.n_docs_exact >= r.n_docs_surviving >= 0
+        assert r.n_tokens_surviving >= r.n_tokens_final >= 0
+    # survivors == clusters (one golden record each)
+    surv_rows = q_dedup_survivorship(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs_surviving for r in rows) == len(surv_rows)
+    assert sum(r.n_members for r in surv_rows) == len(docs)
+    # exact keeps == distinct texts
+    exact_rows = q_dedup_exact(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs_exact for r in rows) == len(exact_rows)
+    # the fixture must exercise near-dup collapse (sf0.001 has near-dups
+    # but no byte-identical texts, so only >= holds for the exact stage)
+    assert sum(r.n_docs_exact for r in rows) > sum(
+        r.n_docs_surviving for r in rows
+    )

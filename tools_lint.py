@@ -85,6 +85,10 @@ EXPECTED = {
     # document length like the shingle-set collects, never by corpus
     # cardinality (queries/analytics.py::q_dedup_span_cut).
     ("dedup_span_cut", "COLLECT_LIST"),
+    # Composes the clustering (shingle-set collects, doc-length-bounded)
+    # and the span cut above; every collect inherits those boundaries
+    # (queries/analytics.py::q_corpus_curation_report).
+    ("corpus_curation_report", "COLLECT_LIST"),
     # Deliberate Python-execution exhibit: the UDTF demonstrates the
     # lateral-join surface OFF the hot path (queries/llm.py docstring).
     ("udtf_token_positions", "ROW_PYTHON"),
