@@ -115,7 +115,10 @@ def with_group_rank(
     )
     cond = None
     for n in names:
-        c = ranked[n] == mins[f"_g_{n}"]
+        # Null-safe: a NULL group key is a group like any other under
+        # Window.partitionBy semantics; plain == would drop its rows
+        # through the inner join.
+        c = ranked[n].eqNullSafe(mins[f"_g_{n}"])
         cond = c if cond is None else (cond & c)
     out = ranked.join(F.broadcast(mins), cond, "inner").withColumn(
         rank_col, (F.col("_grn") - F.col("_gmin") + 1).cast("long")

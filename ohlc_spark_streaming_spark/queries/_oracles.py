@@ -25,17 +25,19 @@ from ..functions import hashing  # noqa: E402
 _TOKENS_SQL = "string_split(text, ' ')"
 
 
-def shingle_sql_cte() -> str:
+def shingle_sql_cte(base: str = "documents") -> str:
     """Shared DuckDB CTEs producing per-doc shingle hashes (twin of
     operators.dedup.shingle_hashes: broadcast token dictionary + positional
-    combination, parallel-unnest zipping for token positions)."""
+    combination, parallel-unnest zipping for token positions). ``base``
+    names the (doc_id, text) relation to shingle — a table or an earlier
+    CTE (corpus_curation_report shingles the exact-dedup keeps)."""
     th = hashing.rolling_hash_sql("tok")
     return f"""
 toks AS (
-  SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+  SELECT doc_id, {_TOKENS_SQL} AS ts FROM {base}
 ), tokh AS (
   SELECT tok, {th} AS th
-  FROM (SELECT DISTINCT unnest({_TOKENS_SQL}) AS tok FROM documents)
+  FROM (SELECT DISTINCT unnest({_TOKENS_SQL}) AS tok FROM {base})
 ), tp AS (
   SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos FROM toks
 ), tk AS (
@@ -48,12 +50,12 @@ toks AS (
 )"""
 
 
-def minhash_sql_cte() -> str:
+def minhash_sql_cte(base: str = "documents") -> str:
     """Per-doc MinHash signatures over shingle hashes."""
     mins = ", ".join(
         f"{expr} AS mh{i}" for i, expr in enumerate(hashing.minhash_sql("sh"))
     )
-    return f"""{shingle_sql_cte()},
+    return f"""{shingle_sql_cte(base)},
 sig AS (
   SELECT doc_id, {mins} FROM shg GROUP BY doc_id
 )"""

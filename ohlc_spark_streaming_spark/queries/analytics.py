@@ -195,9 +195,31 @@ def q_dedup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncovered token between them — so they merge into one span;
     ``span_tokens`` is exactly the duplicated-token count of the span.
     """
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    spans = _merged_spans(docs)
+    return spans.select(
+        "doc_id",
+        F.col("island").cast("long").alias("island"),
+        F.col("island_start").cast("long").alias("span_start"),
+        F.col("island_end").cast("long").alias("span_end"),
+        (F.col("island_end") - F.col("island_start") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+        F.col("n_intervals").cast("long").alias("n_windows"),
+    )
+
+
+def _merged_spans(docs: DataFrame) -> DataFrame:
+    """Shared span-dedup core over any (doc_id, text) frame: sliding
+    _SPAN_K-token windows, corpus-duplicated filter (a window counts if
+    it appears in ≥2 distinct docs OF THE GIVEN FRAME), and the
+    interval-union island merge — one row per maximal duplicated span
+    (doc_id, island, island_start, island_end, n_intervals). Single
+    source of truth for q_dedup_span_extents, _span_kept
+    (dedup_span_cut), and corpus_curation_report; the agreement test in
+    tests/test_round7_ops.py rides on all three sharing this."""
     from ..operators.sessions import interval_union
 
-    docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     wins = F.when(
@@ -225,17 +247,7 @@ def q_dedup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("st"),
         (F.col("pos") + _SPAN_K - 1).alias("en"),
     )
-    spans = interval_union(cov, key_col="doc_id", start_col="st", end_col="en")
-    return spans.select(
-        "doc_id",
-        F.col("island").cast("long").alias("island"),
-        F.col("island_start").cast("long").alias("span_start"),
-        F.col("island_end").cast("long").alias("span_end"),
-        (F.col("island_end") - F.col("island_start") + 1)
-        .cast("long")
-        .alias("span_tokens"),
-        F.col("n_intervals").cast("long").alias("n_windows"),
-    )
+    return interval_union(cov, key_col="doc_id", start_col="st", end_col="en")
 
 
 # --- conditional bigram language model ---------------------------------------
@@ -3699,36 +3711,8 @@ def _span_kept(docs: DataFrame) -> DataFrame:
     WITHIN the given frame), and ``n_spans``. Shared by dedup_span_cut
     (the per-doc proof query) and corpus_curation_report (which cuts
     the post-dedup survivor corpus)."""
-    from ..operators.sessions import interval_union
-
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    wins = F.when(
-        n >= _SPAN_K,
-        F.transform(
-            F.sequence(F.lit(1), n - _SPAN_K + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, _SPAN_K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos_wins = docs.select(
-        "doc_id", F.posexplode(wins).alias("pos0", "win")
-    ).select(
-        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "win"
-    )
-    dup_wins = (
-        pos_wins.select("doc_id", "win")
-        .distinct()
-        .groupBy("win")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("win")
-    )
-    cov = pos_wins.join(dup_wins, "win").select(
-        "doc_id",
-        F.col("pos").alias("st"),
-        (F.col("pos") + _SPAN_K - 1).alias("en"),
-    )
-    spans = interval_union(cov, key_col="doc_id", start_col="st", end_col="en")
+    spans = _merged_spans(docs)
     covs = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(
@@ -3761,15 +3745,20 @@ def _span_kept(docs: DataFrame) -> DataFrame:
 
 
 def _curation_oracle_sql() -> str:
-    """Full curation-funnel replay: near-dup clustering (shared minhash
-    CTEs + recursive transitive closure), struct-max survivor pick,
-    span-cut token accounting over the SURVIVOR corpus, exact-dedup
-    keep counts — folded to one row per source."""
+    """Full curation-funnel replay in production order: exact-dedup
+    keeps FIRST, then near-dup clustering (shared minhash CTEs over the
+    keeps + recursive transitive closure), struct-max survivor pick,
+    span-cut token accounting over the SURVIVOR corpus — folded to one
+    row per source."""
     from ._oracles import minhash_bands_sql, minhash_sql_cte
 
     k = _SPAN_K
     return f"""
-WITH RECURSIVE {minhash_sql_cte().lstrip()},
+WITH RECURSIVE exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), keepdocs AS (
+  SELECT d.* FROM documents d JOIN exact USING (doc_id)
+), {minhash_sql_cte("keepdocs").lstrip()},
 bands AS ({minhash_bands_sql()}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3790,7 +3779,7 @@ cand AS (
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
 ), reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM keepdocs
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ), clusters AS (
@@ -3798,11 +3787,11 @@ cand AS (
 ), surv_pick AS (
   SELECT c.cluster_id,
          -(max(struct_pack(q := d.n_chars, nd := -d.doc_id))).nd AS doc_id
-  FROM clusters c JOIN documents d USING (doc_id)
+  FROM clusters c JOIN keepdocs d USING (doc_id)
   GROUP BY c.cluster_id
 ), surv AS (
   SELECT d.doc_id, d.source, string_split(d.text, ' ') AS t
-  FROM documents d JOIN surv_pick sp ON d.doc_id = sp.doc_id
+  FROM keepdocs d JOIN surv_pick sp ON d.doc_id = sp.doc_id
 ), swins AS (
   SELECT doc_id, u.i AS pos,
          array_to_string(list_slice(t, u.i, u.i + {k} - 1), ' ') AS win
@@ -3817,11 +3806,9 @@ cand AS (
        unnest(range(w.pos, w.pos + {k})) AS u(p)
 ), scut AS (
   SELECT doc_id, count(*) AS n_cut FROM scov GROUP BY doc_id
-), exact AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 ), exact_per_source AS (
-  SELECT d.source, count(*) AS n_docs_exact
-  FROM documents d JOIN exact USING (doc_id) GROUP BY d.source
+  SELECT source, count(*) AS n_docs_exact
+  FROM keepdocs GROUP BY source
 ), raw AS (
   SELECT source, count(*) AS n_docs_raw FROM documents GROUP BY source
 ), surv_stats AS (
@@ -3851,19 +3838,23 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus curation capstone — the per-source funnel a data team
     reads before a training run: raw documents → exact-dedup keeps
     (min-id per distinct text) → near-dup SURVIVORS (MinHash-LSH
-    clustering + the survivorship golden-record pick) → tokens
-    remaining after duplicated-span cutting of the survivor corpus.
-    Composes the registry's dedup DAG end-to-end in their production
-    order: doc-level dedup FIRST, then span-level dedup over what
-    survives (spans shared only between a survivor and its discarded
-    duplicates no longer count as corpus-duplicated).
+    clustering OVER THE KEEPS + the survivorship golden-record pick) →
+    tokens remaining after duplicated-span cutting of the survivor
+    corpus. The stages run in production order — exact dedup first, so
+    byte-identical docs collapse before shingling (this also makes the
+    funnel monotone BY CONSTRUCTION: survivors ⊆ exact keeps even for
+    sub-shingle-length documents, which cluster as singletons); then
+    near-dup; then span-level dedup over what survives (spans shared
+    only between a survivor and its discarded duplicates no longer
+    count as corpus-duplicated).
 
     Scale: every stage is the already-audited operator it names —
     clustering on the collapsed rep graph, survivor pick as one
     cluster-keyed struct-max aggregate, span cut scan-shaped over the
-    (smaller) survivor corpus; the final funnel join is over O(#sources)
-    rows. Nothing here adds a shuffle the components didn't already
-    pay."""
+    (smaller) survivor corpus; the per-doc token arrays never enter the
+    funnel join (sizes are projected first), and the final join is over
+    O(#sources) rows. Nothing here adds a shuffle the components didn't
+    already pay."""
     from ..operators.dedup import minhash_components
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
@@ -3871,13 +3862,12 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs_raw")
     )
     exact_ids = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    exact = (
-        docs.join(exact_ids.select("doc_id"), "doc_id", "left_semi")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_exact"))
+    keeps = docs.join(exact_ids.select("doc_id"), "doc_id", "left_semi")
+    exact = keeps.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_exact")
     )
-    clusters = minhash_components(docs, threshold=0.7)
-    members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    clusters = minhash_components(keeps, threshold=0.7)
+    members = clusters.join(keeps.select("doc_id", "n_chars"), "doc_id")
     surv_ids = members.groupBy("cluster_id").agg(
         (
             -F.max(
@@ -3888,16 +3878,20 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )["nd"]
         ).alias("doc_id")
     )
-    survivors = docs.join(surv_ids.select("doc_id"), "doc_id", "left_semi")
-    kept = _span_kept(survivors.select("doc_id", "text"))
+    survivors = keeps.join(surv_ids.select("doc_id"), "doc_id", "left_semi")
+    kept_sizes = _span_kept(survivors.select("doc_id", "text")).select(
+        "doc_id",
+        F.size("t").cast("long").alias("_n_tok"),
+        F.size("kept").cast("long").alias("_n_kept"),
+    )
     surv_stats = (
         survivors.select("doc_id", "source")
-        .join(kept, "doc_id")
+        .join(kept_sizes, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs_surviving"),
-            F.sum(F.size("t")).cast("long").alias("n_tokens_surviving"),
-            F.sum(F.size("kept")).cast("long").alias("n_tokens_final"),
+            F.sum("_n_tok").cast("long").alias("n_tokens_surviving"),
+            F.sum("_n_kept").cast("long").alias("n_tokens_final"),
         )
     )
     return (

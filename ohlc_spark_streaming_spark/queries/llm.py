@@ -3616,14 +3616,27 @@ def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INTERLEAVE_STRIDES = {"src0": 3, "src1": 6}
 _INTERLEAVE_DEFAULT_STRIDE = 12
 
+#: The stride dict is the single source of truth: both the oracle CASE
+#: and the Spark when-chain are generated from it below.
+_STRIDE_CASE_SQL = " ".join(
+    f"WHEN source = '{s}' THEN {v}" for s, v in _INTERLEAVE_STRIDES.items()
+)
+
+
+def _stride_col():
+    expr = None
+    for s, v in _INTERLEAVE_STRIDES.items():
+        branch = (F.col("source") == s, F.lit(v))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    return expr.otherwise(F.lit(_INTERLEAVE_DEFAULT_STRIDE))
+
 
 @register(
     "source_interleave_order",
     f"""
 WITH d AS (
   SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
-         CASE WHEN source = 'src0' THEN 3
-              WHEN source = 'src1' THEN 6
+         CASE {_STRIDE_CASE_SQL}
               ELSE {_INTERLEAVE_DEFAULT_STRIDE} END AS stride
   FROM documents
 ),
@@ -3662,15 +3675,11 @@ def q_source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import with_global_rank, with_group_rank
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    stride = F.when(F.col("source") == "src0", F.lit(3))
-    stride = stride.when(F.col("source") == "src1", F.lit(6)).otherwise(
-        F.lit(_INTERLEAVE_DEFAULT_STRIDE)
-    )
     d = docs.select(
         "source",
         "doc_id",
         F.md5(F.col("doc_id").cast("string").cast("binary")).alias("_k"),
-        stride.cast("long").alias("_stride"),
+        _stride_col().cast("long").alias("_stride"),
     )
     v = (
         with_group_rank(d, ["source"], ["_k", "doc_id"], rank_col="src_rank")

@@ -80,3 +80,25 @@ def test_with_group_rank_matches_window(spark):
         for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
     }
     assert got == want
+
+
+def test_with_group_rank_keeps_null_group(spark):
+    """A NULL group key is a group like any other (Window.partitionBy
+    semantics) — the broadcast min-rank join must be null-safe."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ohlc_spark_streaming_spark.operators.ranking import with_group_rank
+
+    rows = [(1, "a", 10), (2, "a", 5), (3, None, 7), (4, None, 2)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    got = with_group_rank(df, ["grp"], ["v", "id"]).collect()
+    assert len(got) == 4  # no rows dropped
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert {r.id: r.rn for r in got} == want
