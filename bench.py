@@ -151,6 +151,14 @@ HEADLINE = [
     "source_interleave_order",
     "dedup_span_cut",
     "corpus_curation_report",
+    "attribution_position",
+    "anomaly_seasonal_baseline",
+    "rolling_active_7d",
+    "target_encode_smoothed",
+    "shard_checksum_manifest",
+    "quota_apportion",
+    "simhash_recall_audit",
+    "equidepth_bin_apply",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -3914,3 +3914,234 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens_final"),
         )
     )
+
+
+# --- position-based multi-touch attribution ----------------------------------
+
+
+@register(
+    "attribution_position",
+    """
+WITH fp AS (
+  SELECT user_id, min(ts) AS fp_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), touches AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN fp USING (user_id)
+  WHERE e.ts < fp.fp_ts AND e.event_type <> 'purchase'
+), ranked AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM touches
+), credit AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END AS c
+  FROM ranked
+)
+SELECT event_type AS channel,
+       count(*) AS n_touches,
+       CAST(SUM(CAST(floor(c * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+         AS credit_units,
+       CAST(SUM(CAST(floor(c * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12
+         AS credit
+FROM credit GROUP BY 1
+""",
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each user's
+    touchpoints before their FIRST purchase share the conversion credit —
+    40% to the first touch, 40% to the last, 20% split across the middle
+    (degenerate journeys: 1 touch → 1.0, 2 touches → 0.5 each) — rolled
+    up per channel (event_type).
+
+    Plan: one tiny per-user first-purchase aggregate joined back to the
+    scan, then a per-USER window (millions of small partitions — never a
+    single-partition window) ranks the journey. Credit fractions like
+    0.2/(n-2) are not exactly representable, so per the registry's
+    quantized-integer discipline the credit is summed as
+    floor(c·1e12 + 0.5) BIGINT units (multiply/add/floor are bit-identical
+    IEEE ops in both engines; integer addition is order-independent) and
+    divided back to a double once, after the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    touches = (
+        e.join(fp, "user_id")
+        .where((F.col("ts") < F.col("fp_ts")) & (F.col("event_type") != "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n, rn = F.col("n"), F.col("rn")
+    c = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((rn == 1) | (rn == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+    )
+    units = F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        ranked.select(F.col("event_type").alias("channel"), units.alias("_u"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("_u").cast("long").alias("credit_units"),
+            (F.sum("_u").cast("double") / F.lit(1e12)).alias("credit"),
+        )
+    )
+
+
+# --- seasonal-baseline anomaly detection -------------------------------------
+
+
+@register(
+    "anomaly_seasonal_baseline",
+    """
+WITH stats AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(12,6))
+                  * CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS ss
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, hr, n, s / n AS mean,
+         sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)) AS sd
+  FROM stats
+)
+SELECT
+  e.event_type,
+  EXTRACT(hour FROM e.ts)                          AS hr,
+  any_value(b.n)                                   AS n_events,
+  CAST(SUM(CASE WHEN abs(e.value - b.mean) > 2 * b.sd THEN 1 ELSE 0 END)
+       AS BIGINT)                                  AS n_anomalies,
+  min(CASE WHEN abs(e.value - b.mean) > 2 * b.sd THEN e.event_id END)
+                                                   AS first_anomaly_id
+FROM events e
+JOIN bounds b ON b.event_type = e.event_type
+            AND b.hr = EXTRACT(hour FROM e.ts)
+GROUP BY 1, 2
+""",
+)
+def q_anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: the z-score discipline of
+    anomaly_zscore_events, but the baseline is per (event_type,
+    hour-of-day) — the classic diurnal-profile monitor (a value normal at
+    peak hour is anomalous at 3am). Two-pass: exact decimal-summed
+    mean/sd per seasonal cell (bounded: 5 types × 24 hours = 120 rows),
+    broadcast back to a shuffle-free flagging scan, tiny final rollup.
+    |value − mean| > 2·sd flags the anomaly; the per-cell count,
+    anomaly count, and first anomalous event id come back per cell."""
+    ev = load_table(spark, sf_dir, "events").withColumn("hr", F.hour("ts"))
+    dec = F.col("value").cast("decimal(12,6)")
+    stats = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    bounds = stats.select(
+        "event_type",
+        "hr",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(
+            F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(0.0))
+        ).alias("sd"),
+    )
+    flagged = F.abs(F.col("value") - F.col("mean")) > 2 * F.col("sd")
+    return (
+        ev.join(F.broadcast(bounds), ["event_type", "hr"])
+        .groupBy("event_type", F.col("hr").cast("long").alias("hr"))
+        .agg(
+            F.any_value(F.col("n")).alias("n_events"),
+            F.sum(F.when(flagged, 1).otherwise(0)).alias("n_anomalies"),
+            F.min(F.when(flagged, F.col("event_id"))).alias("first_anomaly_id"),
+        )
+    )
+
+
+# --- rolling 7-day distinct actives ------------------------------------------
+
+
+@register(
+    "rolling_active_7d",
+    """
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM events
+), cal AS (
+  SELECT unnest(generate_series((SELECT min(ad) FROM acts),
+                                (SELECT max(ad) FROM acts),
+                                INTERVAL 1 DAY))::DATE AS day
+)
+SELECT c.day AS day, count(DISTINCT a.user_id) AS n_active
+FROM cal c LEFT JOIN acts a ON a.ad BETWEEN c.day - 6 AND c.day
+GROUP BY 1
+""",
+)
+def q_rolling_active_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per calendar day — the DAU/WAU
+    board metric, which naively is a COUNT(DISTINCT) over a sliding
+    window per day (a 7× data blowup, then a distinct shuffle, per day).
+
+    Scale plan — the sweep-line identity: a user is 'active on day d'
+    iff they have an event in [d−6, d], i.e. each distinct (user,
+    active-day a) covers days [a, a+6]. Per-user coverage intervals are
+    merged into maximal islands (operators/sessions.py interval_union —
+    per-user window partitions, fully parallel), each island [s, e]
+    becomes two delta rows (+1 at s, −1 at e+1), and a map-side-combined
+    per-day delta sum prefix-scans into the distinct-active count. The
+    only ordered structure is the cumulative window over the per-DAY
+    delta table — bounded by the calendar, not data volume (same class
+    as operators/ranking.py's totals window). No count-distinct, no 7×
+    explode, no re-shuffle of the big table beyond the (user, day)
+    dedup."""
+    from ..operators.sessions import interval_union
+
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    days = e.select(
+        "user_id", F.datediff(F.col("ts").cast("date"), epoch).alias("d")
+    ).distinct()
+    iv = days.select("user_id", F.col("d").alias("st"), (F.col("d") + 6).alias("en"))
+    islands = interval_union(iv, key_col="user_id", start_col="st", end_col="en")
+    deltas = (
+        islands.select(F.col("island_start").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            islands.select(
+                (F.col("island_end") + 1).alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    span = days.agg(
+        F.min("d").alias("d_lo"), F.max("d").alias("d_hi")
+    )
+    cal = span.select(
+        F.explode(F.sequence(F.col("d_lo"), F.col("d_hi"))).alias("d")
+    )
+    # Cumulative over the per-day table: bounded by the calendar length.
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        cal.join(deltas, "d", "left")
+        .select("d", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .withColumn("n_active", F.sum("delta").over(w))
+        .select(
+            F.date_add(epoch, F.col("d").cast("int")).alias("day"),
+            F.col("n_active").cast("long").alias("n_active"),
+        )
+    )

@@ -3690,3 +3690,247 @@ def q_source_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, ["vt", "source", "doc_id"], rank_col="interleave_rank"
     )
     return out.select("interleave_rank", "source", "doc_id", "src_rank", "vt")
+
+
+# --- smoothed target encoding -------------------------------------------------
+
+
+@register(
+    "target_encode_smoothed",
+    """
+WITH agg AS (
+  SELECT o_orderpriority, count(*) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders GROUP BY 1
+), gstat AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(SUM(pos) AS BIGINT) AS pos_tot
+  FROM agg
+)
+SELECT o_orderpriority, n, pos,
+       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS target_rate,
+       (CAST(pos AS DOUBLE)
+        + CAST(20 AS DOUBLE) * (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+         / (CAST(n AS DOUBLE) + CAST(20 AS DOUBLE)) AS enc_smoothed
+FROM agg CROSS JOIN gstat
+""",
+)
+def q_target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (the m-estimate / empirical-Bayes feature
+    encoder): per-category positive rate shrunk toward the global rate
+    by a pseudo-count prior of m = 20 — enc = (pos + m·p̄)/(n + m). The
+    standard leak-resistant categorical encoder a feature pipeline fits
+    before training.
+
+    Plan shape: ONE map-side-combinable aggregate over the fact scan
+    (category cardinality is bounded), a 1-row global rollup of the tiny
+    agg, cross-joined back broadcast-style. Every encoding input is an
+    exact integer count, so the double arithmetic (two divisions, one
+    multiply-add) is bit-identical across engines given the shared
+    expression shape."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    glob = agg.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("pos").cast("long").alias("pos_tot"),
+    )
+    n_d = F.col("n").cast("double")
+    pos_d = F.col("pos").cast("double")
+    prior = F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")
+    m = F.lit(20).cast("double")
+    return agg.crossJoin(F.broadcast(glob)).select(
+        "o_orderpriority",
+        "n",
+        "pos",
+        (pos_d / n_d).alias("target_rate"),
+        ((pos_d + m * prior) / (n_d + m)).alias("enc_smoothed"),
+    )
+
+
+# --- order-independent shard checksum manifest --------------------------------
+
+
+def _shard_checksum_oracle() -> str:
+    h = hashing.rolling_hash_sql("text")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, n_chars, CAST(doc_id % 16 AS BIGINT) AS shard, {h} AS h
+  FROM documents
+)
+SELECT shard,
+       count(*)                        AS n_docs,
+       min(doc_id)                     AS id_lo,
+       max(doc_id)                     AS id_hi,
+       CAST(SUM(n_chars) AS BIGINT)    AS n_chars_total,
+       CAST(SUM(h) AS BIGINT)          AS checksum_sum,
+       CAST(bit_xor(h) AS BIGINT)      AS checksum_xor
+FROM hashed GROUP BY shard
+"""
+
+
+@register("shard_checksum_manifest", _shard_checksum_oracle())
+def q_shard_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent shard checksum manifest — the integrity record a
+    dataset publisher ships next to each shard so any consumer (or a
+    re-run of the pipeline) can verify content equality WITHOUT agreeing
+    on row order: per shard (doc_id mod 16), row count, id range, total
+    chars, and two commutative content checksums (sum and xor of the
+    cross-engine rolling hash of the text).
+
+    Both checksums are order- and partition-independent by algebra
+    (integer + and ^ are commutative/associative), so the manifest is
+    stable under any executor layout — the property that makes it a
+    valid cross-cluster equality witness at 100 TB. One scan, one
+    map-side-combinable aggregate; hash values stay < P ≈ 2^30 so a
+    BIGINT sum holds ~2^33 rows per shard (swap to a DECIMAL(38,0)
+    accumulator beyond that)."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    hashed = d.select(
+        "doc_id",
+        "n_chars",
+        (F.col("doc_id") % 16).cast("long").alias("shard"),
+        hashing.rolling_hash("text").alias("h"),
+    )
+    return hashed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("id_lo"),
+        F.max("doc_id").alias("id_hi"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        F.sum("h").cast("long").alias("checksum_sum"),
+        F.bit_xor("h").cast("long").alias("checksum_xor"),
+    )
+
+
+# --- largest-remainder quota apportionment ------------------------------------
+
+_APPORTION_BUDGET = 10_007  # deliberately not a multiple of anything
+
+
+@register(
+    "quota_apportion",
+    f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM counts
+), parts AS (
+  SELECT source, n_docs,
+         CAST(({_APPORTION_BUDGET} * n_docs) // n_tot AS BIGINT) AS base,
+         CAST(({_APPORTION_BUDGET} * n_docs) % n_tot AS BIGINT) AS rem
+  FROM counts CROSS JOIN tot
+), ranked AS (
+  SELECT source, n_docs, base, rem,
+         row_number() OVER (ORDER BY rem DESC, source) AS rn,
+         CAST(SUM(base) OVER () AS BIGINT) AS base_tot
+  FROM parts
+)
+SELECT source, n_docs,
+       CAST(base + CASE WHEN rn <= {_APPORTION_BUDGET} - base_tot
+                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM ranked
+""",
+)
+def q_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) quota apportionment: split a fixed
+    sample budget across sources proportionally to their document counts,
+    with the fractional remainders resolved so the quotas sum EXACTLY to
+    the budget — floor(B·nᵢ/N) each, then +1 to the largest remainders
+    (ties broken by source name). The deterministic twin of
+    source_quota_sample's per-source rates: this is how a curation run
+    turns target mixture weights into exact per-source row budgets.
+
+    All arithmetic is exact integers (B·nᵢ stays ≪ 2^63; `div`/`%` are
+    engine-identical), so quotas are bit-stable. The only window runs
+    over the per-SOURCE table — bounded by source cardinality, the same
+    tiny-frame class as operators/ranking.py's totals window; the data
+    scan contributes one map-side-combinable count."""
+    d = load_table(spark, sf_dir, "documents", parallelize=True)
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("n_tot"))
+    b = _APPORTION_BUDGET
+    parts = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"CAST(({b} * n_docs) div n_tot AS BIGINT)").alias("base"),
+        F.expr(f"CAST(({b} * n_docs) % n_tot AS BIGINT)").alias("rem"),
+    )
+    w_rn = Window.orderBy(F.desc("rem"), F.asc("source"))
+    w_all = Window.orderBy(F.desc("rem"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = parts.select(
+        "source",
+        "n_docs",
+        "base",
+        F.row_number().over(w_rn).alias("rn"),
+        F.sum("base").over(w_all).cast("long").alias("base_tot"),
+    )
+    quota = F.col("base") + F.when(
+        F.col("rn") <= F.lit(b) - F.col("base_tot"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "source", "n_docs", quota.cast("long").alias("quota")
+    )
+
+
+# --- SimHash recall audit ------------------------------------------------------
+
+
+def _simhash_recall_oracle() -> str:
+    truth = _shared_oracles.jaccard_pairs_global_sql(0.5)
+    return f"""
+WITH ex AS (
+  SELECT id_a, id_b FROM ({truth})
+),
+fps AS (
+  SELECT doc_id, simhash
+  FROM (WITH {_simhash_sql_cte()} SELECT doc_id, simhash FROM fp)
+)
+SELECT
+  count(*) AS n_true,
+  CAST(SUM(CASE WHEN bit_count(xor(fa.simhash, fb.simhash)) <= 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+  CAST(SUM(CASE WHEN bit_count(xor(fa.simhash, fb.simhash)) <= 3
+                THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS recall
+FROM ex
+JOIN fps fa ON fa.doc_id = ex.id_a
+JOIN fps fb ON fb.doc_id = ex.id_b
+"""
+
+
+@register("simhash_recall_audit", _simhash_recall_oracle())
+def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash knob-tuning report, completing the recall-audit pair
+    (minhash_recall_audit covers LSH): exact PPJoin Jaccard ≥ 0.5 pairs
+    are the ground truth; a true pair counts as FOUND when its 28-bit
+    SimHash fingerprints are within hamming ≤ 3 — exactly the pairs
+    dedup_simhash emits, since its banded candidate generation has
+    perfect recall at d ≤ 3 by pigeonhole (4 bands, d < n_bands ⇒ some
+    band matches). Unlike MinHash-vs-Jaccard (estimator of the same
+    quantity), SimHash hamming is a DIFFERENT similarity — this audit
+    measures how much of the Jaccard truth the cheaper fingerprint
+    family keeps, which is the decision input for choosing the 100 TB
+    first-pass filter. Hamming is evaluated only ON the true pairs (two
+    fingerprint hash joins), never all-pairs."""
+    from ..operators.dedup import simhash_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    exact = jaccard_ppjoin_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    fp = simhash_fingerprints(docs)
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
+    joined = exact.join(fa, "id_a").join(fb, "id_b")
+    found = F.when(
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 3, 1
+    ).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(found).cast("long").alias("n_found"),
+        (F.sum(found).cast("long") / F.count(F.lit(1))).alias("recall"),
+    )

@@ -1904,3 +1904,71 @@ def q_revenue_growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") - prev).alias("delta"),
         (F.col("revenue") / prev - 1).alias("growth"),
     )
+
+
+@register(
+    "equidepth_bin_apply",
+    """
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS d
+  FROM orders
+), bnd AS (
+  SELECT d, max(o_totalprice) AS ub FROM ranked WHERE d <= 9 GROUP BY d
+), ubs AS (
+  SELECT list_sort(list(ub)) AS u FROM bnd
+), binned AS (
+  SELECT 1 + len(list_filter(u, b -> b < l_extendedprice)) AS bin,
+         l_extendedprice AS x
+  FROM lineitem CROSS JOIN ubs
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       count(*) AS n_rows,
+       min(x)   AS lo,
+       max(x)   AS hi
+FROM binned GROUP BY 1
+""",
+)
+def q_equidepth_bin_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth binning as FIT + APPLY across tables — the
+    discretization shape a feature pipeline actually runs: decile
+    boundaries are fitted on the orders price distribution (training
+    stats), then APPLIED to lineitem extended prices (serving data),
+    reporting per-bin population and value range of the applied side.
+
+    Fit is the distributed-global-rank ntile (operators/ranking.py — no
+    single-partition window; the oracle states plain ntile, which the
+    two-phase rank reproduces bit-exactly), reduced to the 9 interior
+    bucket maxima. Apply is scan-shaped: the boundary list is one
+    broadcast 1-row array and bin(x) = 1 + |{ub < x}| is a higher-order
+    filter over it — no join, no shuffle on the big side beyond the
+    final tiny per-bin rollup. Values equal to a boundary fall in the
+    LOWER bin on both engines (strict < rule)."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = with_global_rank(
+        o, ["o_totalprice", "o_orderkey"], rank_col="rn", total_col="_total"
+    )
+    bnd = (
+        ranked.select(
+            "o_totalprice", ntile_expr("rn", "_total", 10).alias("d")
+        )
+        .where(F.col("d") <= 9)
+        .groupBy("d")
+        .agg(F.max("o_totalprice").alias("ub"))
+    )
+    ubs = bnd.agg(F.sort_array(F.collect_list("ub")).alias("u"))
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    binned = l.crossJoin(F.broadcast(ubs)).select(
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("u"), lambda b: b < F.col("x")))
+        ).cast("long").alias("bin"),
+        "x",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )

@@ -92,6 +92,14 @@ EXPECTED = {
     # Deliberate Python-execution exhibit: the UDTF demonstrates the
     # lateral-join surface OFF the hot path (queries/llm.py docstring).
     ("udtf_token_positions", "ROW_PYTHON"),
+    # Boundary list: collect of the 9 interior decile maxima (bucket
+    # count is a query constant) folded into one broadcast array —
+    # queries/relational.py::q_equidepth_bin_apply.
+    ("equidepth_bin_apply", "COLLECT_LIST"),
+    # Composes jaccard_ppjoin_pairs: per-doc shingle-set collects,
+    # doc-length-bounded like the rest of the dedup family —
+    # queries/llm.py::q_simhash_recall_audit.
+    ("simhash_recall_audit", "COLLECT_LIST"),
 }
 
 
