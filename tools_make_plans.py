@@ -324,6 +324,33 @@ NOTES = {
         "interleave is bit-reproducible; every exchange below the final "
         "range partition is reused, not recomputed (10x point: 1.2x)."
     ),
+    "rolling_active_7d": (
+        "Sweep-line rolling distinct: (user, day) dedup exchange, per-user "
+        "interval union (parallel per-key windows), then two delta rows per "
+        "island into a map-side-combined per-DAY sum. The only unpartitioned "
+        "window runs over the calendar-sized delta table — bounded by days, "
+        "not rows. No COUNT(DISTINCT) per day, no 7x explode."
+    ),
+    "attribution_position": (
+        "First-purchase aggregate joined back to the scan, per-USER journey "
+        "windows (millions of small partitions), then one channel rollup. "
+        "Credit is summed as quantized bigint units (floor(c*1e12+0.5)) so "
+        "the aggregate is order-independent under any partition layout."
+    ),
+    "shard_checksum_manifest": (
+        "One scan, one map-side-combinable aggregate; both checksums (sum, "
+        "xor of the rolling hash) are commutative/associative so the "
+        "manifest is identical under any executor layout — the property "
+        "that makes it a cross-cluster equality witness. Hash values stay "
+        "< 2^30; swap the BIGINT sum for DECIMAL(38,0) past ~2^33 rows/shard."
+    ),
+    "equidepth_bin_apply": (
+        "Fit: two-phase global rank over orders (range exchange + "
+        "O(#partitions) offset broadcast), ntile arithmetic, 9-row boundary "
+        "aggregate folded to ONE broadcast array row. Apply: scan-shaped "
+        "higher-order filter over lineitem — bin(x) = 1 + |{ub < x}| — no "
+        "join on the big side before the tiny per-bin rollup."
+    ),
 }
 
 
