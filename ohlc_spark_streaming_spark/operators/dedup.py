@@ -567,6 +567,74 @@ def shingle_sets(
     )
 
 
+def shingle_profiles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 28,
+) -> DataFrame:
+    """One-pass per-document shingle PROFILE: the distinct unit set
+    (bit-identical to :func:`shingle_sets`) AND the frequency-weighted
+    SimHash fingerprint (bit-identical to :func:`simhash_fingerprints`),
+    both derived from a single token-hash groupBy.
+
+    :func:`simhash_fingerprints` pays its own explode + dictionary join +
+    window shuffle; when a caller needs sets AND fingerprints (the SimHash
+    recall audit), that doubles the dominant stage. Here the occurrence-
+    level shingle array (pre-``array_distinct``) already exists in-row, so
+    the per-bit ±1 vote sums become 28 in-row integer folds over it — no
+    second explode, no second shuffle; equivalence is asserted in
+    tests/test_dedup.py. Columns: (id, units, n_units, simhash).
+    """
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    hashed = tok.join(_token_hash_dict(tok), "tok")
+    ths = (
+        hashed.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "th"))).alias("pth"))
+        .select(id_col, F.transform("pth", lambda x: x["th"]).alias("ths"))
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("ths") - 3),
+        lambda i: (
+            F.get("ths", i) * (31 * 31) + F.get("ths", i + 1) * 31 + F.get("ths", i + 2)
+        )
+        % P,
+    )
+    shs = F.when(F.size("ths") >= 3, sh).otherwise(F.array().cast("array<long>"))
+    base = ths.select(F.col(id_col), shs.alias("shs"))
+
+    def _vote(j: int):
+        # closure-bound bit index: a default-arg lambda would change the
+        # pyspark higher-order arity (see verify-skill lambda gotcha)
+        return lambda acc, x: acc + ((F.shiftright(x, j) % 2) * 2 - 1)
+
+    votes = [
+        F.aggregate("shs", F.lit(0).cast("long"), _vote(j)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    prof = base.select(F.col(id_col), "shs", *votes)
+    sim = sum(
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ],
+        F.lit(0),
+    )
+    units = F.array_distinct("shs")
+    return (
+        prof.select(
+            F.col(id_col),
+            units.alias("units"),
+            sim.cast("long").alias("simhash"),
+        )
+        .where(F.size("units") > 0)
+        .withColumn("n_units", F.size("units"))
+        .select(id_col, "units", "n_units", "simhash")
+    )
+
+
 def _signature_cols(units: Column) -> list[Column]:
     """MinHash signature from a shingle-set array — narrow (no shuffle):
     ``mh_i = array_min(transform(units, u -> (a_i*u + b_i) mod P))``.
@@ -716,6 +784,40 @@ def minhash_recall(
         F.count(F.lit(1)).alias("n_true"),
         F.sum(found).alias("n_found"),
         (F.sum(found) / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+def simhash_recall(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash recall report: exact PPJoin Jaccard pairs (the truth) with
+    each pair marked FOUND when the two fingerprints are within
+    ``max_hamming``, reduced to one (n_true, n_found, recall) row.
+
+    Mirrors :func:`minhash_recall`'s shared-pass discipline: ONE persisted
+    :func:`shingle_profiles` frame feeds both the exact pair generator
+    (its ``units`` columns are bit-identical to :func:`shingle_sets`) and
+    the fingerprint joins — the dominant explode/dictionary/groupBy stage
+    runs once, not twice. Hamming is evaluated only on the true pairs."""
+    prof = _persist_tracked(shingle_profiles(docs, id_col, text_col))
+    sets = prof.select(id_col, "units", "n_units")
+    exact = jaccard_ppjoin_pairs(
+        docs, id_col, text_col, threshold=threshold, sets=sets
+    ).select("id_a", "id_b")
+    fa = prof.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"))
+    fb = prof.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"))
+    joined = exact.join(fa, "id_a").join(fb, "id_b")
+    found = F.when(
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= max_hamming, 1
+    ).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(found).cast("long").alias("n_found"),
+        (F.sum(found).cast("long") / F.count(F.lit(1))).alias("recall"),
     )
 
 

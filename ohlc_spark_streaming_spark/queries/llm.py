@@ -3917,20 +3917,14 @@ def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures how much of the Jaccard truth the cheaper fingerprint
     family keeps, which is the decision input for choosing the 100 TB
     first-pass filter. Hamming is evaluated only ON the true pairs (two
-    fingerprint hash joins), never all-pairs."""
-    from ..operators.dedup import simhash_fingerprints
+    fingerprint hash joins), never all-pairs. Truth and fingerprints
+    share ONE persisted shingle-profile pass
+    (operators.dedup.simhash_recall / shingle_profiles) — the dominant
+    explode/dictionary/groupBy stage runs once, not twice (parity at
+    sf0.1 under this VM's jitter; the structural win is one dominant
+    pass instead of two, which is what matters when that pass scans the
+    whole corpus)."""
+    from ..operators.dedup import simhash_recall
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
-    exact = jaccard_ppjoin_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    fp = simhash_fingerprints(docs)
-    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
-    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
-    joined = exact.join(fa, "id_a").join(fb, "id_b")
-    found = F.when(
-        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 3, 1
-    ).otherwise(0)
-    return joined.agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.sum(found).cast("long").alias("n_found"),
-        (F.sum(found).cast("long") / F.count(F.lit(1))).alias("recall"),
-    )
+    return simhash_recall(docs, threshold=0.5, max_hamming=3)

@@ -172,3 +172,30 @@ def test_minhash_pairs_invariant_under_exact_duplication(spark):
     for cid in copied_ids:
         src = cid - offset
         assert (min(src, cid), max(src, cid)) in dup_pairs
+
+
+def test_shingle_profiles_equals_sets_plus_fingerprints(spark):
+    """shingle_profiles (one pass: units + in-row simhash votes) must be
+    bit-identical to the shingle_sets and simhash_fingerprints pipelines
+    it fuses — the parity assertion its docstring promises."""
+    from ohlc_spark_streaming_spark.operators.dedup import (
+        shingle_profiles,
+        shingle_sets,
+        simhash_fingerprints,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    prof = {
+        r.doc_id: (sorted(r.units), r.n_units, r.simhash)
+        for r in shingle_profiles(docs).collect()
+    }
+    sets = {
+        r.doc_id: (sorted(r.units), r.n_units)
+        for r in shingle_sets(docs).collect()
+    }
+    fps = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert set(prof) == set(sets) == set(fps)
+    assert prof, "empty corpus would vacuously pass"
+    for k, (units, n_units, sim) in prof.items():
+        assert (units, n_units) == sets[k], k
+        assert sim == fps[k], k
