@@ -4118,13 +4118,24 @@ def q_rolling_active_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     iv = days.select("user_id", F.col("d").alias("st"), (F.col("d") + 6).alias("en"))
     islands = interval_union(iv, key_col="user_id", start_col="st", end_col="en")
+    # Both delta rows come out of ONE pass over the islands (explode of a
+    # 2-struct array) — a unionAll of two selects would duplicate the
+    # whole interval-union subtree in the plan.
     deltas = (
-        islands.select(F.col("island_start").alias("d"), F.lit(1).alias("delta"))
-        .unionAll(
-            islands.select(
-                (F.col("island_end") + 1).alias("d"), F.lit(-1).alias("delta")
-            )
+        islands.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("island_start").alias("d"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        (F.col("island_end") + 1).alias("d"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("x")
         )
+        .select("x.d", "x.delta")
         .groupBy("d")
         .agg(F.sum("delta").alias("delta"))
     )

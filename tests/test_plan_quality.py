@@ -267,3 +267,55 @@ def test_join_skew_audit_is_take_ordered(spark):
     global sort of the frequency table."""
     plan = _plan(QUERIES["join_skew_audit"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_equidepth_apply_is_scan_shaped(spark):
+    """The apply side must see ONE broadcast 1-row array (a
+    BroadcastNestedLoopJoin against the boundary aggregate) and no other
+    join — binning must never shuffle or hash-join the lineitem scan
+    before the tiny per-bin rollup."""
+    plan = _plan(QUERIES["equidepth_bin_apply"](spark, SF_SMOKE))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # the fit side uses the two-phase rank, not a global window
+    assert "rangepartitioning(o_totalprice" in plan
+
+
+def test_shard_manifest_is_one_aggregate_exchange(spark):
+    """The manifest is scan → partial agg → ONE hash exchange on shard →
+    final agg: no joins, no windows, nothing else wide."""
+    plan = _plan(QUERIES["shard_checksum_manifest"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    for op in ("Join", "Window"):
+        assert op not in plan, op
+
+
+def test_seasonal_anomaly_bounds_are_broadcast(spark):
+    """The 120-cell bounds table must come back as a BroadcastHashJoin —
+    a shuffle join on (event_type, hr) would re-shuffle the whole events
+    scan for a bounded dimension."""
+    plan = _plan(QUERIES["anomaly_seasonal_baseline"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_active_window_is_day_level_only(spark):
+    """The only single-partition structure may be the calendar-bounded
+    day-level cumulative window; the per-user interval merge must keep
+    its keyed window partitions (interval_union's _k), and the island
+    subtree must appear ONCE (the +1/-1 deltas come from one explode,
+    not a unionAll that duplicates the merge)."""
+    plan = _plan(QUERIES["rolling_active_7d"](spark, SF_SMOKE))
+    assert "windowspecdefinition(_k#" in plan  # parallel island merge
+    assert plan.count("Exchange SinglePartition") == 1  # the day sweep only
+    # one island merge, not two: the user-keyed sort exchange is unique
+    assert plan.count("windowspecdefinition(_k#") == 2  # max-prev + run-sum
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_windows_are_per_user(spark):
+    """Journey ranking must stay partitioned by user_id — no global
+    window — and the first-purchase build is an aggregate, not a sort."""
+    plan = _plan(QUERIES["attribution_position"](spark, SF_SMOKE))
+    assert "windowspecdefinition(user_id" in plan
+    assert "GlobalLimit" not in plan
