@@ -949,9 +949,26 @@ def connected_components(
     the bottleneck long before execution does. For high-diameter graphs
     use :func:`connected_components_star` (same contract, log² rounds).
     """
-    bi = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # One pass over the (possibly expensive) pair list: explode each edge
+    # into both directions, and checkpoint — the loop joins `bi` every
+    # round, and without truncation each round would re-derive the pair
+    # generation from source.
+    bi = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .localCheckpoint()
+    )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint()

@@ -181,6 +181,8 @@ def triangle_counts(
     AQE absorbing residual wedge skew. Returns every node:
     (node, deg, n_triangles), zero-filled.
     """
+    from .dedup import persist_tracked
+
     e = edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
     und = (
         e.where(F.col("_u") != F.col("_v"))
@@ -189,9 +191,13 @@ def triangle_counts(
         )
         .distinct()
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
+    # deg is read twice (orientation join + the zero-filled output join)
+    # and the endpoint explode keeps the canonical edge pass single — a
+    # unionAll of two selects would recompute the distinct edge list.
+    deg = persist_tracked(
+        und.select(
+            F.explode(F.array(F.col("u"), F.col("v"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -201,10 +207,15 @@ def triangle_counts(
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oe = ed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("rb"),
+    # The oriented edge list feeds three consumers (both wedge sides and
+    # the closing join): persist it so the canonical-edge + orientation
+    # pipeline runs once, not three times.
+    oe = persist_tracked(
+        ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("rb"),
+        )
     )
     w1 = oe.select("a", F.col("b").alias("y"), F.col("rb").alias("ry"))
     w2 = oe.select("a", F.col("b").alias("z"), F.col("rb").alias("rz"))
@@ -213,11 +224,13 @@ def triangle_counts(
         | ((F.col("ry") == F.col("rz")) & (F.col("y") < F.col("z")))
     )
     closing = oe.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    # one pass over the (expensive) triangle list: explode the three
+    # corners instead of unionAll-ing three re-computations of it
     tri = wedges.join(closing, ["y", "z"]).select("a", "y", "z")
     cnt = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("y"), F.col("z"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
