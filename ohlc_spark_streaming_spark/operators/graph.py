@@ -184,7 +184,10 @@ def triangle_counts(
     from .dedup import persist_tracked
 
     e = edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
-    und = (
+    # canonical edge list feeds both the degree count and the orientation
+    # join — persist so the caller's (possibly expensive) edge derivation
+    # runs once
+    und = persist_tracked(
         e.where(F.col("_u") != F.col("_v"))
         .select(
             F.least("_u", "_v").alias("u"), F.greatest("_u", "_v").alias("v")

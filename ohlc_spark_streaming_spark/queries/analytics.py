@@ -2805,19 +2805,26 @@ def q_link_predict_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     match bit-for-bit. Remaining stages: one capped wedge self-join,
     an anti-join against existing edges, two degree joins, and a
     TakeOrdered top-k — no full sort, no driver loop."""
+    from ..operators.dedup import persist_tracked
     from ..sources.batch import load_table as _lt
 
     l = _lt(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = l.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("src"))
     b = l.select(F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("dst"))
-    pairs = (
+    # the edge list is read by the degree count, the pivot filter, AND
+    # the anti-join; the degree table by the pivot filter and both score
+    # joins — persist both so the lineitem self-join runs once, not four
+    # times (tracked, reclaimed by release_caches between bench queries)
+    pairs = persist_tracked(
         a.join(b, "_ok")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
-    deg = pairs.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    deg = persist_tracked(
+        pairs.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     )
     piv = (
         pairs.join(deg, pairs["src"] == deg["node"])
