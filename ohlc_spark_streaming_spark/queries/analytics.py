@@ -3862,14 +3862,19 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel join (sizes are projected first), and the final join is over
     O(#sources) rows. Nothing here adds a shuffle the components didn't
     already pay."""
-    from ..operators.dedup import minhash_components
+    from ..operators.dedup import minhash_components, persist_tracked
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     raw = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_raw")
     )
     exact_ids = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    keeps = docs.join(exact_ids.select("doc_id"), "doc_id", "left_semi")
+    # the exact-keep corpus feeds four consumers (exact counts, the
+    # clustering, the member join, the survivor semi-join) — persist so
+    # the text-hash dedup runs once
+    keeps = persist_tracked(
+        docs.join(exact_ids.select("doc_id"), "doc_id", "left_semi")
+    )
     exact = keeps.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_exact")
     )
@@ -3885,7 +3890,9 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )["nd"]
         ).alias("doc_id")
     )
-    survivors = keeps.join(surv_ids.select("doc_id"), "doc_id", "left_semi")
+    survivors = persist_tracked(
+        keeps.join(surv_ids.select("doc_id"), "doc_id", "left_semi")
+    )
     kept_sizes = _span_kept(survivors.select("doc_id", "text")).select(
         "doc_id",
         F.size("t").cast("long").alias("_n_tok"),
