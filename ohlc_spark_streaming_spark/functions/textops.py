@@ -41,6 +41,46 @@ def shingles(col, n: int = 3) -> Column:
     )
 
 
+def bigrams_col(toks: Column) -> Column:
+    """Space-joined token bigrams via zip_with over two aligned slices.
+
+    NOT get()-by-index over a sequence: positional get() is O(n) per
+    lookup inside codegen, making the build O(n²) per document (the
+    lm_bigram 9x lesson); the slice zip is linear. Documents with fewer
+    than 2 tokens yield an empty array (matching the oracles' empty
+    range), and the guard keeps the slice lengths non-negative."""
+    n = F.size(toks)
+    ln = F.greatest(n - 1, F.lit(0))
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, ln),
+            F.slice(toks, 2, ln),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigrams_col(toks: Column) -> Column:
+    """Space-joined token trigrams — same linear slice-zip layout as
+    :func:`bigrams_col` (concat_ws is associative over non-null strings,
+    so the two-step join equals the three-argument one)."""
+    n = F.size(toks)
+    ln = F.greatest(n - 2, F.lit(0))
+    return F.when(
+        n >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, ln),
+                F.slice(toks, 2, ln),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(toks, 3, ln),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def stopword_count(col) -> Column:
     in_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     toks = tokens(col)

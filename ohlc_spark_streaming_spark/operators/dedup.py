@@ -550,12 +550,20 @@ def shingle_sets(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "th"))).alias("pth"))
         .select(id_col, F.transform("pth", lambda x: x["th"]).alias("ths"))
     )
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("ths") - 3),
-        lambda i: (
-            F.get("ths", i) * (31 * 31) + F.get("ths", i + 1) * 31 + F.get("ths", i + 2)
-        )
-        % P,
+    # zip_with over three aligned slices, not get()-by-index over a
+    # sequence: positional get() is O(n) per lookup inside codegen, which
+    # makes the 3-gram build O(n²) per document (the lm_bigram 9x lesson);
+    # the slice zip is linear. One mod at the end ≡ the fused expression
+    # (operands stay < 2^41 ≪ 2^63).
+    n_th = F.size("ths")
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice("ths", 1, n_th - 2),
+            F.slice("ths", 2, n_th - 2),
+            lambda a, b: a * (31 * 31) + b * 31,
+        ),
+        F.slice("ths", 3, n_th - 2),
+        lambda ab, c: (ab + c) % P,
     )
     units = F.when(F.size("ths") >= 3, F.array_distinct(sh)).otherwise(
         F.array().cast("array<long>")
@@ -595,12 +603,20 @@ def shingle_profiles(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "th"))).alias("pth"))
         .select(id_col, F.transform("pth", lambda x: x["th"]).alias("ths"))
     )
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size("ths") - 3),
-        lambda i: (
-            F.get("ths", i) * (31 * 31) + F.get("ths", i + 1) * 31 + F.get("ths", i + 2)
-        )
-        % P,
+    # zip_with over three aligned slices, not get()-by-index over a
+    # sequence: positional get() is O(n) per lookup inside codegen, which
+    # makes the 3-gram build O(n²) per document (the lm_bigram 9x lesson);
+    # the slice zip is linear. One mod at the end ≡ the fused expression
+    # (operands stay < 2^41 ≪ 2^63).
+    n_th = F.size("ths")
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice("ths", 1, n_th - 2),
+            F.slice("ths", 2, n_th - 2),
+            lambda a, b: a * (31 * 31) + b * 31,
+        ),
+        F.slice("ths", 3, n_th - 2),
+        lambda ab, c: (ab + c) % P,
     )
     shs = F.when(F.size("ths") >= 3, sh).otherwise(F.array().cast("array<long>"))
     base = ths.select(F.col(id_col), shs.alias("shs"))

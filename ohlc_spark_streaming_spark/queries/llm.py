@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import hashing
-from ..functions.textops import BPE_ISH_PATTERN, STOPWORDS
+from ..functions.textops import (
+    BPE_ISH_PATTERN,
+    STOPWORDS,
+    bigrams_col,
+    trigrams_col,
+)
 from ..operators import similarity as sim_ops
 from ..operators.dedup import (
     containment_pairs,
@@ -1959,17 +1964,9 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    # Guarded like shingle_sets: for n < 2, F.sequence(1, n-1) would DESCEND
-    # ([1, 0]) and concat_ws would skip the null F.get lookups, fabricating
-    # bogus bigrams. Docs with no bigram are unscorable and are dropped
-    # explicitly on both sides (the oracle's d CTE filters len(toks) >= 2).
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Docs with no bigram are unscorable and are dropped explicitly on
+    # both sides (the oracle's d CTE filters len(toks) >= 2).
+    bigrams = bigrams_col(toks)
     zero = F.struct(
         F.lit("").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -2041,20 +2038,9 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole trigram explosion on one core."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    # Guarded like shingle_sets: for n < 3, F.sequence(1, n-2) would DESCEND
-    # and fabricate bogus trigrams from concat_ws-skipped null lookups, while
-    # the oracle's range(1, len-1) yields an empty list. An empty array on
-    # both sides drops short docs identically (explode of [] emits no rows).
-    tris = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.get(toks, i - 1), F.get(toks, i), F.get(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Short docs get an empty trigram array on both sides (the oracle's
+    # range(1, len-1) is empty; explode of [] emits no rows).
+    tris = trigrams_col(toks)
     grams = docs.select("doc_id", F.explode(F.array_distinct(tris)).alias("tg"))
     bench = (
         grams.where(F.col("doc_id") % 20 == 0)
@@ -2204,16 +2190,9 @@ def q_text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the same single-row-group reason as decontaminate_ngram."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    # Guarded like shingle_sets (see decontaminate_ngram): 1-token docs get
-    # an empty bigram array, matching the oracle's empty range(1, len(toks)).
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # 1-token docs get an empty bigram array, matching the oracle's
+    # empty range(1, len(toks)).
+    bigrams = bigrams_col(toks)
     occ = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     freq = (
         occ.groupBy("bg")
@@ -2837,16 +2816,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r5's broadcast-discipline rule)."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    tris = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.get(toks, i - 1), F.get(toks, i), F.get(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tris = trigrams_col(toks)
     grams = docs.select(
         "doc_id", "source", F.explode(F.array_distinct(tris)).alias("tg")
     )
