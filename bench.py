@@ -159,6 +159,8 @@ HEADLINE = [
     "quota_apportion",
     "simhash_recall_audit",
     "equidepth_bin_apply",
+    "winsorize_clip",
+    "group_split_users",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

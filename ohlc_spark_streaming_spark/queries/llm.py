@@ -3898,3 +3898,58 @@ def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return simhash_recall(docs, threshold=0.5, max_hamming=3)
+
+
+# --- group-aware split (leakage-preventing) ------------------------------------
+
+
+@register(
+    "group_split_users",
+    """
+WITH assigned AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN (user_id * 2654435761) % 100 < 80 THEN 'train'
+              WHEN (user_id * 2654435761) % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM events
+)
+SELECT split,
+       count(DISTINCT user_id) AS n_users,
+       count(*)                AS n_events,
+       min(ts)                 AS ts_lo,
+       max(ts)                 AS ts_hi
+FROM assigned GROUP BY split
+""",
+)
+def q_group_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split: the split key is a hash of the
+    GROUP (user), not the row, so every event of a user lands in the same
+    split — the assignment that prevents user-level leakage (a row-hash
+    split like dataset_split puts half a user's history in train and the
+    other half in test, and any model with user-level memory cheats).
+    Knuth-multiplicative hash on the integer key — exact 64-bit integer
+    arithmetic both engines share (user_id·2654435761 < 2^47 ≪ 2^63).
+
+    Scale: assignment is a scan-local expression (no shuffle to decide
+    membership — contrast with a join against a precomputed assignment
+    table); the per-split rollup carries the only exchange. The oracle
+    replays assignment + rollup; the no-user-crosses-splits invariant is
+    structural (one hash, one user, one split) and pinned in
+    tests/test_round7b_ops.py."""
+    e = load_table(spark, sf_dir, "events")
+    h = (F.col("user_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        e.select("user_id", "event_id", "ts", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("ts_lo"),
+            F.max("ts").alias("ts_hi"),
+        )
+    )

@@ -1972,3 +1972,79 @@ def q_equidepth_bin_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
     )
+
+
+@register(
+    "winsorize_clip",
+    """
+WITH ranked AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM orders
+), bounds AS (
+  SELECT
+    max(CASE WHEN rn = CAST(ceil(CAST(0.01 AS DOUBLE) * n) AS BIGINT)
+             THEN o_totalprice END) AS lo,
+    max(CASE WHEN rn = CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT)
+             THEN o_totalprice END) AS hi
+  FROM ranked
+)
+SELECT
+  count(*) AS n_rows,
+  any_value(lo) AS p01,
+  any_value(hi) AS p99,
+  CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_lo,
+  CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clipped_hi,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+    AS mean_raw,
+  CAST(SUM(CAST(least(greatest(o_totalprice, lo), hi) AS DECIMAL(30,4)))
+       AS DOUBLE) / count(*) AS mean_clipped
+FROM orders CROSS JOIN bounds
+""",
+)
+def q_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) as FIT + APPLY — the outlier
+    guard a feature pipeline runs before normalization: exact rank-based
+    p01/p99 bounds (value at rank ceil(q·N) over the (price, orderkey)
+    total order — percentile_disc semantics, deterministic under ties),
+    then a scan-shaped clamp reporting clip counts and the exact-decimal
+    mean before/after.
+
+    The fit uses the distributed two-phase global rank
+    (operators/ranking.py — the oracle states plain row_number, which it
+    reproduces bit-exactly); the two bound values fold into ONE broadcast
+    row, so the apply pass adds no shuffle before the 1-row rollup.
+    Means go through the registry's decimal-exact sum discipline."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = with_global_rank(
+        o, ["o_totalprice", "o_orderkey"], rank_col="rn", total_col="n"
+    )
+    at = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+            F.col("o_totalprice"),
+        )
+    )
+    bounds = ranked.agg(at(0.01).alias("lo"), at(0.99).alias("hi"))
+    x = F.col("o_totalprice")
+    clipped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    dec = lambda c: F.sum(c.cast("decimal(30,4)")).cast("double")  # noqa: E731
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.any_value(F.col("lo")).alias("p01"),
+            F.any_value(F.col("hi")).alias("p99"),
+            F.sum(F.when(x < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(x > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            (dec(x) / F.count(F.lit(1))).alias("mean_raw"),
+            (dec(clipped) / F.count(F.lit(1))).alias("mean_clipped"),
+        )
+    )

@@ -191,3 +191,40 @@ def test_equidepth_bins_partition_and_order(spark):
     for a, b in zip(rows, rows[1:]):
         assert a.lo <= a.hi
         assert a.hi < b.lo  # strict-< boundary rule: no value straddles
+
+
+def test_winsorize_bounds_and_means(spark):
+    from ohlc_spark_streaming_spark.queries.relational import q_winsorize_clip
+
+    row = q_winsorize_clip(spark, SF_SMOKE).collect()[0]
+    assert row.p01 <= row.p99
+    # rank-based percentiles clip at most ~1% per tail (ties can reduce it)
+    assert row.n_clipped_lo <= row.n_rows * 0.011
+    assert row.n_clipped_hi <= row.n_rows * 0.011
+    # clipping pulls the mean toward the interior, never outside [p01, p99]
+    assert row.p01 <= row.mean_clipped <= row.p99
+    # and the clipped mean moves from the raw mean by a bounded amount
+    assert abs(row.mean_clipped - row.mean_raw) <= abs(row.p99 - row.p01)
+
+
+def test_group_split_has_no_user_leakage(spark):
+    from ohlc_spark_streaming_spark.queries.llm import q_group_split_users
+
+    rows = q_group_split_users(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events")
+    h = (F.col("user_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    crossing = (
+        e.select("user_id", split.alias("split"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert crossing == 0
+    assert sum(r.n_events for r in rows) == e.count()
