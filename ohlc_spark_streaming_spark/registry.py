@@ -119,14 +119,14 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # (green) driver CORRECTNESS row, until every oracle-backed query has one
 # (tracked in ROTATION.md — regenerate with tools_rotation.py).
 #
-# Round-7 window (VERDICT r6 item 1): the FINAL 26 never-checked names
-# (all round-6 additions) close the entire driver-verification backlog —
-# cumulative 205/205 after this round — and the spare slots continue the
-# re-verification program with the oldest remaining green rows (2 names
-# last checked in r2, plus the riskiest r3-era names: joins, dedup,
-# streaming, TPC-H plan shapes, multimodal, packing, similarity).
-# New round-7 queries take slots from the re-check tail as they land, so
-# the backlog stays at zero.
+# Round-8 window (VERDICT r7 item 1): ALL 23 never-checked names (the
+# round-7 additions, ROTATION.md "Remaining") get first-time slots —
+# cumulative 234/234 after this round, zero backlog for the first time
+# since round 4 — and the spare slots continue the re-verification
+# program with the oldest remaining green rows (all 15 r3-era names,
+# then the riskiest r4-era ones: dedup pair joins, as-of, reference
+# parity, streaming OHLC). New round-8 queries take slots from the
+# re-check TAIL as they land, so the backlog stays at zero.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
@@ -134,83 +134,73 @@ DRIVER_ANCHORS: tuple[str, ...] = (
     "ohlc_candles",
 )
 
-#: Round-7 rotation: final 26 round-6 names + 6 round-7 additions
-#: (immediate first-time slots) + 17 oldest re-checks.
-#:
-#: ROUND-8 PREP (apply at the START of round 8, never mid-round): the
-#: only names without a driver row after this round are the six late
-#: round-7 additions `bloom_prune_audit`, `kmeans_update_step`,
-#: `snapshot_diff_orders`, `join_cardinality_audit`,
-#: `contrastive_pairs`, `ewma_candles` (landed after the window
-#: filled). Give all six first-time slots, then spend the ~43 spare
-#: slots continuing the re-verification program with the oldest
-#: remaining rows (ROTATION.md's per-name ages; the r3-era names not
-#: re-checked this round, then r4-era).
+#: Round-8 rotation: the entire 23-name unchecked backlog (every
+#: round-7 addition) + 26 oldest re-checks. Round-8 additions (the
+#: transformWithStateInPandas twins, streaming_rolling_active) take
+#: slots from the re-check tail as they land.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # --- First-time names (26): the complete round-6 tranche ---
-    # Scalar / JSON / VARIANT surface
-    "variant_props_stats",
-    "json_roundtrip_lines",
-    "above_p90_lineitems",
-    "map_functions_battery",
-    "revenue_growth_mom",
-    # Training-data last mile
-    "dataset_shuffle_order",
-    "source_quota_sample",
-    "epoch_shard_assign",
-    "ngram_novelty",
-    "feature_hash_bow",
-    "bpe_top_merges",
-    # Dedup production shapes
-    "dedup_survivorship",
-    "dedup_incremental_probe",
-    # Corpus hygiene
-    "denylist_scan",
-    "denylist_redact",
-    # Embedding / multimodal
-    "embedding_pq_audit",
-    "multimodal_audio_chunks",
-    # Graph pair
-    "triangle_count_copurchase",
-    "link_predict_copurchase",
-    # Interval / storage-layout audits
-    "ship_interval_coverage",
-    "zonemap_prune_audit",
-    "compaction_plan",
-    # Event analytics + drift
-    "daily_active_cumulative",
-    "event_transition_matrix",
-    "split_drift_ks",
-    # Streaming
-    "streaming_transition_counts",
-    # --- Round-7 additions (6): first driver slots immediately, so the
-    # --- verification backlog stays at zero (VERDICT r6 item 2)
-    "dedup_span_extents",
-    "text_strip_markup",
-    "corpus_prep_markup",
-    "pii_redact",
-    "embedding_whiten",
-    "embedding_whiten_ivf",
-    # --- Re-checks (23): oldest remaining driver rows ---
-    # r2-era rows (2)
-    "pivot_linestatus",
-    "window_value_functions",
-    # r3-era rows (21): joins / dedup / streaming / plan-shape risk first
-    "join_full_outer",
-    "join_interval_overlap",
-    "join_null_safe",
-    "join_range_shipdelay",
-    "dedup_clusters",
-    "decontaminate_ngram",
-    "quality_repetition",
-    "similarity_lsh_topk",
-    "multimodal_features",
-    "pack_sequences",
-    "streaming_interval_join",
-    "streaming_vwap_candles",
-    "window_trailing_range",
-    "array_functions",
-    "null_semantics",
+    # --- First-time names (23): the complete round-7 tranche ---
+    # Feature-engineering / training prep
+    "equidepth_bin_apply",
+    "winsorize_clip",
+    "target_encode_smoothed",
+    "group_split_users",
+    "token_id_encode",
+    "length_bucket_batches",
+    "source_interleave_order",
+    "contrastive_pairs",
+    # Sharding / quotas
+    "shard_checksum_manifest",
+    "quota_apportion",
+    # Dedup / sketch audits
+    "simhash_recall_audit",
+    "bloom_prune_audit",
+    "dedup_span_cut",
+    "corpus_curation_report",
+    # Embedding / clustering
+    "kmeans_update_step",
+    # Temporal joins / snapshots
+    "pit_feature_join",
+    "snapshot_diff_orders",
+    "join_cardinality_audit",
+    "join_skew_audit",
+    # Event analytics (the two perf-watch entries get their first
+    # correctness rows this round too)
+    "attribution_position",
+    "anomaly_seasonal_baseline",
+    "rolling_active_7d",
+    "ewma_candles",
+    # --- Re-checks (26): oldest remaining driver rows ---
+    # r3-era rows (all 15 remaining)
+    "dataset_split",
+    "domain_mixture",
+    "grouping_sets_orders",
+    "json_extract_props",
+    "percentiles_quantity",
+    "price_histogram_equidepth",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "set_ops_order_status",
+    "text_sentiment",
+    "vocab_top_tokens",
+    # r4-era rows (11 riskiest: dedup pair joins, as-of, reference
+    # parity, streaming OHLC; tail slots are surrendered to round-8
+    # additions as they land)
+    "dedup_jaccard_ppjoin",
+    "dedup_minhash_lsh",
+    "dedup_clusters_star",
+    "join_asof_purchase_view",
+    "join_semi_anti",
+    "streaming_ohlc_candles",
+    "ohlc_candles_faithful",
+    "trade_pipeline",
+    "derive_base",
+    "q1_pricing_summary",
+    "similarity_topk",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)
