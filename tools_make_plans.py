@@ -21,11 +21,17 @@ NOTES = {
     "approx_percentile_audit": (
         "One scan + one 3-group ObjectHashAggregate; the cost is the exact-"
         "percentile yardstick buffering every group value, inherent to the "
-        "audit. In-session A/B (round 7): steady-state 0.46s at sf0.1 both "
-        "for the six separate percentile calls AND for a fused array-"
-        "argument variant — the per-call buffers are NOT the cost, so the "
-        "clearer form stays. The 0.199s round-5 baseline row was cross-"
-        "session VM weather (bench-baseline refreshed round 7)."
+        "audit. Round-8 A/B: this round's regenerated sf0.1 data has near-"
+        "all-distinct l_extendedprice (583k distinct / 600k rows), so each "
+        "separate percentile call's per-group value→count map held the "
+        "whole column and sorted it independently — six calls ran 4.4s "
+        "steady-state vs the 0.23s baseline row taken on lower-cardinality "
+        "data (round 7 had measured both forms equal at 0.46s; that "
+        "equality does not survive high-distinct data). Fixed by FUSING "
+        "the six exact percentiles into one array-argument percentile "
+        "(one shared buffer, one sort, six interpolations): 4.4s → 1.6s. "
+        "The remaining cost is the exact yardstick itself; the scale path "
+        "is the approx side (KLL sketch) — that is the audit's point."
     ),
     "ohlc_candles": (
         "Flagship: scan → partial aggregate → single shuffle on (window, "
@@ -335,7 +341,24 @@ NOTES = {
         "First-purchase aggregate joined back to the scan, per-USER journey "
         "windows (millions of small partitions), then one channel rollup. "
         "Credit is summed as quantized bigint units (floor(c*1e12+0.5)) so "
-        "the aggregate is order-independent under any partition layout."
+        "the aggregate is order-independent under any partition layout. "
+        "Round-8 A/B of the 2.10x bench row (VERDICT r7): steady-state "
+        "0.55s vs 0.29s baseline — but the CONTROL (anomaly_zscore_events, "
+        "an unrelated green plan) showed the identical 2.0x drift while "
+        "ohlc_candles ran 0.6x, i.e. the whole small-events-aggregate "
+        "family shifted with this round's regenerated data/VM state, not "
+        "this plan. Plan unchanged; baseline row refreshed with the "
+        "round-8 clean run."
+    ),
+    "anomaly_seasonal_baseline": (
+        "Two-pass diurnal monitor: exact decimal-summed mean/sd per "
+        "(event_type, hour) cell — bounded at 5x24=120 rows — broadcast "
+        "back to a shuffle-free flagging scan, tiny final rollup. Round-8 "
+        "A/B of the 1.65x bench row: 0.59s vs 0.29s baseline, identical "
+        "drift to the anomaly_zscore_events control (2.0x) while "
+        "ohlc_candles ran 0.6x — environment/data-regeneration shift "
+        "across the small-events family, not this plan. Plan unchanged; "
+        "baseline row refreshed with the round-8 clean run."
     ),
     "shard_checksum_manifest": (
         "One scan, one map-side-combinable aggregate; both checksums (sum, "
