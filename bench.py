@@ -161,6 +161,10 @@ HEADLINE = [
     "equidepth_bin_apply",
     "winsorize_clip",
     "group_split_users",
+    # round 8: transformWithStateInPandas twins (typed-state successor)
+    "streaming_error_counts_tws",
+    "streaming_interarrival_stats_tws",
+    "streaming_transition_counts_tws",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -85,3 +85,33 @@ def ensure_protobuf() -> bool:
         if _have_protobuf():
             return True
     return False
+
+
+def ensure_protobuf_for_session(spark) -> bool:
+    """Make ``google.protobuf`` importable in the Python WORKERS of an
+    already-running session.
+
+    :func:`ensure_protobuf` only extends ``$PYTHONPATH`` in the driver
+    process, which worker daemons inherit ONLY when the session starts
+    afterwards (build_session's ordering). A driver-owned plain session
+    (the correctness driver's) starts before any of our code runs, so the
+    shim is shipped through ``sc.environment`` instead: PySpark captures
+    that dict into each Python function's ``envVars`` at UDF-creation time
+    (core/rdd.py::_prepare_for_python_RDD), and the JVM's
+    PythonWorkerFactory forks a fresh daemon per distinct envVars
+    signature with ``PYTHONPATH`` merged in — so UDFs created after this
+    call get workers that can import the shim. Inert when a real protobuf
+    distribution is installed (workers inherit it the normal way).
+    """
+    if not ensure_protobuf():
+        return False
+    if _shim_dir is not None:
+        env = spark.sparkContext.environment
+        pp = env.get("PYTHONPATH", "")
+        parts = pp.split(os.pathsep) if pp else []
+        if _shim_dir not in parts:
+            env["PYTHONPATH"] = os.pathsep.join([*parts, _shim_dir])
+        env.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+    return True

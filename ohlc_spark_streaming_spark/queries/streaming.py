@@ -894,3 +894,131 @@ def q_streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return log.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# --- transformWithStateInPandas twins -----------------------------------------
+#
+# Spark 4's typed-state successor to applyInPandasWithState. The legacy
+# entries above stay as parity twins (VERDICT r7 item 4); these share the
+# SAME pandas kernels (streaming/stateful.py::_gaps_emit/_transitions_emit)
+# and the same batch oracles. TWS needs two runtime provisions the legacy
+# API doesn't: the RocksDB state-store provider (its column families back
+# the typed-state API — and it is the 100 TB provider anyway, SURVEY §4.2)
+# and google.protobuf importable in the Python WORKERS (the state-server
+# protocol), which _compat provisions even on the correctness driver's
+# plain session via sc.environment (see ensure_protobuf_for_session).
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _run_tws(spark, build_emissions, name: str, output_mode: str) -> DataFrame:
+    """Run a transformWithStateInPandas emission stream to completion:
+    provision the protobuf worker shim BEFORE the UDF is created (envVars
+    are captured at creation), set the RocksDB provider for the query's
+    lifetime (captured at stream start), restore the session conf after."""
+    from ..session import default_parallelism
+    from .._compat import ensure_protobuf_for_session
+
+    if not ensure_protobuf_for_session(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf in the Python "
+            "workers and no runtime was found (_compat.ensure_protobuf)"
+        )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    try:
+        return run_to_memory(
+            build_emissions(), name, output_mode=output_mode,
+            partitions=max(8, default_parallelism() // 2),
+        )
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+@register(
+    "streaming_error_counts_tws",
+    """
+SELECT user_id, count(*) AS n_errors
+FROM events
+WHERE event_type = 'error'
+GROUP BY user_id
+""",
+)
+def q_streaming_error_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_stateful_error_counts on transformWithStateInPandas
+    (typed ValueState instead of one opaque tuple). Monotonic emissions →
+    max-over-emissions equals the batch aggregate; oracle shared verbatim
+    with the legacy twin."""
+    from ..streaming.stateful import final_counts, tws_event_counts
+
+    log = _run_tws(
+        spark,
+        lambda: tws_event_counts(events_stream(spark, sf_dir)),
+        f"stream_tws_counts_{next(_counter)}",
+        "update",
+    )
+    return final_counts(log)
+
+
+@register("streaming_interarrival_stats_tws", _INTERARRIVAL_ORACLE)
+def q_streaming_interarrival_stats_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """streaming_interarrival_stats on transformWithStateInPandas: the
+    typed-state processor shares the exact gap kernel with the legacy
+    operator (streaming/stateful.py::_gaps_emit), so each event's gap is
+    emitted exactly once and the batch percentile oracle applies
+    verbatim."""
+    from ..streaming.stateful import tws_interarrival_gaps
+
+    log = _run_tws(
+        spark,
+        lambda: tws_interarrival_gaps(events_stream(spark, sf_dir)),
+        f"stream_tws_gaps_{next(_counter)}",
+        "append",
+    )
+    return interarrival_rollup(log)
+
+
+@register(
+    "streaming_transition_counts_tws",
+    """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+)
+def q_streaming_transition_counts_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """streaming_transition_counts on transformWithStateInPandas: shares
+    the transition kernel (streaming/stateful.py::_transitions_emit), so
+    every transition is emitted exactly once and the batch lead() oracle
+    applies verbatim."""
+    from ..streaming.stateful import tws_transitions
+
+    log = _run_tws(
+        spark,
+        lambda: tws_transitions(events_stream(spark, sf_dir)),
+        f"stream_tws_transitions_{next(_counter)}",
+        "append",
+    )
+    return log.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

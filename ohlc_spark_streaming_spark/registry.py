@@ -198,9 +198,11 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "streaming_ohlc_candles",
     "ohlc_candles_faithful",
     "trade_pipeline",
-    "derive_base",
-    "q1_pricing_summary",
-    "similarity_topk",
+    # --- Round-8 additions (first-time slots, taken from the re-check
+    # --- tail as they landed): transformWithStateInPandas twins
+    "streaming_error_counts_tws",
+    "streaming_interarrival_stats_tws",
+    "streaming_transition_counts_tws",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

@@ -81,11 +81,13 @@ def tws_event_counts(
     ``google.protobuf``; containers without a protobuf wheel get it from
     ``_compat.ensure_protobuf`` (pure-python runtime discovered on the
     machine, PYTHONPATH extended before session start — build_session does
-    this). The parity test
+    this). On a session that started BEFORE our code ran (the correctness
+    driver's plain session), ``_compat.ensure_protobuf_for_session`` ships
+    the shim to workers through ``sc.environment`` instead — the registry
+    entries (queries/streaming.py::_run_tws) go through it, which is what
+    makes the ``*_tws`` names driver-checkable. The parity test
     (tests/test_streaming.py::test_tws_event_counts_parity) runs wherever
-    a runtime is found and only skips when none exists. NOT a registry
-    entry: the driver owns its own (plain) session, whose workers may
-    predate the shimmed PYTHONPATH.
+    a runtime is found and only skips when none exists.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -133,6 +135,40 @@ def _check_ordered_arrival(saved: tuple, first: tuple, key) -> None:
         )
 
 
+def _ordered_concat(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    """Concatenate a key group's Arrow batches and sort by (ts, event_id)
+    — the batch oracle's window order — with the timestamp normalized to
+    int64 microseconds (UTC session: drop tz, keep the instant)."""
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    ts = pdf["ts"]
+    if getattr(ts.dtype, "tz", None) is not None:
+        ts = ts.dt.tz_localize(None)
+    return pdf.assign(
+        _ts_us=ts.astype("datetime64[us]").astype("int64")
+    ).sort_values(["_ts_us", "event_id"], ignore_index=True)
+
+
+def _gaps_emit(pdf: pd.DataFrame, prev: tuple | None, key):
+    """Shared gap kernel for both stateful APIs: the (sorted) batch's
+    inter-arrival gaps, with the first gap formed against the carried
+    ``prev = (ts_us, event_id)`` sighting. Returns (emission frame,
+    new state tuple or None when the batch was empty)."""
+    us = pdf["_ts_us"].to_numpy()
+    gaps = pd.Series(us).diff()
+    if prev is not None and len(us):
+        _check_ordered_arrival(
+            prev, (int(us[0]), int(pdf["event_id"].iloc[0])), key
+        )
+        gaps.iloc[0] = us[0] - prev[0]
+    new_state = (
+        (int(us[-1]), int(pdf["event_id"].iloc[-1])) if len(us) else None
+    )
+    out = pd.DataFrame(
+        {"event_type": key[1], "gap_us": gaps.dropna().astype("int64")}
+    )
+    return out, new_state
+
+
 def _gaps_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     """Per-(user, type) inter-arrival gaps with the previous sighting
     carried across micro-batches.
@@ -145,29 +181,11 @@ def _gaps_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     per-key arrival is event-time-ordered across batches (true for a
     time-ordered replay/log; out-of-order arrival needs the batch twin).
     """
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    ts = pdf["ts"]
-    if getattr(ts.dtype, "tz", None) is not None:
-        ts = ts.dt.tz_localize(None)  # UTC session: drop tz, keep instant
-    pdf = pdf.assign(
-        _ts_us=ts.astype("datetime64[us]").astype("int64")
-    ).sort_values(["_ts_us", "event_id"], ignore_index=True)
-
-    prev_us = state.get[0] if state.exists else None
-    us = pdf["_ts_us"].to_numpy()
-    gaps = pd.Series(us).diff()
-    if prev_us is not None and len(us):
-        _check_ordered_arrival(
-            (prev_us, state.get[1]),
-            (int(us[0]), int(pdf["event_id"].iloc[0])),
-            key,
-        )
-        gaps.iloc[0] = us[0] - prev_us
-    if len(us):
-        state.update((int(us[-1]), int(pdf["event_id"].iloc[-1])))
-    out = pd.DataFrame(
-        {"event_type": key[1], "gap_us": gaps.dropna().astype("int64")}
-    )
+    pdf = _ordered_concat(pdfs)
+    prev = (state.get[0], state.get[1]) if state.exists else None
+    out, new_state = _gaps_emit(pdf, prev, key)
+    if new_state is not None:
+        state.update(new_state)
     yield out
 
 
@@ -188,6 +206,34 @@ def stateful_interarrival_gaps(stream) -> DataFrame:
     )
 
 
+def _transitions_emit(pdf: pd.DataFrame, prev: tuple | None, key):
+    """Shared transition kernel for both stateful APIs: the (sorted)
+    batch's consecutive event-type pairs, with the first pair formed
+    against the carried ``prev = (ts_us, event_id, last_type)`` sighting.
+    Returns (emission frame, new state tuple or None)."""
+    types = pdf["event_type"].tolist()
+    froms = types[:-1]
+    tos = types[1:]
+    if prev is not None and types:
+        _check_ordered_arrival(
+            (prev[0], prev[1]),
+            (int(pdf["_ts_us"].iloc[0]), int(pdf["event_id"].iloc[0])),
+            key,
+        )
+        froms = [prev[2]] + types[:-1]
+        tos = types
+    new_state = (
+        (
+            int(pdf["_ts_us"].iloc[-1]),
+            int(pdf["event_id"].iloc[-1]),
+            str(types[-1]),
+        )
+        if types
+        else None
+    )
+    return pd.DataFrame({"from_type": froms, "to_type": tos}), new_state
+
+
 def _transitions_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     """Per-user event-type transitions with the previous sighting carried
     across micro-batches.
@@ -199,34 +245,12 @@ def _transitions_per_key(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     once, so the emission log is append-safe under any batching, PROVIDED
     per-key arrival is event-time-ordered across batches (time-ordered
     replay/log; out-of-order arrival needs the batch twin)."""
-    pdf = pd.concat(list(pdfs), ignore_index=True)
-    ts = pdf["ts"]
-    if getattr(ts.dtype, "tz", None) is not None:
-        ts = ts.dt.tz_localize(None)
-    pdf = pdf.assign(
-        _ts_us=ts.astype("datetime64[us]").astype("int64")
-    ).sort_values(["_ts_us", "event_id"], ignore_index=True)
-
-    types = pdf["event_type"].tolist()
-    froms = types[:-1]
-    tos = types[1:]
-    if state.exists and types:
-        _check_ordered_arrival(
-            (state.get[0], state.get[1]),
-            (int(pdf["_ts_us"].iloc[0]), int(pdf["event_id"].iloc[0])),
-            key,
-        )
-        froms = [state.get[2]] + types[:-1]
-        tos = types
-    if types:
-        state.update(
-            (
-                int(pdf["_ts_us"].iloc[-1]),
-                int(pdf["event_id"].iloc[-1]),
-                str(types[-1]),
-            )
-        )
-    yield pd.DataFrame({"from_type": froms, "to_type": tos})
+    pdf = _ordered_concat(pdfs)
+    prev = (state.get[0], state.get[1], state.get[2]) if state.exists else None
+    out, new_state = _transitions_emit(pdf, prev, key)
+    if new_state is not None:
+        state.update(new_state)
+    yield out
 
 
 def stateful_transitions(stream) -> DataFrame:
@@ -242,4 +266,90 @@ def stateful_transitions(stream) -> DataFrame:
         stateStructType="ts_us long, event_id long, last_type string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_interarrival_gaps(stream) -> DataFrame:
+    """:func:`stateful_interarrival_gaps` on the
+    ``transformWithStateInPandas`` API (Spark 4's typed-state successor —
+    ValueState instead of one opaque tuple; same RocksDB column-family
+    store the 100 TB config runs anyway). Shares the exact pandas kernel
+    (:func:`_gaps_emit`), so the append-mode emission log and therefore
+    the batch oracle are identical to the legacy twin's.
+
+    Requires the RocksDB state-store provider and an importable
+    ``google.protobuf`` in the WORKERS — callers go through
+    ``queries/streaming.py::_run_tws``, which provisions both on any
+    session (including the correctness driver's plain one) via
+    ``_compat.ensure_protobuf_for_session``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Gaps(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState(
+                "last", "ts_us long, event_id long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = _ordered_concat(rows)
+            prev = tuple(self._last.get()) if self._last.exists() else None
+            out, new_state = _gaps_emit(pdf, prev, key)
+            if new_state is not None:
+                self._last.update(new_state)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id", "event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=_Gaps(),
+            outputStructType="event_type string, gap_us long",
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
+def tws_transitions(stream) -> DataFrame:
+    """:func:`stateful_transitions` on the ``transformWithStateInPandas``
+    API; shares :func:`_transitions_emit`, so emissions (and the batch
+    oracle) are identical to the legacy twin's. Runtime requirements as
+    :func:`tws_interarrival_gaps`."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Transitions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState(
+                "last", "ts_us long, event_id long, last_type string"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = _ordered_concat(rows)
+            prev = tuple(self._last.get()) if self._last.exists() else None
+            out, new_state = _transitions_emit(pdf, prev, key)
+            if new_state is not None:
+                self._last.update(new_state)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Transitions(),
+            outputStructType="from_type string, to_type string",
+            outputMode="Append",
+            timeMode="None",
+        )
     )
