@@ -162,9 +162,11 @@ HEADLINE = [
     "winsorize_clip",
     "group_split_users",
     # round 8: transformWithStateInPandas twins (typed-state successor)
+    # + the incremental rolling-DAU view
     "streaming_error_counts_tws",
     "streaming_interarrival_stats_tws",
     "streaming_transition_counts_tws",
+    "streaming_rolling_active",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1022,3 +1022,90 @@ def q_streaming_transition_counts_tws(
     return log.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@register(
+    "streaming_rolling_active",
+    """
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM events
+), cal AS (
+  SELECT unnest(generate_series((SELECT min(ad) FROM acts),
+                                (SELECT max(ad) FROM acts),
+                                INTERVAL 1 DAY))::DATE AS day
+)
+SELECT c.day AS day, count(DISTINCT a.user_id) AS n_active
+FROM cal c LEFT JOIN acts a ON a.ad BETWEEN c.day - 6 AND c.day
+GROUP BY 1
+""",
+)
+def q_streaming_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained rolling 7-day DAU view — the foreachBatch
+    incremental twin of rolling_active_7d (the streaming_incremental_candles
+    pattern): every micro-batch folds its distinct (user, day) coverage
+    intervals [d, d+6] into a running per-user ISLAND state via
+    interval_union — island merging is associative and commutative over
+    interval sets, so fold order is irrelevant and the folded state equals
+    the batch islands exactly. State is one row per (user, maximal island):
+    bounded by distinct user-days, smaller after every merge of contiguous
+    activity — never the raw stream. Finalizes with the shared sweep-line
+    tail (analytics.rolling_active_finalize), so the batch oracle applies
+    verbatim. Cross-batch folding exercised on a 4-file time-split tape in
+    tests/test_streaming_round8.py."""
+    return fold_rolling_active(events_stream(spark, sf_dir))
+
+
+def fold_rolling_active(stream: DataFrame) -> DataFrame:
+    """Fold a bounded events stream into the rolling 7-day distinct-active
+    view (see q_streaming_rolling_active). Factored out so the multi-batch
+    test drives the exact production fold over a time-split tape."""
+    from ..operators.sessions import interval_union
+    from .analytics import rolling_active_finalize
+
+    holder: dict[str, DataFrame | None] = {"state": None}
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        iv = (
+            batch_df.select(
+                "user_id",
+                F.datediff(F.col("ts").cast("date"), epoch).alias("st"),
+            )
+            .distinct()
+            .select("user_id", "st", (F.col("st") + 6).alias("en"))
+        )
+        cur = holder["state"]
+        un = iv if cur is None else cur.unionByName(iv)
+        merged = interval_union(
+            un, key_col="user_id", start_col="st", end_col="en"
+        ).select(
+            "user_id",
+            F.col("island_start").alias("st"),
+            F.col("island_end").alias("en"),
+        )
+        # Eager localCheckpoint: consumed micro-batch inputs must not be
+        # re-read at finalize, and the plan must not grow with batch count.
+        holder["state"] = merged.localCheckpoint(eager=True)
+
+    import tempfile
+
+    name = f"stream_rolling_{next(_counter)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = (
+        stream.writeStream.foreachBatch(fold)
+        .queryName(name)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    query.awaitTermination()
+    state = holder["state"]
+    if state is None:
+        raise RuntimeError("stream produced no micro-batches")
+    return rolling_active_finalize(
+        state.select(
+            "user_id",
+            F.col("st").alias("island_start"),
+            F.col("en").alias("island_end"),
+        )
+    )

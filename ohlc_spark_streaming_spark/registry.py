@@ -197,12 +197,13 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "join_semi_anti",
     "streaming_ohlc_candles",
     "ohlc_candles_faithful",
-    "trade_pipeline",
     # --- Round-8 additions (first-time slots, taken from the re-check
-    # --- tail as they landed): transformWithStateInPandas twins
+    # --- tail as they landed): transformWithStateInPandas twins + the
+    # --- incremental rolling-DAU view
     "streaming_error_counts_tws",
     "streaming_interarrival_stats_tws",
     "streaming_transition_counts_tws",
+    "streaming_rolling_active",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)
