@@ -3908,8 +3908,8 @@ def q_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH assigned AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN (user_id * 2654435761) % 100 < 80 THEN 'train'
-              WHEN (user_id * 2654435761) % 100 < 90 THEN 'valid'
+         CASE WHEN ((user_id % 100) * 2654435761) % 100 < 80 THEN 'train'
+              WHEN ((user_id % 100) * 2654435761) % 100 < 90 THEN 'valid'
               ELSE 'test' END AS split
   FROM events
 )
@@ -3927,8 +3927,13 @@ def q_group_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     split — the assignment that prevents user-level leakage (a row-hash
     split like dataset_split puts half a user's history in train and the
     other half in test, and any model with user-level memory cheats).
-    Knuth-multiplicative hash on the integer key — exact 64-bit integer
-    arithmetic both engines share (user_id·2654435761 < 2^47 ≪ 2^63).
+    Knuth-multiplicative hash on the integer key, mod-reduced BEFORE the
+    multiply: (u·K) mod 100 depends only on u mod 100, so
+    ((u % 100)·K) % 100 is the identical assignment for every bigint id
+    while the product stays < 100·K < 2^38 — structurally overflow-free
+    in both engines (ADVICE r7: the unreduced form silently wraps in
+    Spark past 2^63 where DuckDB raises, so the engines would diverge
+    rather than both failing).
 
     Scale: assignment is a scan-local expression (no shuffle to decide
     membership — contrast with a join against a precomputed assignment
@@ -3937,7 +3942,7 @@ def q_group_split_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural (one hash, one user, one split) and pinned in
     tests/test_round7b_ops.py."""
     e = load_table(spark, sf_dir, "events")
-    h = (F.col("user_id") * F.lit(2654435761)) % 100
+    h = ((F.col("user_id") % 100) * F.lit(2654435761)) % 100
     split = (
         F.when(h < 80, F.lit("train"))
         .when(h < 90, F.lit("valid"))
