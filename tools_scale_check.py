@@ -32,7 +32,7 @@ from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
-COPIES = 10
+COPIES = 10  # override per-run with --copies (second-decade spot checks)
 
 #: id column to offset per table (None: copy rows verbatim).
 TABLES = {
@@ -80,13 +80,15 @@ DEFAULT_QUERIES = [
 ]
 
 
-def synthesize(spark) -> None:
+def synthesize(spark, dst: str = None, copies: int = None) -> None:
     import duckdb
 
-    os.makedirs(DST, exist_ok=True)
+    dst = dst or DST
+    copies = copies or COPIES
+    os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for table, id_col in TABLES.items():
-        out = os.path.join(DST, f"{table}.parquet")
+        out = os.path.join(dst, f"{table}.parquet")
         if os.path.exists(out):
             continue
         src = os.path.join(SRC, f"{table}.parquet")
@@ -96,16 +98,34 @@ def synthesize(spark) -> None:
             )
             continue
         base = con.execute(f"SELECT max({id_col}) + 1 FROM '{src}'").fetchone()[0]
-        # Ten id-offset copies; duplicate text/vector content is the POINT
+        # N id-offset copies; duplicate text/vector content is the POINT
         # (near-dup worst case). ROW_GROUP_SIZE keeps scans splittable.
+        # Past ~16 copies the UNION ALL goes through a staged doubling so
+        # DuckDB never parses a 100-branch union.
+        stage = os.path.join(dst, f"_stage_{table}.parquet")
         union = " UNION ALL ".join(
             f"SELECT * REPLACE ({id_col} + {k * base} AS {id_col}) FROM '{src}'"
-            for k in range(COPIES)
+            for k in range(min(copies, 10))
         )
         con.execute(
-            f"COPY ({union}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)"
+            f"COPY ({union}) TO '{stage}' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)"
         )
-        print(f"[scale] built {table} x{COPIES}", file=sys.stderr)
+        done = min(copies, 10)
+        while done < copies:
+            step = min(done, copies - done)
+            grow = (
+                f"SELECT * FROM '{stage}' UNION ALL "
+                f"SELECT * REPLACE ({id_col} + {done * base} AS {id_col}) "
+                f"FROM '{stage}' WHERE {id_col} < {step * base}"
+            )
+            tmp = stage + ".next"
+            con.execute(
+                f"COPY ({grow}) TO '{tmp}' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)"
+            )
+            os.replace(tmp, stage)
+            done += step
+        os.replace(stage, out)
+        print(f"[scale] built {table} x{copies}", file=sys.stderr)
 
 
 def best_of(spark, fn, n: int = 3) -> float:
@@ -150,6 +170,22 @@ def main() -> None:
             sys.exit("--ledger requires a path")
         ledger = argv[i + 1]
         del argv[i : i + 2]
+    copies, dst = COPIES, DST
+    if "--copies" in argv:
+        i = argv.index("--copies")
+        copies = int(argv[i + 1])
+        del argv[i : i + 2]
+        if dst == DST:
+            dst = f"/tmp/sf_x{copies}"
+    if "--dst" in argv:
+        i = argv.index("--dst")
+        dst = argv[i + 1]
+        del argv[i : i + 2]
+    append_md = None
+    if "--append-md" in argv:
+        i = argv.index("--append-md")
+        append_md = argv[i + 1]
+        del argv[i : i + 2]
     if "--all" in argv:
         argv.remove("--all")
         names = list(QUERIES)
@@ -174,8 +210,8 @@ def main() -> None:
                 done[r["name"]] = (r["small"], r["big"], r["ratio"])
     spark = build_session(app_name="scale-check")
     spark.sparkContext.setLogLevel("ERROR")
-    synthesize(spark)
-    print(f"{'query':35s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>6s}")
+    synthesize(spark, dst=dst, copies=copies)
+    print(f"{'query':35s} {'sf0.1':>8s} {'big':>8s} {'ratio':>6s}")
     results = [(n, *v) for n, v in done.items() if n in names]
     for name in names:
         if name in done:
@@ -186,7 +222,7 @@ def main() -> None:
             continue
         small = best_of(spark, lambda: fn(spark, SRC).count())
         spark.catalog.clearCache()
-        big = best_of(spark, lambda: fn(spark, DST).count())
+        big = best_of(spark, lambda: fn(spark, dst).count())
         spark.catalog.clearCache()
         ratio = big / small
         results.append((name, small, big, ratio))
@@ -202,6 +238,42 @@ def main() -> None:
     spark.stop()
     if md_out:
         write_md(md_out, results)
+    if append_md:
+        append_spot_sweep(append_md, results, copies)
+
+
+def append_spot_sweep(path: str, results, copies: int) -> None:
+    """Append a second-decade spot-sweep section (e.g. 100x) to an
+    existing SCALE.md without disturbing the full 10x ledger above it.
+    The super-linear threshold scales with the multiplier: at Nx data,
+    ~Nx time is linear; > 1.3*Nx flags super-linear (same 13/10 margin
+    as the 10x verdict)."""
+    limit = 1.3 * copies
+    n_super = sum(1 for _, _, _, r in results if r > limit)
+    lines = [
+        "",
+        f"## {copies}x spot-sweep (second decade)",
+        "",
+        f"Generated by `python tools_scale_check.py --copies {copies}"
+        " --append-md SCALE.md <queries>` — the hottest dedup/graph",
+        "queries re-checked one decade further to confirm the",
+        "banding/collapse math holds beyond the 10x point. Verdict",
+        f"margin scales with the multiplier: super-linear > {limit:.0f}x.",
+        "",
+        f"| query | sf0.1 | {copies}x | ratio | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    for name, small, big, ratio in sorted(results, key=lambda t: -t[3]):
+        v = "SUPER-LINEAR" if ratio > limit else (
+            "sub-linear" if ratio < copies / 2 else "linear"
+        )
+        lines.append(
+            f"| {name} | {small:.2f}s | {big:.2f}s | {ratio:.1f}x | {v} |"
+        )
+    lines.append("")
+    with open(path, "a") as f:
+        f.write("\n".join(lines))
+    print(f"appended {copies}x spot-sweep to {path} ({len(results)} queries)")
 
 
 def write_md(path: str, results) -> None:
