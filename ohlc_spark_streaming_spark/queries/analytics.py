@@ -4132,19 +4132,25 @@ def q_rolling_active_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     iv = days.select("user_id", F.col("d").alias("st"), (F.col("d") + 6).alias("en"))
     islands = interval_union(iv, key_col="user_id", start_col="st", end_col="en")
-    return rolling_active_finalize(islands)
+    # Span from the CHEAP days subtree, not the islands: the calendar agg
+    # is the plan's second consumer, and re-deriving it from islands would
+    # duplicate the windowed interval merge (plan-shape test pins this).
+    span = days.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    return rolling_active_finalize(islands, span)
 
 
-def rolling_active_finalize(islands: DataFrame) -> DataFrame:
+def rolling_active_finalize(islands: DataFrame, span: DataFrame) -> DataFrame:
     """Shared tail of rolling_active_7d and its streaming twin: collapse
     per-user coverage islands (closed epoch-day intervals
     [island_start, island_end]) into the per-day rolling distinct-active
     counts. Each island becomes two delta rows (+1 at start, −1 past
-    end); the calendar span is recovered exactly from the islands —
-    d_lo = min(island_start), d_hi = max(island_end) − 6, because every
-    island ends 6 days after its key's last activity day. The only
-    ordered structure is the cumulative window over the per-DAY delta
-    table — bounded by the calendar, not data volume."""
+    end); ``span`` is a 1-row (d_lo, d_hi) frame giving the activity-day
+    calendar — passed in (rather than derived from the islands) so each
+    caller can source it from its CHEAPEST subtree: the batch query from
+    the pre-merge distinct days, the streaming twin from its checkpointed
+    island state (where re-reading is free). The only ordered structure
+    is the cumulative window over the per-DAY delta table — bounded by
+    the calendar, not data volume."""
     epoch = F.lit("1970-01-01").cast("date")
     # Both delta rows come out of ONE pass over the islands (explode of a
     # 2-struct array) — a unionAll of two selects would duplicate the
@@ -4166,10 +4172,6 @@ def rolling_active_finalize(islands: DataFrame) -> DataFrame:
         .select("x.d", "x.delta")
         .groupBy("d")
         .agg(F.sum("delta").alias("delta"))
-    )
-    span = islands.agg(
-        F.min("island_start").alias("d_lo"),
-        (F.max("island_end") - 6).alias("d_hi"),
     )
     cal = span.select(
         F.explode(F.sequence(F.col("d_lo"), F.col("d_hi"))).alias("d")

@@ -1102,10 +1102,17 @@ def fold_rolling_active(stream: DataFrame) -> DataFrame:
     state = holder["state"]
     if state is None:
         raise RuntimeError("stream produced no micro-batches")
+    # Span from the checkpointed state (re-reading it is free): every
+    # island ends 6 days after its key's last activity day, so
+    # d_hi = max(en) - 6 recovers the activity-day calendar exactly.
+    span = state.agg(
+        F.min("st").alias("d_lo"), (F.max("en") - 6).alias("d_hi")
+    )
     return rolling_active_finalize(
         state.select(
             "user_id",
             F.col("st").alias("island_start"),
             F.col("en").alias("island_end"),
-        )
+        ),
+        span,
     )
