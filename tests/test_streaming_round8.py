@@ -92,6 +92,95 @@ def test_rolling_active_fold_across_batches(tmp_path, spark):
     assert _rows(got) == _rows(want)
 
 
+@needs_protobuf
+def test_tws_state_survives_checkpoint_restart(tmp_path, spark):
+    """ST8 for the typed-state API: transformWithStateInPandas state must
+    persist in the checkpoint across query restarts. Run the running-count
+    processor over one file, land a second file, restart from the SAME
+    checkpoint — the restarted query processes ONLY the new file, and its
+    emissions continue from the first run's counts (RocksDB state restored,
+    no reprocessing)."""
+    from pyspark.sql import functions as F
+    from ohlc_spark_streaming_spark.streaming.stateful import tws_event_counts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF_SMOKE, "events").where("event_type = 'error'")
+    n_total = events.count()
+    first = events.limit(n_total // 2)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def run_once(tag):
+        # foreachBatch parquet log: the memory sink can't recover from a
+        # checkpoint; a foreachBatch sink can (offsets journaled, state
+        # restored), which is the production shape anyway.
+        out = str(tmp_path / f"log_{tag}")
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            tws_event_counts(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    try:
+        log1 = run_once("tws_ckpt_run1")
+        counts1 = {
+            r.user_id: r.n_errors
+            for r in log1.groupBy("user_id")
+            .agg(F.max("n_errors").alias("n_errors"))
+            .collect()
+        }
+        # Second file lands; restart from the same checkpoint.
+        events.exceptAll(first).coalesce(1).write.mode("append").parquet(src)
+        log2 = run_once("tws_ckpt_run2")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # Run 2 saw only the delta: its emission log covers just the keys in
+    # the new file (strictly fewer emissions than a full reprocess).
+    keys2 = {r.user_id for r in log2.select("user_id").distinct().collect()}
+    delta_keys = {
+        r.user_id
+        for r in events.exceptAll(first).select("user_id").distinct().collect()
+    }
+    assert keys2 == delta_keys
+    # ...and its counts CONTINUE from run 1's state: final = batch truth.
+    finals = dict(counts1)
+    for r in (
+        log2.groupBy("user_id").agg(F.max("n_errors").alias("n_errors")).collect()
+    ):
+        finals[r.user_id] = r.n_errors
+    want = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert finals == want
+
+
 def test_rolling_active_state_is_islands_not_raw_days(spark):
     """The fold's state stays bounded by MERGED islands: contiguous
     activity collapses, so state rows <= distinct (user, day) pairs, with
