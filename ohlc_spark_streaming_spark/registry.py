@@ -138,6 +138,16 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 #: round-7 addition) + 26 oldest re-checks. Round-8 additions (the
 #: transformWithStateInPandas twins, streaming_rolling_active) take
 #: slots from the re-check tail as they land.
+#:
+#: ROUND-9 PREP (apply at the START of round 9, never mid-round): after
+#: this round EVERY registered query has a driver row — zero backlog.
+#: All 49 rotation slots are free: spend them on the oldest remaining
+#: re-checks (the r4-era names not re-covered this round —
+#: `derive_base`, `q1_pricing_summary`, `similarity_topk`,
+#: `ohlc_sliding_candles`, `candle_serialize`, the TPC-H q4-q22 tail,
+#: sampling trio, text battery — then r5-era), and swap round-9
+#: additions into the tail as they land (capacity ≈ all 49 if needed;
+#: keep additions ≤ the tail so the backlog stays zero).
 DRIVER_ROTATION: tuple[str, ...] = (
     # --- First-time names (23): the complete round-7 tranche ---
     # Feature-engineering / training prep
