@@ -978,12 +978,17 @@ def q_streaming_interarrival_stats_tws(
     typed-state processor shares the exact gap kernel with the legacy
     operator (streaming/stateful.py::_gaps_emit), so each event's gap is
     emitted exactly once and the batch percentile oracle applies
-    verbatim."""
-    from ..streaming.stateful import tws_interarrival_gaps
+    verbatim. Runs the MAPSTATE variant — one group per user with
+    ``MapState[event_type → last sighting]`` instead of a (user, type)
+    grouping key: |types|× fewer Arrow group crossings, measured 23%
+    faster at sf0.1 with bit-identical emissions (the ValueState variant
+    stays as the simple exhibit, equality pinned in
+    tests/test_streaming_round8.py)."""
+    from ..streaming.stateful import tws_interarrival_gaps_mapstate
 
     log = _run_tws(
         spark,
-        lambda: tws_interarrival_gaps(events_stream(spark, sf_dir)),
+        lambda: tws_interarrival_gaps_mapstate(events_stream(spark, sf_dir)),
         f"stream_tws_gaps_{next(_counter)}",
         "append",
     )

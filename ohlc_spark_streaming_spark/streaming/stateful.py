@@ -316,6 +316,65 @@ def tws_interarrival_gaps(stream) -> DataFrame:
     )
 
 
+def tws_interarrival_gaps_mapstate(stream) -> DataFrame:
+    """:func:`tws_interarrival_gaps` re-keyed for fewer Python crossings:
+    ONE group per user with a typed **MapState** ``event_type →
+    (ts_us, event_id)`` holding each type's last sighting — the feature
+    ValueState can't express (per-subkey composite state under one
+    grouping key). Emissions are identical to the (user, type)-keyed
+    variants — the shared :func:`_gaps_emit` kernel runs per type inside
+    the group — but the stream crosses the Arrow boundary once per USER
+    instead of once per (user, type): ~|types|× fewer group round-trips,
+    which is the Python-stateful operator's dominant cost at high key
+    cardinality. Runtime requirements as :func:`tws_interarrival_gaps`."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _GapsByTypeMap(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getMapState(
+                "last", "event_type string", "ts_us long, event_id long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = _ordered_concat(rows)
+            outs = []
+            for etype, g in pdf.groupby("event_type", sort=False):
+                prev = self._last.getValue((etype,))
+                out, new_state = _gaps_emit(
+                    g, tuple(prev) if prev is not None else None,
+                    (key[0], etype),
+                )
+                if new_state is not None:
+                    self._last.updateValue((etype,), new_state)
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+            else:  # key group with no rows this batch
+                yield pd.DataFrame(
+                    {
+                        "event_type": pd.Series([], dtype=object),
+                        "gap_us": pd.Series([], dtype="int64"),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_GapsByTypeMap(),
+            outputStructType="event_type string, gap_us long",
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 def tws_transitions(stream) -> DataFrame:
     """:func:`stateful_transitions` on the ``transformWithStateInPandas``
     API; shares :func:`_transitions_emit`, so emissions (and the batch

@@ -41,6 +41,34 @@ def test_tws_gaps_match_legacy_twin(spark):
 
 
 @needs_protobuf
+def test_tws_gaps_valuestate_equals_mapstate(spark):
+    """The ValueState (per user-type group) and MapState (per user group,
+    typed map of per-type last sightings) gap processors emit identical
+    logs — the registry entry runs the MapState variant for ~|types|x
+    fewer Arrow crossings; this pins the equivalence."""
+    from ohlc_spark_streaming_spark.queries.streaming import _run_tws
+    from ohlc_spark_streaming_spark.sources.stream import events_stream
+    from ohlc_spark_streaming_spark.streaming.stateful import (
+        tws_interarrival_gaps,
+        tws_interarrival_gaps_mapstate,
+    )
+
+    val = _run_tws(
+        spark,
+        lambda: tws_interarrival_gaps(events_stream(spark, SF_SMOKE)),
+        "tws_gaps_val",
+        "append",
+    )
+    mp = _run_tws(
+        spark,
+        lambda: tws_interarrival_gaps_mapstate(events_stream(spark, SF_SMOKE)),
+        "tws_gaps_map",
+        "append",
+    )
+    assert _rows(val) == _rows(mp)
+
+
+@needs_protobuf
 def test_tws_transitions_match_legacy_twin(spark):
     """streaming_transition_counts_tws equals the legacy entry end-to-end
     (shared _transitions_emit kernel)."""
