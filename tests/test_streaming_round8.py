@@ -209,6 +209,70 @@ def test_tws_state_survives_checkpoint_restart(tmp_path, spark):
     assert finals == want
 
 
+@needs_protobuf
+def test_tws_ttl_requires_processing_time_mode(tmp_path, spark):
+    """Pin the typed-state TTL contract this sandbox can actually observe:
+    ttlDurationMs under timeMode=None is rejected by the state server
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL). A positive
+    expiry test is NOT runnable here — in ProcessingTime mode the TWS
+    operator keeps scheduling clock-advancing micro-batches, so neither
+    trigger(availableNow) nor processAllAvailable() ever drains a bounded
+    tape (verified empirically; the operator runs forever on empty
+    batches). TTL at scale is exercised by long-lived queries, which this
+    harness cannot host."""
+    import pandas as _pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _TtlCount(StatefulProcessor):
+        def init(self, handle):
+            self._cnt = handle.getValueState("cnt", "cnt long", ttlDurationMs=1)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt = self._cnt.get()[0] if self._cnt.exists() else 0
+            for pdf in rows:
+                cnt += len(pdf)
+            self._cnt.update((cnt,))
+            yield _pd.DataFrame({"user_id": [key[0]], "n_errors": [cnt]})
+
+        def close(self):
+            pass
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_SMOKE, "events").where("event_type = 'error'")
+    events.limit(50).coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream.groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=_TtlCount(),
+                outputStructType="user_id long, n_errors long",
+                outputMode="Update",
+                timeMode="None",  # <- TTL is illegal here
+            )
+            .writeStream.format("memory")
+            .queryName("tws_ttl_reject")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="TIME_MODE_TO_ASSIGN_TTL|TTL"):
+            q.awaitTermination()
+    finally:
+        for q in spark.streams.active:
+            q.stop()
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_rolling_active_state_is_islands_not_raw_days(spark):
     """The fold's state stays bounded by MERGED islands: contiguous
     activity collapses, so state rows <= distinct (user, day) pairs, with
