@@ -273,6 +273,47 @@ def test_tws_ttl_requires_processing_time_mode(tmp_path, spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@needs_protobuf
+def test_tws_driver_checkable_on_plain_session():
+    """THE driver-checkability claim for the *_tws registry entries: a
+    PLAIN SparkSession (no engine confs, no pre-set PYTHONPATH — exactly
+    the correctness driver's environment) must still run a TWS query and
+    match its DuckDB oracle, because ensure_protobuf_for_session ships
+    the worker shim through sc.environment at UDF-creation time. Run in a
+    clean subprocess so the parent pytest session's env can't leak in."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = """
+import sys
+sys.path.insert(0, %r); sys.path.insert(1, %r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+import __spark_entry__ as E
+import oracle_utils as OU
+qs, osql = E.queries(), E.oracle_sql()
+name = "streaming_error_counts_tws"
+OU.compare_query_to_oracle(spark, qs[name], osql[name], "/root/testdata/sf0.001")
+print("TWS_PLAIN_MATCH")
+""" % (repo, os.path.join(repo, "tests"))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert "TWS_PLAIN_MATCH" in out.stdout, out.stderr[-2000:]
+
+
 def test_rolling_active_state_is_islands_not_raw_days(spark):
     """The fold's state stays bounded by MERGED islands: contiguous
     activity collapses, so state rows <= distinct (user, day) pairs, with
