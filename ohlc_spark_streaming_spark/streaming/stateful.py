@@ -1,6 +1,10 @@
-"""Custom stateful streaming operators — ``applyInPandasWithState``
+"""Custom stateful streaming operators — ``applyInPandasWithState`` and
+its Spark 4 typed-state successor ``transformWithStateInPandas``
 (SURVEY §2.9: absent from the reference; this is the escape hatch for
-semantics Spark's built-in stateful operators can't express).
+semantics Spark's built-in stateful operators can't express). Each
+operator ships both API generations sharing ONE pandas kernel
+(:func:`_gaps_emit` / :func:`_transitions_emit`), so the legacy entry is
+a bit-exact parity witness for the TWS twin.
 
 Design rule for oracle-checkable custom state: emit MONOTONIC per-key
 values. Each micro-batch emits the key's running value; because the value
