@@ -162,11 +162,12 @@ HEADLINE = [
     "winsorize_clip",
     "group_split_users",
     # round 8: transformWithStateInPandas twins (typed-state successor)
-    # + the incremental rolling-DAU view
+    # + the incremental rolling-DAU view + the streaming vocab monitor
     "streaming_error_counts_tws",
     "streaming_interarrival_stats_tws",
     "streaming_transition_counts_tws",
     "streaming_rolling_active",
+    "streaming_vocab_topk",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1030,6 +1030,44 @@ def q_streaming_transition_counts_tws(
 
 
 @register(
+    "streaming_vocab_topk",
+    """
+SELECT token, cnt, rank FROM (
+  SELECT token, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+) WHERE rank <= 100
+""",
+)
+def q_streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building at INGEST — the streaming twin of
+    vocab_top_tokens: per-token running counts as a complete-mode
+    streaming aggregation (state is one count per DISTINCT token — the
+    vocabulary, never the corpus), then the batch twin's exact top-k
+    rollup over the final counts (TakeOrderedAndProject heaps; the rank
+    window runs over the 100 survivors only — O(k), not O(vocab)).
+    Bounded replay ⇒ counts equal the batch aggregate, so the batch
+    oracle applies verbatim. This is the deployed shape of a streaming
+    tokenizer-vocabulary monitor: the state store IS the live
+    vocabulary."""
+    from pyspark.sql import Window
+    from ..sources.stream import documents_stream
+
+    docs = documents_stream(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"stream_vocab_{next(_counter)}"
+    log = run_to_memory(counts, name, output_mode="complete")
+    top = log.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(100)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@register(
     "streaming_rolling_active",
     """
 WITH acts AS (

@@ -206,14 +206,14 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "join_asof_purchase_view",
     "join_semi_anti",
     "streaming_ohlc_candles",
-    "ohlc_candles_faithful",
     # --- Round-8 additions (first-time slots, taken from the re-check
-    # --- tail as they landed): transformWithStateInPandas twins + the
-    # --- incremental rolling-DAU view
+    # --- tail as they landed): transformWithStateInPandas twins, the
+    # --- incremental rolling-DAU view, the streaming vocabulary monitor
     "streaming_error_counts_tws",
     "streaming_interarrival_stats_tws",
     "streaming_transition_counts_tws",
     "streaming_rolling_active",
+    "streaming_vocab_topk",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)
