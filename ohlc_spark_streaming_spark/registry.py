@@ -147,7 +147,13 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 #: `ohlc_sliding_candles`, `candle_serialize`, the TPC-H q4-q22 tail,
 #: sampling trio, text battery — then r5-era), and swap round-9
 #: additions into the tail as they land (capacity ≈ all 49 if needed;
-#: keep additions ≤ the tail so the backlog stays zero).
+#: keep additions ≤ the tail so the backlog stays zero). Candidate
+#: round-9 operator: STREAMING MinHash-LSH near-dup at the door
+#: (stateful band buckets keyed by (band_idx, band_hash) emitting
+#: candidate pairs; bounded replay ⇒ the batch candidate set, so
+#: dedup_minhash_lsh's oracle shares verbatim) — requires replicating
+#: the identical-set collapse INSIDE the bucket state or the 10x
+#: duplication sweep goes k-squared; design before coding.
 DRIVER_ROTATION: tuple[str, ...] = (
     # --- First-time names (23): the complete round-7 tranche ---
     # Feature-engineering / training prep
