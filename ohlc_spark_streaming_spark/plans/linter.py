@@ -64,6 +64,36 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def lint_output_schema(df: DataFrame) -> list[tuple[str, str, str]]:
+    """Driver-compat lint: an oracle-backed query's FINAL schema must not
+    expose top-level array/map/struct columns.
+
+    The correctness driver canonicalizes results by pandas-sorting raw
+    column values before hashing; an ``array<...>`` column arrives as
+    numpy arrays, which are unhashable, so the check aborts with
+    ``TypeError`` before comparing anything (round-8 driver red on
+    ``token_id_encode``). The local oracle replica stringifies rows first
+    (tests/oracle_utils.py) and never catches it — hence this structural
+    gate. Project nested values through ``array_join`` / ``to_json`` /
+    explode before returning.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    findings: list[tuple[str, str, str]] = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+            findings.append(
+                (
+                    "error",
+                    "NESTED_OUTPUT",
+                    f"top-level {field.dataType.simpleString()} column "
+                    f"'{field.name}' in final schema — the driver "
+                    "canonicalizer cannot hash it; stringify or explode",
+                )
+            )
+    return findings
+
+
 def lint_plan(df: DataFrame) -> list[tuple[str, str, str]]:
     plan = plan_string(df)
     findings: list[tuple[str, str, str]] = []

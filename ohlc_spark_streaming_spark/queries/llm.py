@@ -3417,7 +3417,9 @@ enc AS (
            AS ids
   FROM documents, v
 )
-SELECT doc_id, ids,
+SELECT doc_id,
+       array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), ' ')
+         AS ids_str,
        CAST(len(ids) AS BIGINT) AS n_tokens,
        CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov
 FROM enc
@@ -3472,7 +3474,13 @@ def q_token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enc.select(
         "doc_id",
-        "ids",
+        # Space-joined id string, not a raw array<long>: the driver's
+        # canonicalizer pandas-sorts raw column values and numpy arrays
+        # are unhashable (round-8 driver red). plans/linter.py now bans
+        # top-level array/map/struct in oracle-backed final schemas.
+        F.array_join(
+            F.transform("ids", lambda i: i.cast("string")), " "
+        ).alias("ids_str"),
         F.size("ids").cast("long").alias("n_tokens"),
         F.size(F.filter("ids", lambda i: i == 0)).cast("long").alias("n_oov"),
     )

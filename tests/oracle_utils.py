@@ -113,6 +113,20 @@ def _sortable(row):
 def compare_query_to_oracle(spark, query_fn, oracle: str, sf_dir: str):
     """Run a registry query and its DuckDB oracle; assert exact equivalence."""
     df = query_fn(spark, sf_dir)
+
+    # Structural driver-compat gate (VERDICT r8 item 2): the driver's
+    # canonicalizer pandas-sorts RAW column values before hashing, and a
+    # top-level array column arrives as unhashable numpy arrays — the
+    # r8 token_id_encode red. This replica stringifies before sorting,
+    # so without this check it would silently pass what the driver
+    # rejects.
+    from ohlc_spark_streaming_spark.plans.linter import lint_output_schema
+
+    nested = lint_output_schema(df)
+    assert not nested, (
+        "driver-incompatible nested output columns: "
+        + "; ".join(m for _s, _c, m in nested)
+    )
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
 

@@ -194,3 +194,43 @@ def test_registry_batch_queries_have_no_hint_errors(spark):
         if errors:
             bad[name] = errors
     assert not bad, bad
+
+
+def test_output_schema_lint_flags_nested_columns(spark):
+    """Regression for the r8 token_id_encode driver red: a raw
+    array/map/struct column in an oracle-backed final schema aborts the
+    driver canonicalizer (numpy arrays are unhashable in a pandas sort).
+    The lint must flag every nested top-level column and pass flat ones."""
+    from ohlc_spark_streaming_spark.plans.linter import lint_output_schema
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    nested = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("a")).alias("s"),
+    )
+    codes = [f[1] for f in lint_output_schema(nested)]
+    assert codes == ["NESTED_OUTPUT"] * 3
+    flat = nested.select(
+        "doc_id", F.array_join("toks", " ").alias("toks_str")
+    )
+    assert lint_output_schema(flat) == []
+
+
+def test_oracle_backed_registry_outputs_are_flat(spark):
+    """Every oracle-backed query's final schema must be driver-hashable:
+    no top-level array/map/struct columns anywhere in the registry."""
+    from ohlc_spark_streaming_spark.plans.linter import lint_output_schema
+    from ohlc_spark_streaming_spark.registry import ORACLES
+
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name not in ORACLES:
+            continue
+        if name.startswith("streaming_") or name.startswith("pyds_stream"):
+            continue  # execute real micro-batches; covered by the sweep
+        nested = lint_output_schema(fn(spark, SF_SMOKE))
+        if nested:
+            bad[name] = [m for _s, _c, m in nested]
+    assert not bad, bad

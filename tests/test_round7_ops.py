@@ -409,9 +409,10 @@ def test_token_id_encode_roundtrip(spark):
     n_oov_total = 0
     for r in rows:
         prefix = docs[r.doc_id][:_ENC_PREFIX]
-        assert r.n_tokens == len(prefix) == len(r.ids)
+        ids = [int(x) for x in r.ids_str.split(" ")] if r.ids_str else []
+        assert r.n_tokens == len(prefix) == len(ids)
         expected = [id_of.get(t, 0) for t in prefix]
-        assert list(r.ids) == expected
+        assert ids == expected
         assert r.n_oov == sum(1 for i in expected if i == 0)
         n_oov_total += r.n_oov
     if len(counts) <= _ENC_VOCAB:

@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ohlc_spark_streaming_spark import build_session  # noqa: E402
 from ohlc_spark_streaming_spark.plans.linter import (  # noqa: E402
     lint_hints,
+    lint_output_schema,
     lint_plan,
 )
-from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
+from ohlc_spark_streaming_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
 
@@ -119,6 +120,11 @@ def main() -> int:
     for i, name in enumerate(names, 1):
         df = QUERIES[name](spark, SF_DIR)
         findings = lint_plan(df) + lint_hints(df)
+        if name in ORACLES:
+            # Driver-compat schema gate: oracle-backed outputs are value-
+            # hashed by the driver, whose canonicalizer cannot hash
+            # nested columns (r8 token_id_encode red).
+            findings += lint_output_schema(df)
         for sev, code, msg in findings:
             if sev != "error":
                 continue
