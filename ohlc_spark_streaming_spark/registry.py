@@ -119,14 +119,14 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # (green) driver CORRECTNESS row, until every oracle-backed query has one
 # (tracked in ROTATION.md — regenerate with tools_rotation.py).
 #
-# Round-8 window (VERDICT r7 item 1): ALL 23 never-checked names (the
-# round-7 additions, ROTATION.md "Remaining") get first-time slots —
-# cumulative 234/234 after this round, zero backlog for the first time
-# since round 4 — and the spare slots continue the re-verification
-# program with the oldest remaining green rows (all 15 r3-era names,
-# then the riskiest r4-era ones: dedup pair joins, as-of, reference
-# parity, streaming OHLC). New round-8 queries take slots from the
-# re-check TAIL as they land, so the backlog stays at zero.
+# Round-9 window (VERDICT r8 items 1+3): the backlog is ZERO (every
+# query has a driver row as of r8), so the window is pure
+# re-verification: `token_id_encode` first (its r8 row is red — the
+# driver canonicalizer choked on the raw array column, fixed to a
+# space-joined string this round), then ALL 42 r4-era rows (the oldest
+# remaining driver rows), then a 6-slot r5-era tail that round-9
+# additions take over as they land (streaming LSH near-dup, TWS
+# timer/TTL exhibits) — additions ≤ tail keeps the backlog at zero.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
@@ -134,92 +134,74 @@ DRIVER_ANCHORS: tuple[str, ...] = (
     "ohlc_candles",
 )
 
-#: Round-8 rotation: the entire 23-name unchecked backlog (every
-#: round-7 addition) + 26 oldest re-checks. Round-8 additions (the
-#: transformWithStateInPandas twins, streaming_rolling_active) take
-#: slots from the re-check tail as they land.
-#:
-#: ROUND-9 PREP (apply at the START of round 9, never mid-round): after
-#: this round EVERY registered query has a driver row — zero backlog.
-#: All 49 rotation slots are free: spend them on the oldest remaining
-#: re-checks (the r4-era names not re-covered this round —
-#: `derive_base`, `q1_pricing_summary`, `similarity_topk`,
-#: `ohlc_sliding_candles`, `candle_serialize`, the TPC-H q4-q22 tail,
-#: sampling trio, text battery — then r5-era), and swap round-9
-#: additions into the tail as they land (capacity ≈ all 49 if needed;
-#: keep additions ≤ the tail so the backlog stays zero). Candidate
-#: round-9 operator: STREAMING MinHash-LSH near-dup at the door
-#: (stateful band buckets keyed by (band_idx, band_hash) emitting
-#: candidate pairs; bounded replay ⇒ the batch candidate set, so
-#: dedup_minhash_lsh's oracle shares verbatim) — requires replicating
-#: the identical-set collapse INSIDE the bucket state or the 10x
-#: duplication sweep goes k-squared; design before coding.
+#: Round-9 rotation: token_id_encode (r8 red, fixed) + all 42 r4-era
+#: re-checks + 6 r5-era tail slots surrendered to round-9 additions as
+#: they land. The streaming LSH near-dup design constraint from the r8
+#: prep note applies: identical-set collapse must live INSIDE the
+#: bucket state or the 10x duplication sweep goes k-squared.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # --- First-time names (23): the complete round-7 tranche ---
-    # Feature-engineering / training prep
-    "equidepth_bin_apply",
-    "winsorize_clip",
-    "target_encode_smoothed",
-    "group_split_users",
+    # --- The round-8 red (driver canonicalizer fix): must re-check ---
     "token_id_encode",
-    "length_bucket_batches",
-    "source_interleave_order",
-    "contrastive_pairs",
-    # Sharding / quotas
-    "shard_checksum_manifest",
-    "quota_apportion",
-    # Dedup / sketch audits
-    "simhash_recall_audit",
-    "bloom_prune_audit",
-    "dedup_span_cut",
-    "corpus_curation_report",
-    # Embedding / clustering
-    "kmeans_update_step",
-    # Temporal joins / snapshots
-    "pit_feature_join",
-    "snapshot_diff_orders",
-    "join_cardinality_audit",
-    "join_skew_audit",
-    # Event analytics (the two perf-watch entries get their first
-    # correctness rows this round too)
-    "attribution_position",
-    "anomaly_seasonal_baseline",
-    "rolling_active_7d",
-    "ewma_candles",
-    # --- Re-checks (26): oldest remaining driver rows ---
-    # r3-era rows (all 15 remaining)
-    "dataset_split",
-    "domain_mixture",
-    "grouping_sets_orders",
-    "json_extract_props",
-    "percentiles_quantity",
-    "price_histogram_equidepth",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "set_ops_order_status",
-    "text_sentiment",
-    "vocab_top_tokens",
-    # r4-era rows (11 riskiest: dedup pair joins, as-of, reference
-    # parity, streaming OHLC; tail slots are surrendered to round-8
-    # additions as they land)
-    "dedup_jaccard_ppjoin",
-    "dedup_minhash_lsh",
-    "dedup_clusters_star",
-    "join_asof_purchase_view",
-    "join_semi_anti",
-    "streaming_ohlc_candles",
-    # --- Round-8 additions (first-time slots, taken from the re-check
-    # --- tail as they landed): transformWithStateInPandas twins, the
-    # --- incremental rolling-DAU view, the streaming vocabulary monitor
-    "streaming_error_counts_tws",
-    "streaming_interarrival_stats_tws",
-    "streaming_transition_counts_tws",
-    "streaming_rolling_active",
-    "streaming_vocab_topk",
+    # --- Re-checks: ALL 42 r4-era rows (oldest remaining driver rows;
+    # --- per the ROUND-9 PREP plan) ---
+    # Reference parity / candles
+    "candle_serialize",
+    "derive_base",
+    "trade_pipeline",
+    "ohlc_candles_faithful",
+    "ohlc_sliding_candles",
+    "vwap_candles",
+    # TPC-H tail
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_effect",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_overstocked_suppliers",
+    "q22_dormant_customers",
+    # Relational / analytics battery
+    "rollup_lineitem",
+    "scalar_functions",
+    "window_rank_battery",
+    "session_windows_user",
+    # Sampling trio
+    "sample_stratified",
+    "sample_systematic",
+    "sample_weighted",
+    # Text battery
+    "text_langid",
+    "text_lm_coverage",
+    "text_quality",
+    "text_tfidf",
+    "quality_filter",
+    # Dedup / similarity / sketches
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "similarity_topk",
+    "cms_token_counts",
+    "corpus_prep_pipeline",
+    "rag_retrieve_chunks",
+    # Streaming twins
+    "streaming_session_windows",
+    "streaming_sliding_candles",
+    # --- Tail (6): oldest r5-era re-checks; SURRENDER these slots to
+    # --- round-9 additions as they land (streaming LSH near-dup, TWS
+    # --- timer/TTL exhibits) so the backlog stays at zero ---
+    "bm25_search",
+    "cdc_merge_orders",
+    "scd2_user_state",
+    "join_asof_forward",
+    "similarity_ivf_topk",
+    "pyds_stream_tick_summary",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)
