@@ -752,20 +752,27 @@ def q_streaming_incremental_candles(spark: SparkSession, sf_dir: str) -> DataFra
             eager=True
         )
 
+    import shutil
     import tempfile
 
     name = f"stream_ivm_{next(_counter)}"
     # Fresh checkpoint dir per invocation: reusing one across processes
     # would resume past the already-committed files and fold NOTHING.
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    query = (
-        stream.writeStream.foreachBatch(fold)
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    query.awaitTermination()
+    try:
+        query = (
+            stream.writeStream.foreachBatch(fold)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        # foreachBatch checkpoints are NOT auto-deleted (unlike
+        # run_to_memory's implicit memory-sink checkpoints) — without
+        # this every invocation leaks a /tmp/ckpt_* dir (ADVICE r8).
+        shutil.rmtree(ckpt, ignore_errors=True)
     state = holder["state"]
     if state is None:
         raise RuntimeError("stream produced no micro-batches")
@@ -838,19 +845,23 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         chunks.append(out.localCheckpoint(eager=True))
 
+    import shutil
     import tempfile
 
     name = f"stream_asof_{next(_counter)}"
-    query = (
-        stream.writeStream.foreachBatch(enrich)
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    try:
+        query = (
+            stream.writeStream.foreachBatch(enrich)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        .start()
-    )
-    query.awaitTermination()
+        query.awaitTermination()
+    finally:
+        # foreachBatch checkpoints are not auto-deleted (ADVICE r8).
+        shutil.rmtree(ckpt, ignore_errors=True)
     if not chunks:
         raise RuntimeError("stream produced no micro-batches")
     out = chunks[0]
@@ -1130,18 +1141,23 @@ def fold_rolling_active(stream: DataFrame) -> DataFrame:
         # re-read at finalize, and the plan must not grow with batch count.
         holder["state"] = merged.localCheckpoint(eager=True)
 
+    import shutil
     import tempfile
 
     name = f"stream_rolling_{next(_counter)}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    query = (
-        stream.writeStream.foreachBatch(fold)
-        .queryName(name)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    query.awaitTermination()
+    try:
+        query = (
+            stream.writeStream.foreachBatch(fold)
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        # foreachBatch checkpoints are not auto-deleted (ADVICE r8).
+        shutil.rmtree(ckpt, ignore_errors=True)
     state = holder["state"]
     if state is None:
         raise RuntimeError("stream produced no micro-batches")

@@ -21,6 +21,7 @@ linear scaling), ``super-linear`` (> 13x — a scale bug to fix).
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -86,6 +87,20 @@ def synthesize(spark, dst: str = None, copies: int = None) -> None:
     dst = dst or DST
     copies = copies or COPIES
     os.makedirs(dst, exist_ok=True)
+    # Multiplier marker (ADVICE r8): existing parquet is skipped below, so
+    # pointing --dst at a directory built at a DIFFERENT multiplier would
+    # silently benchmark wrong-scale data and mislabel every ratio. Fail
+    # fast when the marker disagrees with the requested copies.
+    marker = os.path.join(dst, "_copies.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            built = json.load(f)
+        if built.get("copies") != copies or built.get("src") != SRC:
+            raise SystemExit(
+                f"[scale] {dst} was built with copies={built.get('copies')} "
+                f"src={built.get('src')!r}, but copies={copies} src={SRC!r} "
+                "was requested — delete the directory or pass a fresh --dst"
+            )
     con = duckdb.connect()
     for table, id_col in TABLES.items():
         out = os.path.join(dst, f"{table}.parquet")
@@ -126,6 +141,8 @@ def synthesize(spark, dst: str = None, copies: int = None) -> None:
             done += step
         os.replace(stage, out)
         print(f"[scale] built {table} x{copies}", file=sys.stderr)
+    with open(marker, "w") as f:
+        json.dump({"copies": copies, "src": SRC}, f)
 
 
 def best_of(spark, fn, n: int = 3) -> float:
