@@ -168,6 +168,8 @@ HEADLINE = [
     "streaming_transition_counts_tws",
     "streaming_rolling_active",
     "streaming_vocab_topk",
+    # round 9: stateful LSH near-dup at ingest
+    "streaming_dedup_minhash",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -575,6 +575,47 @@ def shingle_sets(
     )
 
 
+def shingle_units_expr(text_col) -> "Column":
+    """Per-ROW shingle-hash set — the NARROW twin of :func:`shingle_sets`
+    (same tokens → rolling token hashes → 3-gram shingle combination →
+    distinct, all inside the row; equality asserted in tests/test_dedup.py).
+
+    :func:`shingle_sets` dictionary-encodes the token hash (each distinct
+    token hashed once corpus-wide) because a batch corpus pass can afford
+    the groupBy; a STREAMING pipeline feeding a stateful operator cannot
+    put an aggregation upstream of it, so this variant recomputes the
+    char-fold per occurrence instead — narrow (zero shuffles), which is
+    exactly what a per-record ingest path needs. CPU trade, not a
+    semantics trade.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    ths = F.transform(tokens(c), rolling_hash)
+    n_th = F.size(ths)
+    sh = F.zip_with(
+        F.zip_with(
+            F.slice(ths, 1, n_th - 2),
+            F.slice(ths, 2, n_th - 2),
+            lambda a, b: a * (31 * 31) + b * 31,
+        ),
+        F.slice(ths, 3, n_th - 2),
+        lambda ab, x: (ab + x) % P,
+    )
+    return F.when(n_th >= 3, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def content_fp(units) -> "Column":
+    """Deterministic content fingerprint of a shingle-unit set: md5 over
+    the SORTED unit array. Internal equi-join/state key only (never
+    oracle-compared — engine-native md5 is fine here); identical sets ⇒
+    identical fingerprint regardless of token order of arrival."""
+    u = F.col(units) if isinstance(units, str) else units
+    return F.md5(
+        F.concat_ws(" ", F.transform(F.sort_array(u), lambda x: x.cast("string")))
+    )
+
+
 def shingle_profiles(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1175,3 +1175,38 @@ def fold_rolling_active(stream: DataFrame) -> DataFrame:
         ),
         span,
     )
+
+
+from . import _oracles as _no  # noqa: E402
+
+
+@register("streaming_dedup_minhash", _no.minhash_pairs_sql(0.7))
+def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup AT INGEST — the streaming face of
+    dedup_minhash_lsh (oracle shared verbatim): documents replayed as a
+    stream, hashed narrowly in-row (shingle set → fingerprint → MinHash →
+    band keys, zero shuffles upstream of state), band buckets held as
+    transformWithStateInPandas MapState keyed by (band, key) emitting a
+    candidate pair the first time two DISTINCT contents cohabit a bucket
+    — identical copies hit the in-state fingerprint collapse and add
+    zero state/candidates (the k² duplication guard, streaming/neardup.py).
+    The bounded replay's candidate log equals the batch LSH candidate
+    set; exact-Jaccard verification and group expansion then reuse the
+    batch kernels."""
+    from ..streaming.neardup import (
+        lsh_band_rows,
+        neardup_finalize,
+        tws_lsh_candidates,
+    )
+    from ..sources.stream import documents_stream
+
+    cand = _run_tws(
+        spark,
+        lambda: tws_lsh_candidates(
+            lsh_band_rows(documents_stream(spark, sf_dir))
+        ),
+        f"stream_lsh_{next(_counter)}",
+        "append",
+    )
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return neardup_finalize(cand, docs, threshold=0.7)

@@ -196,7 +196,8 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # --- Tail (6): oldest r5-era re-checks; SURRENDER these slots to
     # --- round-9 additions as they land (streaming LSH near-dup, TWS
     # --- timer/TTL exhibits) so the backlog stays at zero ---
-    "bm25_search",
+    # round-9 addition: stateful LSH near-dup at ingest (took bm25_search's slot)
+    "streaming_dedup_minhash",
     "cdc_merge_orders",
     "scd2_user_state",
     "join_asof_forward",

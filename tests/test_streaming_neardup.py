@@ -1,0 +1,128 @@
+"""Streaming MinHash-LSH near-dup at ingest (streaming/neardup.py).
+
+The registry sweep proves bounded-replay equality with the batch oracle;
+these tests pin the properties the sweep can't see: the pure bucket
+kernel's pairing/collapse rules, state carried ACROSS micro-batches
+(multi-file tape), and the k²-guard — identical copies must add zero
+candidate pairs to the bucket emission log.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ohlc_spark_streaming_spark import registry
+from ohlc_spark_streaming_spark._compat import ensure_protobuf
+from ohlc_spark_streaming_spark.sources.batch import load_table
+from ohlc_spark_streaming_spark.streaming.neardup import (
+    _bucket_emit,
+    lsh_band_rows,
+    neardup_finalize,
+    tws_lsh_candidates,
+)
+
+from .conftest import SF_SMOKE
+
+needs_protobuf = pytest.mark.skipif(
+    not ensure_protobuf(),
+    reason="transformWithState needs google.protobuf and no pure-python "
+    "runtime was found on this machine (_compat.ensure_protobuf)",
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_bucket_emit_kernel():
+    """Pure kernel: new fps pair against state and earlier-in-batch fps,
+    identical copies emit nothing and add no state, pairs normalized."""
+    pairs, added = _bucket_emit(["b", "a", "b"], {"c"})
+    assert added == {"a", "b"}
+    assert sorted(pairs) == [("a", "b"), ("a", "c"), ("b", "c")]
+    # all-duplicates batch: nothing emitted, nothing added
+    pairs, added = _bucket_emit(["c", "c"], {"c"})
+    assert pairs == [] and added == set()
+    # empty state: first fp emits nothing, second pairs with it
+    pairs, added = _bucket_emit(["x", "y"], set())
+    assert pairs == [("x", "y")] and added == {"x", "y"}
+
+
+def _doc_tape_stream(spark, tmp_path, docs, n_files=4):
+    """Write docs as an n-file tape (doc_id % n interleave) and open it as
+    a 1-file-per-trigger stream — each file becomes one micro-batch, so
+    near-dup pairs must be found across batch boundaries."""
+    src = str(tmp_path / "docs_split")
+    docs.withColumn("part", F.col("doc_id") % n_files).repartitionByRange(
+        n_files, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+@needs_protobuf
+def test_lsh_candidates_across_batches(tmp_path, spark):
+    """A 4-file tape (documents interleaved across batches) through the
+    stateful band buckets + finalize equals the batch LSH operator exactly
+    — pairs whose endpoints arrive in DIFFERENT micro-batches are found
+    via MapState, not within-batch luck."""
+    from ohlc_spark_streaming_spark.queries.streaming import _run_tws
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    stream = _doc_tape_stream(spark, tmp_path, docs)
+    cand = _run_tws(
+        spark,
+        lambda: tws_lsh_candidates(lsh_band_rows(stream)),
+        "tws_lsh_tape",
+        "append",
+    )
+    got = neardup_finalize(cand, docs, threshold=0.7)
+    want = registry.QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
+
+
+@needs_protobuf
+def test_identical_copies_add_no_candidates(tmp_path, spark):
+    """The k² guard: duplicating every document 3x (distinct doc_ids,
+    identical text) must leave the bucket CANDIDATE log unchanged — the
+    in-state fingerprint collapse absorbs identical copies — while the
+    finalize stage expands groups to the (by-definition quadratic) doc
+    pairs."""
+    from ohlc_spark_streaming_spark.queries.streaming import _run_tws
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    base = docs.select("doc_id", "text")
+    k = 3
+    dup = base
+    for i in range(1, k):
+        dup = dup.unionByName(
+            base.select(
+                (F.col("doc_id") + F.lit(10_000 * i)).alias("doc_id"), "text"
+            )
+        )
+
+    def run(d, tag):
+        stream = _doc_tape_stream(spark, tmp_path / tag, d)
+        return _run_tws(
+            spark,
+            lambda: tws_lsh_candidates(lsh_band_rows(stream)),
+            f"tws_lsh_{tag}",
+            "append",
+        )
+
+    cand_base = run(base, "base")
+    cand_dup = run(dup, "dup")
+    # identical content set ⇒ identical distinct candidate pairs
+    assert _rows(cand_base.distinct()) == _rows(cand_dup.distinct())
+    # and the duplicated corpus's RAW emission log is no bigger — copies
+    # never re-emit a bucket pair (k² guard lives in state, not dedup)
+    assert cand_dup.count() == cand_base.count()
+    # finalize on the duplicated corpus expands identical-copy groups
+    got = neardup_finalize(cand_dup, dup, threshold=0.7)
+    # every original doc now has k-1 identical twins at J=1.0
+    n_identity_pairs = 60 * (k * (k - 1) // 2)
+    assert got.where(F.col("jaccard") == 1.0).count() >= n_identity_pairs

@@ -18,6 +18,24 @@ from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 NOTES = {
+    "streaming_dedup_minhash": (
+        "Dedup at the door: the per-document hashing (tokens -> rolling "
+        "hashes -> shingle set -> fingerprint -> MinHash -> band keys) is "
+        "one NARROW in-row projection (shingle_units_expr) because nothing "
+        "may aggregate upstream of a stateful operator — zero shuffles "
+        "before the state exchange on (band, key). Bucket state is a typed "
+        "MapState[fp -> marker]: a new distinct content pairs against the "
+        "bucket's known fingerprints; an identical copy is a membership "
+        "hit — zero state growth, zero emissions — which replicates the "
+        "batch identical-set collapse INSIDE state and keeps k-fold "
+        "duplicated corpora from emitting k-squared bucket pairs. The "
+        "emission log is the collapsed candidate set (bounded by distinct "
+        "content x band cohabitation); exact-Jaccard verification and "
+        "group expansion run batch-side on equi-joins against the group "
+        "table. At 100 TB the finalize joins the checkpointed group table "
+        "the ingest pipeline maintains anyway; state per bucket stays "
+        "small by LSH construction (that is what makes LSH subquadratic)."
+    ),
     "approx_percentile_audit": (
         "One scan + one 3-group ObjectHashAggregate; the cost is the exact-"
         "percentile yardstick buffering every group value, inherent to the "
