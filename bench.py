@@ -168,8 +168,9 @@ HEADLINE = [
     "streaming_transition_counts_tws",
     "streaming_rolling_active",
     "streaming_vocab_topk",
-    # round 9: stateful LSH near-dup at ingest
+    # round 9: stateful LSH near-dup at ingest + event-time-timer sessions
     "streaming_dedup_minhash",
+    "streaming_session_timers",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

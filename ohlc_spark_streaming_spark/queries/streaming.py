@@ -1210,3 +1210,96 @@ def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return neardup_finalize(cand, docs, threshold=0.7)
+
+
+def session_timers_rollup(log: DataFrame) -> DataFrame:
+    """Emission log → oracle shape: micro-unit sums back to exact doubles
+    (units·10⁻⁶ rounded once — bitwise equal to CAST(DECIMAL(30,6) sum AS
+    DOUBLE)), timestamps to NTZ (UTC session), sentinel rows dropped (the
+    sentinel user's own session never fires anyway; the guard is for the
+    input-time path)."""
+    return log.where(F.col("user_id") >= 0).select(
+        F.timestamp_micros(F.col("start_us"))
+        .cast("timestamp_ntz")
+        .alias("session_start"),
+        F.timestamp_micros(F.col("end_us"))
+        .cast("timestamp_ntz")
+        .alias("session_end"),
+        "user_id",
+        "n_events",
+        (F.col("sum_units").cast("double") / F.lit(1_000_000.0)).alias(
+            "sum_value"
+        ),
+    )
+
+
+@register("streaming_session_timers", _SESSION_ORACLE)
+def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization via REGISTERED EVENT-TIME TIMERS
+    (timeMode="EventTime") — the timer half of the transformWithState
+    surface, sharing session_windows_user's oracle verbatim. Sessions
+    with a successor close at input time; final sessions close when the
+    WATERMARK passes last+gap and the key's registered timer fires
+    (streaming/stateful.py::tws_session_timers). The replay tape appends
+    one sentinel row at max(ts) + gap + delay + margin so the final
+    watermark covers every real timer — the production "punctuation
+    event" pattern for bounded event-time replays; the sentinel's own
+    timer is the only one past the watermark and self-excludes.
+
+    Scale: state is ONE open-session struct + ONE registered timer per
+    user (RocksDB column families); emissions are append-mode and final
+    — no complete-mode re-emission of the whole result per batch, which
+    is what makes this the 100 TB session shape while the built-in
+    session_window twin (streaming_session_windows) must run complete."""
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import tws_session_timers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
+    tape = tempfile.mkdtemp(prefix="session_tape_")
+    try:
+        import os
+
+        ev.coalesce(1).write.mode("append").parquet(tape)
+        ev_parts = {f for f in os.listdir(tape) if f.endswith(".parquet")}
+        sentinel_ts = max_ts + __import__("datetime").timedelta(
+            hours=4, minutes=2, seconds=1
+        )
+        spark.createDataFrame(
+            [(-1, sentinel_ts, -1, 0.0)],
+            "event_id long, ts timestamp_ntz, user_id long, value double",
+        ).selectExpr(
+            "event_id", "cast(ts as timestamp) as ts", "user_id", "value"
+        ).coalesce(1).write.mode("append").parquet(tape)
+        # The file source replays in mtime order; stamp the sentinel file
+        # strictly LAST (the two write jobs can land in the same mtime
+        # instant, which would leave the replay order undefined and the
+        # events file late-beyond-watermark if the sentinel went first).
+        for f in os.listdir(tape):
+            if f.endswith(".parquet"):
+                later = f not in ev_parts
+                os.utime(
+                    os.path.join(tape, f), (1_000_000 + 10 * later,) * 2
+                )
+        schema = spark.read.parquet(tape).schema
+        # Watermarks require TIMESTAMP (not NTZ); UTC session ⇒ same instant
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tape)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "2 minutes")
+        )
+        log = _run_tws(
+            spark,
+            lambda: tws_session_timers(stream),
+            f"stream_session_timers_{next(_counter)}",
+            "append",
+        )
+    finally:
+        shutil.rmtree(tape, ignore_errors=True)
+    return session_timers_rollup(log)

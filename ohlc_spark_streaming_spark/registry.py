@@ -198,7 +198,8 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # --- timer/TTL exhibits) so the backlog stays at zero ---
     # round-9 addition: stateful LSH near-dup at ingest (took bm25_search's slot)
     "streaming_dedup_minhash",
-    "cdc_merge_orders",
+    # round-9 addition: event-time-timer sessionization (took cdc_merge_orders' slot)
+    "streaming_session_timers",
     "scd2_user_state",
     "join_asof_forward",
     "similarity_ivf_topk",

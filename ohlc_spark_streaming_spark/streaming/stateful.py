@@ -416,3 +416,142 @@ def tws_transitions(stream) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- event-time timers: session timeout emission (round 9) -------------------
+
+#: Session inactivity gap shared with the batch session oracle (4 hours).
+SESSION_GAP_US = 4 * 3600 * 1_000_000
+SESSION_GAP_MS = SESSION_GAP_US // 1000
+
+
+def _session_fold(
+    ts_us: list[int], units: list[int], state: tuple | None
+) -> tuple[list[tuple], tuple | None]:
+    """Pure session kernel for one key's (pre-sorted) micro-batch events.
+
+    ``state`` is the open session ``(start_us, last_us, n, units)`` or
+    None. Returns ``(closed, new_state)``: sessions closed AT INPUT TIME
+    (a successor arrived beyond the gap — cannot wait for the timer,
+    which may still be ahead of the watermark) and the still-open
+    session. Value sums are kept in integer micro-units (exact at scale
+    6) so the decimal-sum batch oracle applies bitwise.
+    """
+    closed: list[tuple] = []
+    cur = state
+    for t, u in zip(ts_us, units):
+        if cur is None:
+            cur = (t, t, 1, u)
+        elif t - cur[1] >= SESSION_GAP_US:
+            closed.append(cur)
+            cur = (t, t, 1, u)
+        else:
+            cur = (cur[0], t, cur[2] + 1, cur[3] + u)
+    return closed, cur
+
+
+def _session_frame(key_val: int, sessions: list[tuple]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([key_val] * len(sessions), dtype="int64"),
+            "start_us": pd.Series([s[0] for s in sessions], dtype="int64"),
+            "end_us": pd.Series(
+                [s[1] + SESSION_GAP_US for s in sessions], dtype="int64"
+            ),
+            "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+            "sum_units": pd.Series([s[3] for s in sessions], dtype="int64"),
+        }
+    )
+
+
+def tws_session_timers(stream: DataFrame) -> DataFrame:
+    """Per-user session windows via REGISTERED EVENT-TIME TIMERS — the
+    timer half of the transformWithState surface (timeMode="EventTime"),
+    which the built-in ``session_window`` aggregation hides and the r8
+    twins (timeMode="None") never exercised.
+
+    Two emission paths, both required for correctness:
+
+    * **input-time close**: a successor event ≥ gap after the open
+      session's last event proves the session over — emit immediately
+      (its timer may still be ahead of the watermark, so waiting on it
+      would buffer arbitrarily);
+    * **timer close**: sessions with NO successor only ever close when
+      the watermark passes ``last + gap`` — each input re-registers the
+      key's single timer at that expiry (deleting the previous one), and
+      ``handleExpiredTimer`` emits the open session and clears state.
+
+    Empirical contract (pinned by tests/test_streaming_round9.py): under
+    ``trigger(availableNow=True)`` Spark runs a drain micro-batch after
+    the last file, firing every timer ≤ the final watermark — so a
+    bounded replay whose tape ends with a watermark-advancing sentinel
+    row (ts ≥ max real ts + gap + delay) emits exactly the batch session
+    set; the sentinel's own session is the one timer past the watermark
+    and self-excludes. TTL (``ttlDurationMs``) remains ProcessingTime-
+    only (ILLEGAL under EventTime — probed empirically, see
+    tests/test_streaming_round8.py's TTL contract) and cannot be driven
+    deterministically on a bounded tape; event-time timer eviction IS
+    this harness's deterministic face of state expiry.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SessionTimers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sess = handle.getValueState(
+                "sess", "start_us long, last_us long, n long, units long"
+            )
+            self._h = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = _ordered_concat(rows)
+            # exact micro-units: floor(v*1e6 + 0.5); int64 cast truncates
+            # toward zero ≡ floor for the non-negative event values
+            units = (pdf["value"] * 1_000_000.0 + 0.5).astype("int64")
+            state = (
+                tuple(self._sess.get()) if self._sess.exists() else None
+            )
+            prev_timer = (
+                state[1] // 1000 + SESSION_GAP_MS if state is not None else None
+            )
+            closed, cur = _session_fold(
+                pdf["_ts_us"].tolist(), units.tolist(), state
+            )
+            self._sess.update(cur)
+            new_timer = cur[1] // 1000 + SESSION_GAP_MS
+            if prev_timer is not None and prev_timer != new_timer:
+                self._h.deleteTimer(prev_timer)
+            self._h.registerTimer(new_timer)
+            yield _session_frame(key[0], closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # key arrives as a Row here (tuple in handleInputRows)
+            state = (
+                tuple(self._sess.get()) if self._sess.exists() else None
+            )
+            if state is None:
+                return
+            expected = state[1] // 1000 + SESSION_GAP_MS
+            if expiredTimerInfo.getExpiryTimeInMs() != expected:
+                return  # stale timer raced a deleteTimer — state is newer
+            self._sess.clear()
+            yield _session_frame(key[0], [state])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionTimers(),
+            outputStructType=(
+                "user_id long, start_us long, end_us long, "
+                "n_events long, sum_units long"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

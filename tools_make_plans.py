@@ -18,6 +18,23 @@ from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 NOTES = {
+    "streaming_session_timers": (
+        "The timer half of transformWithState (timeMode=EventTime): state "
+        "is ONE open-session struct + ONE registered timer per user; "
+        "sessions with a successor close at input time (their timer may "
+        "trail the watermark), final sessions close when the watermark "
+        "passes last+gap and the timer fires in the availableNow drain "
+        "batch. Append-mode and final emissions — no complete-mode "
+        "re-emission of the whole result per batch, which is what makes "
+        "this the 100 TB session shape next to the built-in "
+        "session_window twin that must run complete. Micro-unit integer "
+        "sums keep the decimal-sum oracle bitwise. The tape's sentinel "
+        "row (max ts + gap + delay) is the production punctuation/"
+        "heartbeat pattern that closes event-time state on bounded "
+        "replays; files are mtime-stamped in time order because the file "
+        "source replays by mtime and an out-of-order slab would be late "
+        "beyond the watermark and silently dropped."
+    ),
     "streaming_dedup_minhash": (
         "Dedup at the door: the per-document hashing (tokens -> rolling "
         "hashes -> shingle set -> fingerprint -> MinHash -> band keys) is "
