@@ -171,6 +171,7 @@ HEADLINE = [
     # round 9: stateful LSH near-dup at ingest + event-time-timer sessions
     "streaming_dedup_minhash",
     "streaming_session_timers",
+    "dedup_span_pow2",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -4187,3 +4187,101 @@ def rolling_active_finalize(islands: DataFrame, span: DataFrame) -> DataFrame:
             F.col("n_active").cast("long").alias("n_active"),
         )
     )
+
+
+# --- longest duplicated span at pow2 resolution (round 9) ---------------------
+
+#: Doubling levels for the longest-duplicated-span probe (cap 64 tokens).
+_SPAN_LEVELS = (1, 2, 4, 8, 16, 32, 64)
+
+
+@register(
+    "dedup_span_pow2",
+    f"""
+WITH lv AS (SELECT unnest([{", ".join(map(str, _SPAN_LEVELS))}]) AS k),
+g AS (
+  SELECT d.doc_id, lv.k,
+         unnest(list_transform(
+           range(1, len({_TOKENS}) - lv.k + 2),
+           i -> md5(array_to_string(
+                  list_slice({_TOKENS}, i, i + lv.k - 1), ' ')))) AS gram
+  FROM documents d, lv
+  WHERE len({_TOKENS}) >= lv.k
+),
+dup AS (SELECT k, gram FROM g GROUP BY k, gram HAVING count(*) >= 2),
+per AS (
+  SELECT g.doc_id, g.k, count(*) AS n_dup
+  FROM g JOIN dup USING (k, gram) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, max(struct_pack(k := k, n := n_dup)) AS s
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.k, 0) AS BIGINT) AS span_pow2,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_dup_at_max
+FROM documents d LEFT JOIN best USING (doc_id)
+""",
+)
+def q_dedup_span_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated token-span per document at POWER-OF-TWO
+    resolution (cap 64): the largest k ∈ {{1,2,4,…,64}} such that some
+    k-token window of the document occurs at ≥2 distinct (doc, pos)
+    positions corpus-wide (self-repeats count — longest-REPEATED-
+    substring semantics), plus how many of the doc's windows are
+    duplicated at that k. The multi-length upgrade of the fixed-8-token
+    `dedup_span_windows` family: the doubling ladder is the suffix-array
+    prefix-doubling idea restricted to the levels a dedup policy
+    actually thresholds on ("drop docs sharing a ≥32-token span").
+
+    Scale (why pow2, not exact-ℓ): gram rows are O(tokens · |levels|) =
+    7× the corpus token count — linear, derived IN-ROW (no positional
+    get(): one slice per gram, ≤127·len ops/doc) and exploded once;
+    duplication is ONE hash aggregation on fixed-width md5 keys with
+    map-side combine (boilerplate phrases pre-combine before the
+    exchange); the probe join carries only duplicated keys. A true
+    suffix-array LCP pass would give exact ℓ but costs O(log n) global
+    sort rounds; materializing suffix strings would cost O(tokens ·
+    doc_len). No pairwise joins anywhere — identical-copy floods scale
+    the gram volume linearly, never quadratically.
+
+    md5 is the gram key on BOTH engines, so a (negligible) collision
+    changes both sides identically — the comparison stays exact."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+
+    def level(k: int):
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(F.lit(k).alias("k"), grams.alias("grams"))
+
+    g = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array(*[level(k) for k in _SPAN_LEVELS])).alias("s"),
+        )
+        .select("doc_id", F.col("s.k").alias("k"), F.explode("s.grams").alias("gram"))
+    )
+    dup = (
+        g.groupBy("k", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("k", "gram")
+    )
+    per = g.join(dup, ["k", "gram"]).groupBy("doc_id", "k").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    best = per.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("k"), F.col("n_dup"))).alias("s")
+    )
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("s.k"), F.lit(0)).cast("long").alias("span_pow2"),
+        F.coalesce(F.col("s.n_dup"), F.lit(0)).cast("long").alias("n_dup_at_max"),
+    )

@@ -200,7 +200,8 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "streaming_dedup_minhash",
     # round-9 addition: event-time-timer sessionization (took cdc_merge_orders' slot)
     "streaming_session_timers",
-    "scd2_user_state",
+    # round-9 addition: pow2 longest-duplicated-span (took scd2_user_state's slot)
+    "dedup_span_pow2",
     "join_asof_forward",
     "similarity_ivf_topk",
     "pyds_stream_tick_summary",
