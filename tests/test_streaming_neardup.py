@@ -126,3 +126,87 @@ def test_identical_copies_add_no_candidates(tmp_path, spark):
     # every original doc now has k-1 identical twins at J=1.0
     n_identity_pairs = 60 * (k * (k - 1) // 2)
     assert got.where(F.col("jaccard") == 1.0).count() >= n_identity_pairs
+
+
+@needs_protobuf
+def test_lsh_state_survives_checkpoint_restart(tmp_path, spark):
+    """The ingest-across-days story: bucket MapState must persist in the
+    checkpoint across query restarts. Run the band-bucket operator over
+    half the corpus, land the other half, restart from the SAME
+    checkpoint — run 2 processes only the delta, pairs it against the
+    RESTORED bucket membership (no reprocessing), and the union of the
+    two emission logs verifies+expands to exactly the batch LSH answer."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def run_once(tag):
+        out = str(tmp_path / f"log_{tag}")
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            tws_lsh_candidates(lsh_band_rows(stream))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    try:
+        log1 = run_once("lsh_ckpt_1")
+        n1 = log1.count()
+        second.coalesce(1).write.mode("append").parquet(src)
+        log2 = run_once("lsh_ckpt_2")
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # run 2 did not re-emit run 1's pairs (offsets + state restored)
+    assert log1.count() == n1
+    from ohlc_spark_streaming_spark.operators.dedup import (
+        content_fp as _fp,
+        shingle_sets,
+    )
+    from pyspark.sql import functions as SF
+
+    new_fps = {
+        r.fp
+        for r in shingle_sets(second)
+        .select(_fp(SF.sort_array("units")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    old_only = [
+        r
+        for r in log2.collect()
+        if r.fp_a not in new_fps and r.fp_b not in new_fps
+    ]
+    assert old_only == []  # every run-2 pair touches new content
+    # union of the two logs == batch answer end-to-end
+    got = neardup_finalize(log1.unionByName(log2), docs, threshold=0.7)
+    want = registry.QUERIES["dedup_minhash_lsh"](spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)
