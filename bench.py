@@ -172,6 +172,7 @@ HEADLINE = [
     "streaming_dedup_minhash",
     "streaming_session_timers",
     "dedup_span_pow2",
+    "streaming_dedup_then_candles",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

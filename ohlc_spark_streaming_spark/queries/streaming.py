@@ -1325,3 +1325,51 @@ def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tape, ignore_errors=True)
     return session_timers_rollup(log)
+
+
+@register("streaming_dedup_then_candles", _OHLC_ORACLE)
+def q_streaming_dedup_then_candles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query — the real
+    ingest topology: an at-least-once delivery (the event stream unioned
+    with a second delivery of itself, so every event arrives twice) →
+    watermark-bounded exact dedup (dropDuplicatesWithinWatermark on
+    event_id — state evicted once the watermark passes, the 100 TB
+    dedup-at-the-door shape) → tumbling OHLC aggregation, complete mode.
+    Spark 3.4+ multi-stateful-operator support means this is ONE query
+    with two state stores, not two queries glued by a sink; the result
+    must equal the batch flagship exactly (oracle shared verbatim) —
+    proof the dedup stage dropped every duplicate and nothing else."""
+    dup = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir)
+    )
+    # ONE watermark for the whole chain: redefining it between stateful
+    # operators is disallowed under multi-stateful support, so the dedup
+    # stage's watermark carries into the window aggregation (the candle
+    # builder is used agg-only here via the pre-watermarked input).
+    dd = dup.withWatermark("ts", "2 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    from ..operators.ohlc import ohlc_aggregates
+
+    candles = (
+        dd.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("window"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(*ohlc_aggregates("ts", "value", None, "efficient"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
+            "symbol",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_trades",
+        )
+    )
+    name = f"stream_dedup_candles_{next(_counter)}"
+    return run_to_memory(candles, name, output_mode="complete")

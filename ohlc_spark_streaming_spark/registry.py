@@ -202,7 +202,8 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "streaming_session_timers",
     # round-9 addition: pow2 longest-duplicated-span (took scd2_user_state's slot)
     "dedup_span_pow2",
-    "join_asof_forward",
+    # round-9 addition: chained stateful dedup→candles (took join_asof_forward's slot)
+    "streaming_dedup_then_candles",
     "similarity_ivf_topk",
     "pyds_stream_tick_summary",
 )

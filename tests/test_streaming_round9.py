@@ -179,3 +179,42 @@ def test_ttl_illegal_under_event_time(tmp_path, spark):
 
     with pytest.raises(Exception, match="TIME_MODE_TO_ASSIGN_TTL"):
         _run_tws(spark, build, "tws_ttl_eventtime_probe", "append")
+
+
+def test_chained_dedup_candles_negative_control(spark):
+    """The chained query's oracle equality is only meaningful if the
+    duplicates were real: WITHOUT the dedup stage the doubled delivery
+    must double volume/n_trades (and the chained registry entry must
+    equal the batch flagship exactly)."""
+    from ohlc_spark_streaming_spark.operators.ohlc import ohlc_aggregates
+    from ohlc_spark_streaming_spark.sources.stream import events_stream
+    from ohlc_spark_streaming_spark.streaming.candles import run_to_memory
+
+    chained = registry.QUERIES["streaming_dedup_then_candles"](
+        spark, SF_SMOKE
+    )
+    batch = registry.QUERIES["ohlc_candles"](spark, SF_SMOKE)
+    assert _rows(chained) == _rows(batch)
+
+    dup = events_stream(spark, SF_SMOKE).unionByName(
+        events_stream(spark, SF_SMOKE)
+    )
+    no_dedup = (
+        dup.withWatermark("ts", "2 minutes")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("window"),
+            F.col("event_type").alias("symbol"),
+        )
+        .agg(*ohlc_aggregates("ts", "value", None, "efficient"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("ws"),
+            "symbol",
+            "volume",
+        )
+    )
+    doubled = run_to_memory(no_dedup, "chain_neg_ctl", output_mode="complete")
+    vol = {(r.ws, r.symbol): r.volume for r in doubled.collect()}
+    want = {
+        (r.window_start, r.symbol): r.volume for r in batch.collect()
+    }
+    assert vol == {k: 2 * v for k, v in want.items()}
