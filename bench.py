@@ -173,6 +173,7 @@ HEADLINE = [
     "streaming_session_timers",
     "dedup_span_pow2",
     "streaming_dedup_then_candles",
+    "dedup_span_suffix",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -4285,3 +4285,64 @@ def q_dedup_span_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("s.k"), F.lit(0)).cast("long").alias("span_pow2"),
         F.coalesce(F.col("s.n_dup"), F.lit(0)).cast("long").alias("n_dup_at_max"),
     )
+
+
+# --- exact longest duplicated span via suffix array (round 9) -----------------
+
+
+@register(
+    "dedup_span_suffix",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, u.p FROM toks, unnest(range(1, len(t) + 1)) AS u(p)
+),
+g AS (
+  SELECT doc_id, p, v.k,
+         md5(array_to_string(list_slice(t, p, p + v.k - 1), ' ')) AS gram
+  FROM pos, unnest(range(1, len(t) - p + 2)) AS v(k)
+),
+dup AS (SELECT k, gram FROM g GROUP BY k, gram HAVING count(*) >= 2),
+perpos AS (
+  SELECT g.doc_id, g.p,
+         max(CASE WHEN d.k IS NOT NULL THEN g.k ELSE 0 END) AS best
+  FROM g LEFT JOIN dup d USING (k, gram)
+  GROUP BY g.doc_id, g.p
+),
+perdoc AS (SELECT doc_id, max(best) AS span_exact FROM perpos GROUP BY doc_id),
+cnt AS (
+  SELECT pp.doc_id, count(*) AS n_at_max
+  FROM perpos pp
+  JOIN perdoc pd ON pp.doc_id = pd.doc_id AND pp.best = pd.span_exact
+  GROUP BY pp.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.span_exact, 0) AS BIGINT) AS span_exact,
+       CAST(coalesce(c.n_at_max, 0) AS BIGINT) AS n_at_max
+FROM documents d
+LEFT JOIN perdoc pd USING (doc_id)
+LEFT JOIN cnt c USING (doc_id)
+""",
+)
+def q_dedup_span_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest duplicated token-span per document, uncapped — the
+    suffix-array completion of the span-dedup family
+    (operators/suffix.py): prefix-doubling suffix ranks (Manber–Myers,
+    ⌈log₂ max_doc_len⌉ rounds of one equi-join + one global dense rank),
+    adjacent-pair LCPs by rank-table descent, per-doc max + achieving-
+    position count. Exactness is pinned against a python brute force in
+    tests/test_suffix.py; the ORACLE runs the O(Σlen²) gram ladder,
+    which is fine at oracle scale and independent of the SA machinery.
+
+    Scale: one row per TOKEN through O(log L) rounds of {{sort, hash
+    join}} — at 100 TB with 2k-token docs that is ~11 rounds, vs a
+    2000× gram blowup for the brute ladder. The global dense rank is
+    size-adaptive (single-partition window below 5M tokens — one task
+    beats a range shuffle's scheduling cost 5×; range-partitioned
+    rank + broadcast offsets above — no single-partition funnel at
+    cluster scale; path equality pinned in tests/test_suffix.py)."""
+    from ..operators.suffix import suffix_span_exact
+
+    return suffix_span_exact(
+        load_table(spark, sf_dir, "documents", parallelize=True)
+    )

@@ -204,7 +204,8 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "dedup_span_pow2",
     # round-9 addition: chained stateful dedup→candles (took join_asof_forward's slot)
     "streaming_dedup_then_candles",
-    "similarity_ivf_topk",
+    # round-9 addition: suffix-array exact span dedup (took similarity_ivf_topk's slot)
+    "dedup_span_suffix",
     "pyds_stream_tick_summary",
 )
 

@@ -1,0 +1,111 @@
+"""Suffix-array span dedup (operators/suffix.py).
+
+The oracle sweep proves agreement with the brute gram ladder on real
+data; these tests pin exactness against an independent python brute
+force (real corpus + planted constructions) and the equality of the two
+global-rank strategies (single-partition window vs range-partitioned
+distributed path) the operator switches between by input size.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+import ohlc_spark_streaming_spark.operators.suffix as SX
+from ohlc_spark_streaming_spark import registry
+from ohlc_spark_streaming_spark.sources.batch import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _brute(docs: dict[int, list[str]]) -> dict[int, tuple[int, int]]:
+    occ: dict[tuple[int, str], int] = defaultdict(int)
+    for t in docs.values():
+        for k in range(1, len(t) + 1):
+            for p in range(len(t) - k + 1):
+                occ[(k, " ".join(t[p : p + k]))] += 1
+    out = {}
+    for d, t in docs.items():
+        best = {p: 0 for p in range(len(t))}
+        for k in range(1, len(t) + 1):
+            for p in range(len(t) - k + 1):
+                if occ[(k, " ".join(t[p : p + k]))] >= 2:
+                    best[p] = max(best[p], k)
+        mx = max(best.values()) if best else 0
+        out[d] = (mx, sum(1 for v in best.values() if v == mx))
+    return out
+
+
+def _run(spark, df):
+    return {
+        r.doc_id: (r.span_exact, r.n_at_max)
+        for r in SX.suffix_span_exact(df).collect()
+    }
+
+
+def test_suffix_span_matches_python_brute(spark):
+    """Exactness on the real smoke corpus: every document's uncapped
+    longest duplicated span and achieving-position count equal an
+    independent O(n²) python brute force."""
+    df = load_table(spark, SF_SMOKE, "documents")
+    got = _run(spark, df)
+    want = _brute(
+        {r.doc_id: r.text.split(" ") for r in df.collect()}
+    )
+    assert got == want
+
+
+def test_suffix_span_planted(spark):
+    """Known-by-construction answers: a 40-token run shared by two docs
+    gives exactly 40 (not a pow2 approximation); identical docs give
+    their full length; within-doc self-repeat gives the phrase length;
+    disjoint-vocabulary doc gives 0."""
+    shared = [f"s{i}" for i in range(40)]
+    texts = [
+        " ".join([f"a{i}" for i in range(5)] + shared + ["a99"]),
+        " ".join([f"b{i}" for i in range(3)] + shared),
+        " ".join(f"c{i}" for i in range(20)),
+        " ".join(f"c{i}" for i in range(20)),
+        " ".join([f"p{i}" for i in range(7)] + ["sep"] + [f"p{i}" for i in range(7)]),
+        " ".join(f"u{i}" for i in range(12)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = _run(spark, df)
+    assert got[0][0] == 40 and got[1][0] == 40
+    # identical docs: only position 1 starts a full-length duplicated gram
+    assert got[2] == (20, 1) and got[3] == (20, 1)
+    assert got[4][0] == 7
+    assert got[5] == (0, 12)  # no dup anywhere: every position best=0
+    assert got == _brute({i: t.split(" ") for i, t in enumerate(texts)})
+
+
+def test_rank_strategies_agree(spark):
+    """The distributed (range-partitioned + broadcast offsets) rank path
+    must equal the single-partition window path bit-for-bit — the
+    operator switches between them on input size alone."""
+    df = load_table(spark, SF_SMOKE, "documents").limit(120)
+    got_window = _run(spark, df)
+    prev = SX.DISTRIBUTED_RANK_THRESHOLD
+    SX.DISTRIBUTED_RANK_THRESHOLD = 0
+    try:
+        got_dist = _run(spark, df)
+    finally:
+        SX.DISTRIBUTED_RANK_THRESHOLD = prev
+    assert got_window == got_dist
+
+
+def test_global_dense_rank_is_dense_and_ordered(spark):
+    """global_dense_rank (distributed path): gr is 0-based, dense, and
+    follows key order; ties share a rank."""
+    df = spark.createDataFrame(
+        [(v,) for v in [5, 3, 9, 3, 5, 1]], "x long"
+    )
+    out = {
+        (r.x, r.gr)
+        for r in SX.global_dense_rank(df, ["x"], distributed=True).collect()
+    }
+    assert out == {(1, 0), (3, 1), (5, 2), (9, 3)} | {(3, 1), (5, 2)}

@@ -18,6 +18,24 @@ from ohlc_spark_streaming_spark.registry import QUERIES  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 NOTES = {
+    "dedup_span_suffix": (
+        "Distributed suffix array in Catalyst: one row per TOKEN through "
+        "ceil(log2 max_doc_len) prefix-doubling rounds, each one "
+        "equi-join (r_d at pos+d, -1 past end) + one global dense rank + "
+        "a localCheckpoint — the checkpoint is MANDATORY, each round "
+        "reads its predecessor twice so an unchecked logical plan "
+        "doubles per round (observed optimizer OOM at 9 rounds). The "
+        "global rank is size-adaptive: below 5M tokens a single-"
+        "partition window (one task beats a range shuffle's per-round "
+        "scheduling cost ~5x: 48s -> 8.3s at sf0.1); above, "
+        "repartitionByRange + per-partition dense_rank + broadcast "
+        "distinct-count offsets — no single-partition funnel at cluster "
+        "scale, path equality pinned in tests. LCP descent is 2 hash "
+        "joins per level over the adjacent-pair table; per-doc rollup "
+        "is two aggregations. The brute oracle is O(sum len^2) grams — "
+        "fine at sf0.01, and deliberately independent of the SA "
+        "machinery it checks."
+    ),
     "streaming_session_timers": (
         "The timer half of transformWithState (timeMode=EventTime): state "
         "is ONE open-session struct + ONE registered timer per user; "
