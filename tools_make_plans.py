@@ -34,7 +34,10 @@ NOTES = {
         "joins per level over the adjacent-pair table; per-doc rollup "
         "is two aggregations. The brute oracle is O(sum len^2) grams — "
         "fine at sf0.01, and deliberately independent of the SA "
-        "machinery it checks."
+        "machinery it checks. Known local limit: the descent retains "
+        "all ceil(log2 L) rank tables; at the 100x point (27M tokens) "
+        "the 16 GiB single-JVM OOMs — a cluster spills them per "
+        "executor; 10x is 5.6x = linear (SCALE.md)."
     ),
     "streaming_session_timers": (
         "The timer half of transformWithState (timeMode=EventTime): state "
