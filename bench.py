@@ -174,6 +174,7 @@ HEADLINE = [
     "dedup_span_pow2",
     "streaming_dedup_then_candles",
     "dedup_span_suffix",
+    "streaming_semi_join",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1373,3 +1373,61 @@ def q_streaming_dedup_then_candles(
     )
     name = f"stream_dedup_candles_{next(_counter)}"
     return run_to_memory(candles, name, output_mode="complete")
+
+
+@register(
+    "streaming_semi_join",
+    """
+SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR
+  )
+""",
+)
+def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: purchases with at least one
+    same-user view in the preceding 2 hours, each emitted exactly ONCE
+    with left columns only — the streaming existence filter. An inner
+    join fans out per matching view and needs a stateful dedup behind it;
+    the semi join answers the predicate inside the join state machine.
+    Completes the stream-stream join family (inner `streaming_interval_
+    join`, left-outer in streaming/joins.py, semi here). Oracle: the
+    equivalent EXISTS subquery."""
+    from ..streaming.joins import interval_join_left_semi
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    out = interval_join_left_semi(
+        purchases.withColumnRenamed("user_id", "key_id"),
+        views.withColumnRenamed("v_user_id", "key_id"),
+        key="key_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        lookback="2 hours",
+        watermark="1 hour",
+    ).select(
+        "purchase_id",
+        F.col("key_id").alias("user_id"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    name = f"stream_semi_{next(_counter)}"
+    return run_to_memory(out, name, output_mode="append")

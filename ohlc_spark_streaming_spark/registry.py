@@ -206,7 +206,8 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "streaming_dedup_then_candles",
     # round-9 addition: suffix-array exact span dedup (took similarity_ivf_topk's slot)
     "dedup_span_suffix",
-    "pyds_stream_tick_summary",
+    # round-9 addition: stream-stream left-semi join (took pyds_stream_tick_summary's slot)
+    "streaming_semi_join",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

@@ -82,3 +82,24 @@ def _interval_join(
     )
     joined = left.alias("l").join(right.alias("r"), cond, how)
     return joined.drop(rk)
+
+
+def interval_join_left_semi(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: left rows with AT LEAST ONE
+    in-band right match, emitted exactly once with left columns only — the
+    streaming existence filter ("purchases preceded by a view") that an
+    inner join would fan out per match and a downstream distinct would pay
+    an extra stateful aggregation for. Same banded state-eviction story as
+    :func:`interval_join`; completes the family (inner / left-outer /
+    semi)."""
+    return _interval_join(
+        left, right, key, left_ts, right_ts, lookback, watermark, "left_semi"
+    )
