@@ -266,7 +266,7 @@ def suffix_span_exact(
 
     # Per-suffix best neighbor LCP (pred or succ), then per-doc max +
     # count of positions achieving it.
-    per_suffix = (
+    pair_best = (
         capped.select(
             F.col("a_doc").alias("doc_id"),
             F.col("a_pos").alias("pos"),
@@ -281,6 +281,17 @@ def suffix_span_exact(
         )
         .groupBy("doc_id", "pos")
         .agg(F.max("lcp").alias("best"))
+    )
+    # LEFT join from ALL positions: with n ≥ 2 suffixes every position
+    # appears in an adjacent pair, but the degenerate single-suffix
+    # corpus has none — its position still achieves best = 0 and must
+    # count toward n_at_max (hypothesis-found edge).
+    per_suffix = (
+        toks.select("doc_id", "pos")
+        .join(pair_best, ["doc_id", "pos"], "left")
+        .select(
+            "doc_id", "pos", F.coalesce(F.col("best"), F.lit(0)).alias("best")
+        )
     )
     per_doc = per_suffix.groupBy("doc_id").agg(
         F.max("best").alias("span_exact")
