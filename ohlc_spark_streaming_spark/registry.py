@@ -135,10 +135,22 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 )
 
 #: Round-9 rotation: token_id_encode (r8 red, fixed) + all 42 r4-era
-#: re-checks + 6 r5-era tail slots surrendered to round-9 additions as
-#: they land. The streaming LSH near-dup design constraint from the r8
-#: prep note applies: identical-set collapse must live INSIDE the
-#: bucket state or the 10x duplication sweep goes k-squared.
+#: re-checks + 6 tail slots, all six taken by round-9 additions
+#: (streaming_dedup_minhash, streaming_session_timers, dedup_span_pow2,
+#: streaming_dedup_then_candles, dedup_span_suffix, streaming_semi_join).
+#:
+#: ROUND-10 PREP (apply at the START of round 10, never mid-round):
+#: backlog stays 0 — every query has a driver row. The oldest remaining
+#: re-checks are the 49 r5-era rows (bm25_search, cdc_merge_orders,
+#: scd2_user_state, join_asof_forward/nearest/bucketed,
+#: similarity_ivf_topk, pyds_* pair, streaming r5 twins, text battery
+#: ...); they fill the 49 rotation slots exactly, so round-10 additions
+#: displace the LEAST-RISKY re-checks from the tail (keep the dedup pair
+#: joins and as-of family in). Candidate round-10 operators: exact-ℓ
+#: suffix LCP without retaining all rank tables (fixes the documented
+#: 16 GiB 100x OOM — release levels progressively by materializing the
+#: pair table per descent round), and a 100x timing for
+#: streaming_dedup_minhash (needs a >590s chunk budget or fewer samples).
 DRIVER_ROTATION: tuple[str, ...] = (
     # --- The round-8 red (driver canonicalizer fix): must re-check ---
     "token_id_encode",
