@@ -119,14 +119,12 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # (green) driver CORRECTNESS row, until every oracle-backed query has one
 # (tracked in ROTATION.md — regenerate with tools_rotation.py).
 #
-# Round-9 window (VERDICT r8 items 1+3): the backlog is ZERO (every
-# query has a driver row as of r8), so the window is pure
-# re-verification: `token_id_encode` first (its r8 row is red — the
-# driver canonicalizer choked on the raw array column, fixed to a
-# space-joined string this round), then ALL 42 r4-era rows (the oldest
-# remaining driver rows), then a 6-slot r5-era tail that round-9
-# additions take over as they land (streaming LSH near-dup, TWS
-# timer/TTL exhibits) — additions ≤ tail keeps the backlog at zero.
+# Round-10 window (VERDICT r9 item 3, per the written prep note): the
+# backlog is ZERO and the oldest remaining driver rows are the 49
+# r5-era re-checks — they fill the 49 rotation slots exactly. Round-10
+# additions displace only the least-risky tail re-checks (short,
+# structurally simple queries green since r5); the dedup pair joins
+# and the as-of family stay in per the prep note.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
@@ -134,92 +132,80 @@ DRIVER_ANCHORS: tuple[str, ...] = (
     "ohlc_candles",
 )
 
-#: Round-9 rotation: token_id_encode (r8 red, fixed) + all 42 r4-era
-#: re-checks + 6 tail slots, all six taken by round-9 additions
-#: (streaming_dedup_minhash, streaming_session_timers, dedup_span_pow2,
-#: streaming_dedup_then_candles, dedup_span_suffix, streaming_semi_join).
+#: Round-10 rotation: all 49 r5-era re-checks (the oldest remaining
+#: driver rows). Ordered family-by-family with the LEAST-RISKY names at
+#: the tail — round-10 additions take tail slots as they land so the
+#: backlog stays at zero.
 #:
-#: ROUND-10 PREP (apply at the START of round 10, never mid-round):
-#: backlog stays 0 — every query has a driver row. The oldest remaining
-#: re-checks are the 49 r5-era rows (bm25_search, cdc_merge_orders,
-#: scd2_user_state, join_asof_forward/nearest/bucketed,
-#: similarity_ivf_topk, pyds_* pair, streaming r5 twins, text battery
-#: ...); they fill the 49 rotation slots exactly, so round-10 additions
-#: displace the LEAST-RISKY re-checks from the tail (keep the dedup pair
-#: joins and as-of family in). Candidate round-10 operators: exact-ℓ
-#: suffix LCP without retaining all rank tables (fixes the documented
-#: 16 GiB 100x OOM — release levels progressively by materializing the
-#: pair table per descent round), and a 100x timing for
-#: streaming_dedup_minhash (needs a >590s chunk budget or fewer samples).
+#: ROUND-11 PREP (apply at the START of round 11, never mid-round):
+#: backlog stays 0. The oldest remaining rows after this round are the
+#: 49 r6-era re-checks (rotation = whatever tools_rotation.py lists at
+#: round close); round-11 additions displace the least-risky tail as
+#: usual. Remaining frontier candidates: event-time TTL exhibit if
+#: Spark ever allows it (pinned ProcessingTime-only in r9), live Kafka
+#: integration if a broker appears.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # --- The round-8 red (driver canonicalizer fix): must re-check ---
-    "token_id_encode",
-    # --- Re-checks: ALL 42 r4-era rows (oldest remaining driver rows;
-    # --- per the ROUND-9 PREP plan) ---
-    # Reference parity / candles
-    "candle_serialize",
-    "derive_base",
-    "trade_pipeline",
-    "ohlc_candles_faithful",
-    "ohlc_sliding_candles",
-    "vwap_candles",
-    # TPC-H tail
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q7_nation_trade",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_effect",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_overstocked_suppliers",
-    "q22_dormant_customers",
-    # Relational / analytics battery
-    "rollup_lineitem",
-    "scalar_functions",
-    "window_rank_battery",
-    "session_windows_user",
-    # Sampling trio
-    "sample_stratified",
-    "sample_systematic",
-    "sample_weighted",
-    # Text battery
-    "text_langid",
-    "text_lm_coverage",
-    "text_quality",
-    "text_tfidf",
-    "quality_filter",
-    # Dedup / similarity / sketches
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_simhash",
-    "embedding_near_dup",
-    "similarity_topk",
-    "cms_token_counts",
-    "corpus_prep_pipeline",
-    "rag_retrieve_chunks",
+    # --- Re-checks: ALL 49 r5-era rows (oldest remaining driver rows;
+    # --- per the ROUND-10 PREP plan) ---
+    # Reference parity / candles / Python DataSource
+    "streaming_trade_pipeline",
+    "pyds_tick_summary",
+    "pyds_stream_tick_summary",
+    "candles_gap_fill",
+    "candle_mad_outliers",
+    # TPC-H tail / relational battery
+    "q12_priority_by_status",
+    "skyline_orders",
+    "latest_event_per_user",
+    "cohort_retention",
+    "funnel_conversion",
+    "session_funnel",
+    "interarrival_stats",
+    "anomaly_zscore_events",
+    "approx_distinct_parts",
+    "basket_part_pairs",
+    "fuzzy_match_parts",
+    "zorder_bucket_counts",
+    "dq_expectations",
+    "cdc_merge_orders",
+    "scd2_user_state",
+    # As-of join family (kept in per the prep note)
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_bucketed",
+    # Dedup / similarity (pair joins kept in per the prep note)
+    "dedup_jaccard_pairs",
+    "dedup_span_windows",
+    "similarity_ivf_topk",
+    "similarity_topk_vectorized",
+    "embeddings_stats",
+    # Text / LLM battery
+    "bm25_search",
+    "lm_bigram_topk",
+    "text_chunks",
+    "text_fingerprint",
+    "profile_documents",
+    "quality_classifier_bucket",
+    "split_drift_tvd",
+    "split_leakage_audit",
+    # Multimodal
+    "multimodal_blob_stats",
+    "multimodal_frame_sample",
+    "multimodal_image_decode",
+    "multimodal_meta_entries",
     # Streaming twins
-    "streaming_session_windows",
-    "streaming_sliding_candles",
-    # --- Tail (6): oldest r5-era re-checks; SURRENDER these slots to
-    # --- round-9 additions as they land (streaming LSH near-dup, TWS
-    # --- timer/TTL exhibits) so the backlog stays at zero ---
-    # round-9 addition: stateful LSH near-dup at ingest (took bm25_search's slot)
-    "streaming_dedup_minhash",
-    # round-9 addition: event-time-timer sessionization (took cdc_merge_orders' slot)
-    "streaming_session_timers",
-    # round-9 addition: pow2 longest-duplicated-span (took scd2_user_state's slot)
-    "dedup_span_pow2",
-    # round-9 addition: chained stateful dedup→candles (took join_asof_forward's slot)
-    "streaming_dedup_then_candles",
-    # round-9 addition: suffix-array exact span dedup (took similarity_ivf_topk's slot)
-    "dedup_span_suffix",
-    # round-9 addition: stream-stream left-semi join (took pyds_stream_tick_summary's slot)
-    "streaming_semi_join",
+    "streaming_anomaly_zscore",
+    "streaming_distinct_keys",
+    "streaming_quality_filter",
+    "streaming_stateful_error_counts",
+    "streaming_static_join",
+    # --- Tail (4): least-risky re-checks (short, structurally simple,
+    # --- green since r5); SURRENDER these slots to round-10 additions
+    # --- as they land so the backlog stays at zero ---
+    "orderby_limit_offset",
+    "string_agg_statuses",
+    "text_normalize",
+    "text_token_count",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)
