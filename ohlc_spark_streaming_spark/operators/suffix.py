@@ -30,6 +30,18 @@ Spark-first construction (no cap, no quadratic blowup):
 4. Per-document: exact span = max neighbor-LCP over its suffixes;
    ``n_at_max`` = how many of its positions achieve it.
 
+Memory discipline (the round-10 fix for the 100×/16 GiB cliff): every
+intermediate — the ⌈log₂ L⌉ rank tables, the token table, each descent
+level of the adjacent-pair frame — is localCheckpoint'd at
+``StorageLevel.DISK_ONLY`` (never resident in executor heap), its block
+ids are tracked at checkpoint time, and it is RELEASED (blocks dropped)
+the moment the next materialization no longer needs it: each rank table
+right after its descent level lands, each pairs level right after its
+successor lands, everything else when the final per-doc frame (one row
+per document) is materialized. Peak footprint is therefore O(tokens) on
+DISK plus ONE level in flight — not O(tokens · log L) in heap, which is
+what OOM'd a 16 GiB JVM at 27M tokens before this restructure.
+
 Cost: O(log L) rounds of {range sort, hash join} over one row per token
 — at 100 TB with 2k-token documents that is ~11 rounds over the token
 table, versus a 2000× gram blowup for the brute ladder (the DuckDB
@@ -39,7 +51,10 @@ the SA machinery end-to-end).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from typing import NamedTuple
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textops import tokens
@@ -55,15 +70,63 @@ DISTRIBUTED_RANK_THRESHOLD = 5_000_000
 #: scale this with input volume.
 _RANK_PARTITIONS = 8
 
+#: All suffix-machinery intermediates live on disk, never in executor
+#: heap — the tables are consumed a bounded number of times each, and
+#: heap residency is what turned O(log L) retained tables into an OOM.
+_SPILL = StorageLevel.DISK_ONLY
+
+
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    """Ids of every block-manager-persisted RDD (includes local
+    checkpoints, which `DataFrame.unpersist` cannot reach)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def release_blocks(spark: SparkSession, ids: set[int]) -> None:
+    """Drop the storage blocks of the given persisted-RDD ids (no-op for
+    ids already cleaned). For locally-checkpointed RDDs this FREES the
+    data irrevocably — only call once every consumer has materialized."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def _ckpt(df: DataFrame, track: list[int] | None = None) -> DataFrame:
+    """Eager DISK_ONLY localCheckpoint; appends the newly persisted RDD
+    ids to ``track`` so the caller can release them deterministically
+    (the id diff is snapshotted tightly around this one call)."""
+    spark = df.sparkSession
+    before = _persistent_ids(spark) if track is not None else set()
+    out = df.localCheckpoint(eager=True, storageLevel=_SPILL)
+    if track is not None:
+        track.extend(_persistent_ids(spark) - before)
+    return out
+
+
+class RankTable(NamedTuple):
+    """One prefix-doubling level: ``df`` dense-ranks each suffix's first
+    ``d`` tokens; ``ids`` are its checkpoint block ids for release."""
+
+    d: int
+    df: DataFrame
+    ids: tuple[int, ...]
+
 
 def global_dense_rank(
-    df: DataFrame, key_cols: list[str], distributed: bool = False
+    df: DataFrame,
+    key_cols: list[str],
+    distributed: bool = False,
+    track: list[int] | None = None,
 ) -> DataFrame:
     """Append a global 0-based DENSE rank column ``gr`` ordered by
-    ``key_cols``. Always returns a MATERIALIZED (localCheckpoint) frame:
-    every prefix-doubling round consumes its predecessor twice, so an
-    unchecked plan doubles per round — exponential plan size (observed:
-    optimizer OOM at 9 rounds).
+    ``key_cols``. Always returns a MATERIALIZED (DISK_ONLY
+    localCheckpoint) frame: every prefix-doubling round consumes its
+    predecessor twice, so an unchecked plan doubles per round —
+    exponential plan size (observed: optimizer OOM at 9 rounds). New
+    block ids are appended to ``track`` for deterministic release.
 
     Two strategies, chosen by the CALLER from the input size (the same
     size-adaptive choice AQE makes for joins):
@@ -82,16 +145,21 @@ def global_dense_rank(
     """
     if not distributed:
         w = Window.orderBy(*key_cols)
-        return df.withColumn(
-            "gr", (F.dense_rank().over(w) - 1).cast("long")
-        ).localCheckpoint(eager=True)
+        return _ckpt(
+            df.withColumn("gr", (F.dense_rank().over(w) - 1).cast("long")),
+            track,
+        )
     rp = df.repartitionByRange(_RANK_PARTITIONS, *key_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    rp = rp.persist()
+    rp = rp.persist(_SPILL)
+    # Distinct over the STRUCT of the keys, not count_distinct(*cols):
+    # the multi-column form skips rows where ANY key is NULL, which
+    # would shift every later partition's offset; a struct is non-null
+    # even with null fields, matching dense_rank's nulls-first order.
     counts = (
         rp.groupBy("_pid")
-        .agg(F.count_distinct(*[F.col(c) for c in key_cols]).alias("_n"))
+        .agg(F.count_distinct(F.struct(*key_cols)).alias("_n"))
         .collect()
     )
     offsets = {}
@@ -104,12 +172,12 @@ def global_dense_rank(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
     w = Window.partitionBy("_pid").orderBy(*key_cols)
-    out = (
+    out = _ckpt(
         rp.withColumn("_lr", F.dense_rank().over(w).cast("long"))
         .join(F.broadcast(off_df), "_pid")
         .withColumn("gr", F.col("_off") + F.col("_lr") - 1)
-        .drop("_pid", "_lr", "_off")
-        .localCheckpoint(eager=True)
+        .drop("_pid", "_lr", "_off"),
+        track,
     )
     rp.unpersist()
     return out
@@ -125,16 +193,20 @@ def _rank_lookup(ranks: DataFrame, tag: str) -> DataFrame:
 
 def suffix_rank_tables(
     tok: DataFrame, max_len: int, distributed: bool = False
-) -> list[tuple[int, DataFrame]]:
-    """Prefix-doubling rank tables ``[(d, ranks)]`` for d = 1, 2, 4, …
-    ≥ max_len. ``tok``: (doc_id, pos, token) with pos 1-based;
-    ``ranks``: (doc_id, pos, r) where r dense-ranks the suffix's first
-    d tokens (−1 sentinel for past-end comparisons). Each table is
-    persisted — callers release via ``release_rank_tables``."""
-    r = global_dense_rank(tok, ["token"], distributed).select(
+) -> list[RankTable]:
+    """Prefix-doubling rank tables for d = 1, 2, 4, … ≥ max_len.
+    ``tok``: (doc_id, pos, token) with pos 1-based; each table's ``df``
+    is (doc_id, pos, r) where r dense-ranks the suffix's first d tokens
+    (−1 sentinel for past-end comparisons). Each table is checkpointed
+    DISK_ONLY with its block ids captured — the LCP descent releases
+    level d the moment its contribution is materialized
+    (suffix_span_exact), and ``release_rank_tables`` frees any
+    remainder."""
+    track: list[int] = []
+    r = global_dense_rank(tok, ["token"], distributed, track).select(
         "doc_id", "pos", F.col("gr").alias("r")
     )
-    tables = [(1, r)]
+    tables = [RankTable(1, r, tuple(track))]
     d = 1
     while d < max_len:
         nxt = _rank_lookup(r, "n")
@@ -149,24 +221,38 @@ def suffix_rank_tables(
             F.col("r").alias("r1"),
             F.coalesce(F.col("n_r"), F.lit(-1)).alias("r2"),
         )
-        r = global_dense_rank(paired, ["r1", "r2"], distributed).select(
+        track = []
+        r = global_dense_rank(paired, ["r1", "r2"], distributed, track).select(
             "doc_id", "pos", F.col("gr").alias("r")
         )
         d *= 2
-        tables.append((d, r))
+        tables.append(RankTable(d, r, tuple(track)))
     return tables
+
+
+def release_rank_tables(
+    spark: SparkSession, tables: list[RankTable]
+) -> None:
+    """Free the checkpoint blocks of every table in the list."""
+    for t in tables:
+        release_blocks(spark, set(t.ids))
 
 
 def suffix_span_exact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact longest duplicated token-span per document (see module
-    docstring). Output: (doc_id, span_exact, n_at_max)."""
+    docstring). Output: (doc_id, span_exact, n_at_max), materialized —
+    by return time every intermediate's blocks (rank tables, token
+    table, descent levels) have been released, so back-to-back calls
+    hold one O(#docs) result frame, never O(tokens · log L)."""
+    spark = docs.sparkSession
+    tok_ids: list[int] = []
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(text_col)).alias("pos0", "token"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    toks = toks.localCheckpoint(eager=True)
+    toks = _ckpt(toks, tok_ids)
     doc_len = toks.groupBy("doc_id").agg(F.max("pos").alias("len"))
     stats = toks.groupBy().agg(
         F.max(F.col("pos")).alias("mx"), F.count(F.lit(1)).alias("n")
@@ -174,6 +260,7 @@ def suffix_span_exact(
     max_len, n_tokens = stats["mx"] or 0, stats["n"]
     distributed = n_tokens > DISTRIBUTED_RANK_THRESHOLD
     if max_len == 0:
+        release_blocks(spark, set(tok_ids))
         return docs.select(
             F.col(id_col).alias("doc_id"),
             F.lit(0).cast("long").alias("span_exact"),
@@ -181,14 +268,20 @@ def suffix_span_exact(
         )
 
     tables = suffix_rank_tables(toks, max_len, distributed)
-    final = tables[-1][1]
+    final = tables[-1].df
 
     # Suffix-array order: final rank ties = fully identical suffixes;
     # (r, doc, pos) makes the index key unique, and identical suffixes
     # end up adjacent regardless of the arbitrary tie order.
-    sa = global_dense_rank(final, ["r", "doc_id", "pos"], distributed).select(
-        "doc_id", "pos", F.col("gr").alias("idx")
-    )
+    sa_ids: list[int] = []
+    sa = global_dense_rank(
+        final, ["r", "doc_id", "pos"], distributed, sa_ids
+    ).select("doc_id", "pos", F.col("gr").alias("idx"))
+    # The last table is only a descent level when its d ≤ max_len; the
+    # overshoot table (d > max_len) has served its purpose once the SA
+    # order is materialized — free it now.
+    if tables[-1].d > max_len:
+        release_blocks(spark, set(tables[-1].ids))
     succ = sa.select(
         (F.col("idx") - 1).alias("idx"),
         F.col("doc_id").alias("b_doc"),
@@ -202,14 +295,19 @@ def suffix_span_exact(
         F.lit(0).cast("long").alias("lcp"),
     )
 
-    # Descend the rank tables: add d whenever the d-ranks agree at the
-    # lcp-shifted positions (absent = past end = no match).
-    for d, ranks in sorted(tables, key=lambda t: -t[0]):
-        if d > max_len:
+    # Descend the rank tables top-down: add d whenever the d-ranks agree
+    # at the lcp-shifted positions (absent = past end = no match). Each
+    # level MATERIALIZES the pairs frame (DISK_ONLY), then releases the
+    # table it consumed and the previous pairs level — the progressive
+    # release that bounds peak footprint to one level in flight.
+    prev_ids: set[int] = set(sa_ids)
+    for t in sorted(tables, key=lambda t: -t.d):
+        if t.d > max_len:
             continue
-        ra = _rank_lookup(ranks, "ra")
-        rb = _rank_lookup(ranks, "rb")
-        pairs = (
+        ra = _rank_lookup(t.df, "ra")
+        rb = _rank_lookup(t.df, "rb")
+        level_ids: list[int] = []
+        pairs = _ckpt(
             pairs.join(
                 ra,
                 (F.col("a_doc") == F.col("ra_doc"))
@@ -230,12 +328,15 @@ def suffix_span_exact(
                 F.when(
                     F.col("ra_r").isNotNull()
                     & (F.col("ra_r") == F.col("rb_r")),
-                    F.col("lcp") + F.lit(d),
+                    F.col("lcp") + F.lit(t.d),
                 )
                 .otherwise(F.col("lcp"))
                 .alias("lcp"),
-            )
+            ),
+            level_ids,
         )
+        release_blocks(spark, prev_ids | set(t.ids))
+        prev_ids = set(level_ids)
 
     # Padded-equal tail overshoots: cap by the shorter suffix.
     la = doc_len.select(
@@ -244,7 +345,8 @@ def suffix_span_exact(
     lb = doc_len.select(
         F.col("doc_id").alias("b_doc"), F.col("len").alias("b_len")
     )
-    capped = (
+    capped_ids: list[int] = []
+    capped = _ckpt(
         pairs.join(la, "a_doc")
         .join(lb, "b_doc")
         .select(
@@ -257,12 +359,12 @@ def suffix_span_exact(
                 F.col("a_len") - F.col("a_pos") + 1,
                 F.col("b_len") - F.col("b_pos") + 1,
             ).alias("lcp"),
-        )
-        # ONE materialization of the whole descent chain: the per-suffix
-        # union and the n_at_max probe below each read this twice — an
-        # unchained plan would re-execute the 14-join descent 4x+.
-        .localCheckpoint(eager=True)
+        ),
+        # The per-suffix union and the n_at_max probe below each read
+        # this twice — an unmaterialized plan would re-run the descent.
+        capped_ids,
     )
+    release_blocks(spark, prev_ids)
 
     # Per-suffix best neighbor LCP (pred or succ), then per-doc max +
     # count of positions achieving it.
@@ -316,4 +418,8 @@ def suffix_span_exact(
             .alias("n_at_max"),
         )
     )
+    # One row per DOCUMENT — materializing it lets every remaining
+    # token-sized intermediate (toks, capped) be freed before return.
+    out = _ckpt(out)
+    release_blocks(spark, set(tok_ids) | set(capped_ids))
     return out

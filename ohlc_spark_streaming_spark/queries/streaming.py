@@ -26,6 +26,11 @@ from ._oracles import OHLC_ORACLE as _OHLC_ORACLE
 
 _counter = itertools.count()
 
+#: Watermark delay (seconds) for the session-timer replay tape — shared
+#: by the withWatermark call and the sentinel-row offset so the two can
+#: never drift apart.
+_SESSION_WM_DELAY_S = 120
+
 
 @register("streaming_ohlc_candles", _OHLC_ORACLE)
 def q_streaming_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,10 +1278,11 @@ def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no complete-mode re-emission of the whole result per batch, which
     is what makes this the 100 TB session shape while the built-in
     session_window twin (streaming_session_windows) must run complete."""
+    import datetime
     import shutil
     import tempfile
 
-    from ..streaming.stateful import tws_session_timers
+    from ..streaming.stateful import SESSION_GAP_US, tws_session_timers
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
@@ -1288,8 +1294,13 @@ def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         ev.coalesce(1).write.mode("append").parquet(tape)
         ev_parts = {f for f in os.listdir(tape) if f.endswith(".parquet")}
-        sentinel_ts = max_ts + __import__("datetime").timedelta(
-            hours=4, minutes=2, seconds=1
+        # Sentinel = max real ts + gap + watermark delay + 1s margin,
+        # DERIVED from the same constants the operator and the
+        # withWatermark call below use — a drifted literal would let
+        # final-session timers land past the last watermark and
+        # silently drop sessions (ADVICE r9).
+        sentinel_ts = max_ts + datetime.timedelta(
+            microseconds=SESSION_GAP_US, seconds=_SESSION_WM_DELAY_S + 1
         )
         spark.createDataFrame(
             [(-1, sentinel_ts, -1, 0.0)],
@@ -1314,7 +1325,7 @@ def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", "1")
             .parquet(tape)
             .withColumn("ts", F.col("ts").cast("timestamp"))
-            .withWatermark("ts", "2 minutes")
+            .withWatermark("ts", f"{_SESSION_WM_DELAY_S} seconds")
         )
         log = _run_tws(
             spark,

@@ -199,3 +199,29 @@ def test_shingle_profiles_equals_sets_plus_fingerprints(spark):
     for k, (units, n_units, sim) in prof.items():
         assert (units, n_units) == sets[k], k
         assert sim == fps[k], k
+
+
+def test_shingle_units_expr_equals_shingle_sets(spark):
+    """shingle_units_expr (narrow, per-row — the streaming ingest twin)
+    must produce the SAME distinct unit set per document as shingle_sets
+    (dictionary-encoded batch path) — the direct parity assertion its
+    docstring promises (ADVICE r9; previously only pinned end-to-end via
+    test_streaming_neardup's batch-parity checks)."""
+    from ohlc_spark_streaming_spark.operators.dedup import (
+        shingle_sets,
+        shingle_units_expr,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    narrow = {
+        r.doc_id: sorted(r.units)
+        for r in docs.select(
+            "doc_id", shingle_units_expr("text").alias("units")
+        ).collect()
+        if r.units
+    }
+    batch = {
+        r.doc_id: sorted(r.units) for r in shingle_sets(docs).collect()
+    }
+    assert narrow == batch
+    assert narrow, "empty corpus would vacuously pass"

@@ -109,3 +109,46 @@ def test_global_dense_rank_is_dense_and_ordered(spark):
         for r in SX.global_dense_rank(df, ["x"], distributed=True).collect()
     }
     assert out == {(1, 0), (3, 1), (5, 2), (9, 3)} | {(3, 1), (5, 2)}
+
+
+def test_suffix_span_releases_intermediates(spark):
+    """Progressive release (round-10 memory-cliff fix): by the time
+    suffix_span_exact returns, every rank table / token table / descent
+    level has had its checkpoint blocks dropped — only the one-row-per-
+    doc result frame may remain persisted. Retention used to be
+    O(log max_len) token-sized tables, the documented 16 GiB 100x OOM."""
+    texts = [" ".join(f"w{i}_{j}" for j in range(70)) for i in range(6)]
+    texts.append(texts[0])  # one duplicated doc so spans are non-trivial
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    before = SX._persistent_ids(spark)
+    out = SX.suffix_span_exact(df)
+    n = out.count()
+    leaked = SX._persistent_ids(spark) - before
+    # max_len=70 -> 8 rank tables + sa + 8 descent levels + toks +
+    # capped would be ~19 retained frames without release; the result
+    # checkpoint is the only allowed survivor.
+    assert n == 7
+    assert len(leaked) <= 1, f"leaked persisted RDDs: {leaked}"
+    SX.release_blocks(spark, leaked)
+
+
+def test_global_dense_rank_distributed_null_keys(spark):
+    """Distributed-path offsets must count null keys: count_distinct
+    over the raw columns skips NULL rows and silently shifts every
+    later partition's offset (ADVICE r9); the struct form counts them.
+    Equality with the single-partition window path pins it."""
+    df = spark.createDataFrame(
+        [(v,) for v in [None, 5, None, 3, 9, 3, None, 1]], "x long"
+    )
+    got_dist = {
+        (r.x, r.gr)
+        for r in SX.global_dense_rank(df, ["x"], distributed=True).collect()
+    }
+    got_win = {
+        (r.x, r.gr)
+        for r in SX.global_dense_rank(df, ["x"], distributed=False).collect()
+    }
+    assert got_dist == got_win
+    assert {g for _, g in got_dist} == {0, 1, 2, 3, 4}
