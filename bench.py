@@ -175,6 +175,7 @@ HEADLINE = [
     "streaming_dedup_then_candles",
     "dedup_span_suffix",
     "streaming_semi_join",
+    "streaming_anti_join",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

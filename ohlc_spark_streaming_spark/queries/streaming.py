@@ -1442,3 +1442,147 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_semi_{next(_counter)}"
     return run_to_memory(out, name, output_mode="append")
+
+
+#: Band / watermark for the anti-join tape, shared by the join kwargs,
+#: the sentinel offset, and the oracle's INTERVAL literal (same
+#: no-drift rule as _SESSION_WM_DELAY_S).
+_ANTI_LOOKBACK_S = 7200
+_ANTI_WM_DELAY_S = 3600
+
+#: Positive, outside any real user-id range: the sentinel must SURVIVE
+#: every pushed-down scan predicate to reach the watermark nodes.
+_ANTI_SENTINEL_USER = 1 << 40
+
+
+@register(
+    "streaming_anti_join",
+    f"""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events v
+    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL {_ANTI_LOOKBACK_S} SECOND
+  )
+""",
+)
+def q_streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT ANTI interval join: purchases with NO same-user
+    view in the preceding {_ANTI_LOOKBACK_S}s band, each emitted exactly
+    once with left columns only — the streaming complement of
+    `streaming_semi_join` and the shape ingest dedup / late-enrichment
+    pipelines ask for ("records that never got their companion event").
+    Spark has no native streaming anti join; streaming/joins.py composes
+    the left-outer state machine with a right-side probe column
+    (interval_join_left_anti), so every emission carries a watermark
+    proof that no in-band match can still arrive.
+
+    That proof is also why the bounded replay needs PUNCTUATION rows:
+    the final watermark sits delay behind max(ts), which would withhold
+    the last hour of genuine anti matches. The tape therefore ends with
+    TWO sentinel files at max(ts) + lookback + delay + 1s (and +2s) —
+    mtime-stamped LAST in order (file-source replay is mtime-ordered)
+    and kept FLOWING THROUGH both watermark nodes (filters admit
+    event_type 'sentinel' on both sides) because watermarks only advance
+    on rows that reach them. Two, not one: a batch EVICTS with the
+    watermark computed at the END of the PREVIOUS batch, and availableNow
+    stops at the last data batch — with a single sentinel the
+    beyond-everything watermark exists but no batch ever evicts with it
+    (observed: the last ~watermark-delay of genuine anti rows withheld).
+    The sentinels' own emissions self-exclude twice over (each left
+    sentinel has an in-band right sentinel match, and the final watermark
+    stays delay behind the last sentinel); a guard on the RESULT table
+    backstops that. The guard must NOT sit in the streaming plan: the
+    sentinels carry a positive non-existent user_id and the filter runs
+    batch-side because Catalyst pushes left-column predicates through
+    the join into BOTH scans (join-key constraint propagation) — a
+    streaming-side user_id guard filtered the sentinels out AT THE SCAN,
+    the watermark nodes never saw them, and the last watermark-delay of
+    genuine anti rows was silently withheld (observed, round 10).
+    Oracle: the equivalent NOT EXISTS, exact because the tape is closed."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.joins import interval_join_left_anti
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
+    tape = tempfile.mkdtemp(prefix="anti_tape_")
+    try:
+        ev.coalesce(1).write.mode("append").parquet(tape)
+        ev_parts = {f for f in os.listdir(tape) if f.endswith(".parquet")}
+        seen = set(ev_parts)
+        for i in (1, 2):
+            sentinel_ts = max_ts + datetime.timedelta(
+                seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
+            )
+            spark.createDataFrame(
+                [(-i, sentinel_ts, _ANTI_SENTINEL_USER, "sentinel")],
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string",
+            ).selectExpr(
+                "event_id",
+                "cast(ts as timestamp) as ts",
+                "user_id",
+                "event_type",
+            ).coalesce(1).write.mode("append").parquet(tape)
+            new_parts = {
+                f
+                for f in os.listdir(tape)
+                if f.endswith(".parquet") and f not in seen
+            }
+            for f in new_parts:
+                os.utime(
+                    os.path.join(tape, f), (1_000_000 + 10 * i,) * 2
+                )
+            seen |= new_parts
+        for f in ev_parts:
+            os.utime(os.path.join(tape, f), (1_000_000,) * 2)
+        schema = spark.read.parquet(tape).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tape)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        purchases = stream.where(
+            F.col("event_type").isin("purchase", "sentinel")
+        ).select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        views = stream.where(
+            F.col("event_type").isin("view", "sentinel")
+        ).select(
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        out = interval_join_left_anti(
+            purchases,
+            views,
+            key="key_id",
+            left_ts="purchase_ts",
+            right_ts="view_ts",
+            lookback=f"{_ANTI_LOOKBACK_S} seconds",
+            watermark=f"{_ANTI_WM_DELAY_S} seconds",
+        ).select(
+            "purchase_id",
+            F.col("key_id").alias("user_id"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+        name = f"stream_anti_{next(_counter)}"
+        # Sentinel guard BATCH-side (see docstring: a streaming-side
+        # filter would be pushed into the scans and starve the
+        # watermark).
+        return run_to_memory(out, name, output_mode="append").where(
+            F.col("user_id") != _ANTI_SENTINEL_USER
+        )
+    finally:
+        shutil.rmtree(tape, ignore_errors=True)

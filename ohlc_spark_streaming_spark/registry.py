@@ -205,7 +205,9 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "orderby_limit_offset",
     "string_agg_statuses",
     "text_normalize",
-    "text_token_count",
+    # round-10 addition: stream-stream left-anti interval join (took
+    # text_token_count's slot)
+    "streaming_anti_join",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

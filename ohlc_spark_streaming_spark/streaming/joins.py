@@ -103,3 +103,40 @@ def interval_join_left_semi(
     return _interval_join(
         left, right, key, left_ts, right_ts, lookback, watermark, "left_semi"
     )
+
+
+def interval_join_left_anti(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT ANTI stream-stream interval join: left rows with NO in-band
+    right match, left columns only — the streaming complement of
+    :func:`interval_join_left_semi` (dedup and late-enrichment pipelines:
+    "purchases with no preceding view"). Spark's streaming join state
+    machine accepts inner/outer/semi but NOT anti (probed on 4.1.2 —
+    pinned in tests/test_streaming.py), so this composes the SAME state
+    machine: left-outer plus a non-null probe column on the right, then
+    keep only null-probe rows. Emissions carry the identical watermark
+    proof an outer null-match does — a left row is released only once
+    the watermark shows no in-band right row can still arrive, so state
+    stays ``O(rate × (lookback + watermark))``. Bounded replays that
+    need the COMPLETE answer must close the tape with a
+    watermark-advancing sentinel (see q_streaming_anti_join)."""
+    probe = "__anti_probe__"
+    out_cols = list(left.columns)
+    j = _interval_join(
+        left,
+        right.withColumn(probe, F.lit(1)),
+        key,
+        left_ts,
+        right_ts,
+        lookback,
+        watermark,
+        "leftOuter",
+    )
+    return j.where(F.col(probe).isNull()).select(*out_cols)

@@ -289,6 +289,102 @@ def test_streaming_left_outer_interval_join(spark):
     assert any(t[1] is None for t in got)
 
 
+def test_streaming_left_anti_interval_join(spark):
+    """Left-anti stream-stream interval join (leftOuter + null-probe
+    composition — Spark has no native streaming anti, pinned below):
+    every emission must exist in the batch NOT-EXISTS answer, matched
+    rows must never appear, and without a tape-closing sentinel the
+    watermark WITHHOLDS trailing rows — emitted ⊂ batch answer is the
+    semantics, exact equality is what the sentinel-closed oracle query
+    (streaming_anti_join) proves."""
+    from ohlc_spark_streaming_spark.streaming.joins import (
+        interval_join_left_anti,
+        interval_join_left_semi,
+    )
+
+    def sides(df):
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        views = df.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        return purchases, views
+
+    kw = dict(
+        key="key_id", left_ts="purchase_ts", right_ts="view_ts",
+        lookback="2 hours", watermark="1 hour",
+    )
+    sp, sv = sides(events_stream(spark, SF_SMOKE))
+    out = run_to_memory(
+        interval_join_left_anti(sp, sv, **kw).select("purchase_id"),
+        "anti_interval",
+        output_mode="append",
+    )
+    bp, bv = sides(load_table(spark, SF_SMOKE, "events"))
+    batch_anti = interval_join_left_anti(bp, bv, **kw).select("purchase_id")
+    batch_semi = interval_join_left_semi(bp, bv, **kw).select("purchase_id")
+
+    got = {r.purchase_id for r in out.collect()}
+    want = {r.purchase_id for r in batch_anti.collect()}
+    matched = {r.purchase_id for r in batch_semi.collect()}
+    # Emissions are sound (never a matched purchase, never outside the
+    # batch anti answer) and the anti path actually fires.
+    assert got <= want
+    assert not (got & matched)
+    assert got
+    # Watermark-withholding: without a sentinel the last EVICTING
+    # watermark is min(max purchase ts, max view ts) - delay — each
+    # watermark node only sees its own filtered side, and the final
+    # no-data batch evicts with the watermark of the last data batch.
+    # Everything at/after that boundary must be withheld, everything
+    # strictly before it must have been emitted.
+    import datetime
+
+    max_p = max(r.purchase_ts for r in bp.collect())
+    max_v = max(r.view_ts for r in bv.collect())
+    final_wm = min(max_p, max_v) - datetime.timedelta(hours=1)
+    ts_of = {r.purchase_id: r.purchase_ts for r in bp.collect()}
+    withheld = want - got
+    assert withheld == {p for p in want if ts_of[p] >= final_wm}
+
+
+def test_streaming_native_left_anti_unsupported(spark):
+    """Pin the composition's reason to exist: Spark's streaming join
+    state machine rejects a NATIVE left_anti stream-stream join (if this
+    ever starts passing, replace the composition in
+    interval_join_left_anti with the native join type)."""
+    import pytest
+
+    from ohlc_spark_streaming_spark.streaming.joins import _interval_join
+
+    def sides(df):
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        views = df.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        return purchases, views
+
+    sp, sv = sides(events_stream(spark, SF_SMOKE))
+    native = _interval_join(
+        sp, sv, "key_id", "purchase_ts", "view_ts",
+        "2 hours", "1 hour", "left_anti",
+    )
+    with pytest.raises(Exception, match="(?i)anti|not supported"):
+        run_to_memory(
+            native.select("purchase_id"), "anti_native", output_mode="append"
+        )
+
+
 def _protobuf_ok() -> bool:
     from ohlc_spark_streaming_spark._compat import ensure_protobuf
 
