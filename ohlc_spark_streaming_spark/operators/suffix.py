@@ -30,9 +30,10 @@ Spark-first construction (no cap, no quadratic blowup):
 4. Per-document: exact span = max neighbor-LCP over its suffixes;
    ``n_at_max`` = how many of its positions achieve it.
 
-Memory discipline (the round-10 fix for the 100×/16 GiB cliff): every
-intermediate — the ⌈log₂ L⌉ rank tables, the token table, each descent
-level of the adjacent-pair frame — is localCheckpoint'd at
+Memory discipline (the round-10 fix for the 100×/16 GiB cliff):
+above DISTRIBUTED_RANK_THRESHOLD tokens every intermediate — the
+⌈log₂ L⌉ rank tables, the token table, each descent level of the
+adjacent-pair frame — is localCheckpoint'd at
 ``StorageLevel.DISK_ONLY`` (never resident in executor heap), its block
 ids are tracked at checkpoint time, and it is RELEASED (blocks dropped)
 the moment the next materialization no longer needs it: each rank table
@@ -40,7 +41,12 @@ right after its descent level lands, each pairs level right after its
 successor lands, everything else when the final per-doc frame (one row
 per document) is materialized. Peak footprint is therefore O(tokens) on
 DISK plus ONE level in flight — not O(tokens · log L) in heap, which is
-what OOM'd a 16 GiB JVM at 27M tokens before this restructure.
+what OOM'd a 16 GiB JVM at 27M tokens before this restructure
+(measured after: 27M tokens in ~400s on the same 16 GiB JVM). BELOW the
+threshold the retained tables are megabytes, so the descent stays one
+lazy plan with a single materialization at the end (the ~log L extra
+per-level checkpoints cost ~2× wall-time at 270k tokens) — everything
+is still released before return, just all at once.
 
 Cost: O(log L) rounds of {range sort, hash join} over one row per token
 — at 100 TB with 2k-token documents that is ~11 rounds over the token
@@ -94,13 +100,19 @@ def release_blocks(spark: SparkSession, ids: set[int]) -> None:
             jrdd.unpersist(False)
 
 
-def _ckpt(df: DataFrame, track: list[int] | None = None) -> DataFrame:
-    """Eager DISK_ONLY localCheckpoint; appends the newly persisted RDD
-    ids to ``track`` so the caller can release them deterministically
-    (the id diff is snapshotted tightly around this one call)."""
+def _ckpt(
+    df: DataFrame, track: list[int] | None = None, spill: bool = False
+) -> DataFrame:
+    """Eager localCheckpoint — DISK_ONLY when ``spill`` (the
+    above-threshold path keeps nothing in executor heap), default
+    storage below it; appends the newly persisted RDD ids to ``track``
+    so the caller can release them deterministically (the id diff is
+    snapshotted tightly around this one call)."""
     spark = df.sparkSession
     before = _persistent_ids(spark) if track is not None else set()
-    out = df.localCheckpoint(eager=True, storageLevel=_SPILL)
+    out = df.localCheckpoint(
+        eager=True, storageLevel=_SPILL if spill else None
+    )
     if track is not None:
         track.extend(_persistent_ids(spark) - before)
     return out
@@ -120,6 +132,7 @@ def global_dense_rank(
     key_cols: list[str],
     distributed: bool = False,
     track: list[int] | None = None,
+    spill: bool = False,
 ) -> DataFrame:
     """Append a global 0-based DENSE rank column ``gr`` ordered by
     ``key_cols``. Always returns a MATERIALIZED (DISK_ONLY
@@ -148,6 +161,7 @@ def global_dense_rank(
         return _ckpt(
             df.withColumn("gr", (F.dense_rank().over(w) - 1).cast("long")),
             track,
+            spill,
         )
     rp = df.repartitionByRange(_RANK_PARTITIONS, *key_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -178,6 +192,7 @@ def global_dense_rank(
         .withColumn("gr", F.col("_off") + F.col("_lr") - 1)
         .drop("_pid", "_lr", "_off"),
         track,
+        spill,
     )
     rp.unpersist()
     return out
@@ -192,7 +207,10 @@ def _rank_lookup(ranks: DataFrame, tag: str) -> DataFrame:
 
 
 def suffix_rank_tables(
-    tok: DataFrame, max_len: int, distributed: bool = False
+    tok: DataFrame,
+    max_len: int,
+    distributed: bool = False,
+    spill: bool = False,
 ) -> list[RankTable]:
     """Prefix-doubling rank tables for d = 1, 2, 4, … ≥ max_len.
     ``tok``: (doc_id, pos, token) with pos 1-based; each table's ``df``
@@ -203,7 +221,7 @@ def suffix_rank_tables(
     (suffix_span_exact), and ``release_rank_tables`` frees any
     remainder."""
     track: list[int] = []
-    r = global_dense_rank(tok, ["token"], distributed, track).select(
+    r = global_dense_rank(tok, ["token"], distributed, track, spill).select(
         "doc_id", "pos", F.col("gr").alias("r")
     )
     tables = [RankTable(1, r, tuple(track))]
@@ -222,9 +240,9 @@ def suffix_rank_tables(
             F.coalesce(F.col("n_r"), F.lit(-1)).alias("r2"),
         )
         track = []
-        r = global_dense_rank(paired, ["r1", "r2"], distributed, track).select(
-            "doc_id", "pos", F.col("gr").alias("r")
-        )
+        r = global_dense_rank(
+            paired, ["r1", "r2"], distributed, track, spill
+        ).select("doc_id", "pos", F.col("gr").alias("r"))
         d *= 2
         tables.append(RankTable(d, r, tuple(track)))
     return tables
@@ -242,32 +260,47 @@ def suffix_span_exact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact longest duplicated token-span per document (see module
-    docstring). Output: (doc_id, span_exact, n_at_max), materialized —
-    by return time every intermediate's blocks (rank tables, token
-    table, descent levels) have been released, so back-to-back calls
-    hold one O(#docs) result frame, never O(tokens · log L)."""
+    docstring). Output: (doc_id, span_exact, n_at_max) — by return
+    time the O(log L) rank tables have been released in BOTH modes;
+    retention is never O(tokens · log L) again.
+
+    Above DISTRIBUTED_RANK_THRESHOLD tokens the release is PROGRESSIVE
+    (per descent level, DISK_ONLY storage — the 100× memory-cliff fix)
+    and the returned frame is materialized with everything else freed;
+    below it the descent runs as one lazy plan, the rank tables are
+    bulk-released once the capped pair frame materializes, and only the
+    token table + pair frame (two O(tokens) frames, megabytes at this
+    tier) ride along with the returned lazy plan until the caller drops
+    it.
+    """
     spark = docs.sparkSession
-    tok_ids: list[int] = []
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("pos0", "token"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    toks = _ckpt(toks, tok_ids)
-    doc_len = toks.groupBy("doc_id").agg(F.max("pos").alias("len"))
-    stats = toks.groupBy().agg(
-        F.max(F.col("pos")).alias("mx"), F.count(F.lit(1)).alias("n")
+    # Corpus stats BEFORE exploding: one narrow aggregate over documents
+    # decides strategy AND storage level, so the token table itself can
+    # be checkpointed at the right tier from the start.
+    n_tok_col = F.size(tokens(text_col))
+    stats = docs.agg(
+        F.max(n_tok_col).alias("mx"),
+        F.sum(n_tok_col.cast("long")).alias("n"),
     ).collect()[0]
-    max_len, n_tokens = stats["mx"] or 0, stats["n"]
+    max_len, n_tokens = stats["mx"] or 0, stats["n"] or 0
     distributed = n_tokens > DISTRIBUTED_RANK_THRESHOLD
+    progressive = distributed  # retention is MBs below the threshold
     if max_len == 0:
-        release_blocks(spark, set(tok_ids))
         return docs.select(
             F.col(id_col).alias("doc_id"),
             F.lit(0).cast("long").alias("span_exact"),
             F.lit(0).cast("long").alias("n_at_max"),
         )
 
-    tables = suffix_rank_tables(toks, max_len, distributed)
+    tok_ids: list[int] = []
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    toks = _ckpt(toks, tok_ids, progressive)
+    doc_len = toks.groupBy("doc_id").agg(F.max("pos").alias("len"))
+
+    tables = suffix_rank_tables(toks, max_len, distributed, progressive)
     final = tables[-1].df
 
     # Suffix-array order: final rank ties = fully identical suffixes;
@@ -275,12 +308,12 @@ def suffix_span_exact(
     # end up adjacent regardless of the arbitrary tie order.
     sa_ids: list[int] = []
     sa = global_dense_rank(
-        final, ["r", "doc_id", "pos"], distributed, sa_ids
+        final, ["r", "doc_id", "pos"], distributed, sa_ids, progressive
     ).select("doc_id", "pos", F.col("gr").alias("idx"))
     # The last table is only a descent level when its d ≤ max_len; the
     # overshoot table (d > max_len) has served its purpose once the SA
     # order is materialized — free it now.
-    if tables[-1].d > max_len:
+    if progressive and tables[-1].d > max_len:
         release_blocks(spark, set(tables[-1].ids))
     succ = sa.select(
         (F.col("idx") - 1).alias("idx"),
@@ -296,18 +329,18 @@ def suffix_span_exact(
     )
 
     # Descend the rank tables top-down: add d whenever the d-ranks agree
-    # at the lcp-shifted positions (absent = past end = no match). Each
-    # level MATERIALIZES the pairs frame (DISK_ONLY), then releases the
-    # table it consumed and the previous pairs level — the progressive
-    # release that bounds peak footprint to one level in flight.
+    # at the lcp-shifted positions (absent = past end = no match). In
+    # progressive mode each level MATERIALIZES the pairs frame
+    # (DISK_ONLY), then releases the table it consumed and the previous
+    # pairs level — peak footprint bounded to one level in flight. In
+    # the small-corpus mode the loop just builds one lazy plan.
     prev_ids: set[int] = set(sa_ids)
     for t in sorted(tables, key=lambda t: -t.d):
         if t.d > max_len:
             continue
         ra = _rank_lookup(t.df, "ra")
         rb = _rank_lookup(t.df, "rb")
-        level_ids: list[int] = []
-        pairs = _ckpt(
+        pairs = (
             pairs.join(
                 ra,
                 (F.col("a_doc") == F.col("ra_doc"))
@@ -332,11 +365,13 @@ def suffix_span_exact(
                 )
                 .otherwise(F.col("lcp"))
                 .alias("lcp"),
-            ),
-            level_ids,
+            )
         )
-        release_blocks(spark, prev_ids | set(t.ids))
-        prev_ids = set(level_ids)
+        if progressive:
+            level_ids: list[int] = []
+            pairs = _ckpt(pairs, level_ids, True)
+            release_blocks(spark, prev_ids | set(t.ids))
+            prev_ids = set(level_ids)
 
     # Padded-equal tail overshoots: cap by the shorter suffix.
     la = doc_len.select(
@@ -363,8 +398,14 @@ def suffix_span_exact(
         # The per-suffix union and the n_at_max probe below each read
         # this twice — an unmaterialized plan would re-run the descent.
         capped_ids,
+        progressive,
     )
+    # Progressive: only the last pairs level remains; small-corpus: the
+    # whole descent just executed, so every rank table and the SA frame
+    # can be bulk-released now.
     release_blocks(spark, prev_ids)
+    if not progressive:
+        release_rank_tables(spark, tables)
 
     # Per-suffix best neighbor LCP (pred or succ), then per-doc max +
     # count of positions achieving it.
@@ -418,8 +459,17 @@ def suffix_span_exact(
             .alias("n_at_max"),
         )
     )
-    # One row per DOCUMENT — materializing it lets every remaining
-    # token-sized intermediate (toks, capped) be freed before return.
-    out = _ckpt(out)
-    release_blocks(spark, set(tok_ids) | set(capped_ids))
+    if progressive:
+        # One row per DOCUMENT — materializing it lets every remaining
+        # token-sized intermediate (toks, capped) be freed before
+        # return: above the threshold those are the frames that matter.
+        out = _ckpt(out)
+        release_blocks(spark, set(tok_ids) | set(capped_ids))
+    # Below the threshold the lazy plan still reads toks and capped, so
+    # their two O(tokens) frames stay until the caller drops the result
+    # (the ContextCleaner reclaims local-checkpoint blocks once the
+    # DataFrame is unreachable); eager materialization here would force
+    # the final stage that a bare count() lets Catalyst ELIMINATE (the
+    # left joins preserve cardinality against unique aggregate keys) —
+    # measured +3s at 270k tokens for zero caller benefit.
     return out

@@ -122,15 +122,29 @@ def test_suffix_span_releases_intermediates(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
+    # Progressive path (forced via the threshold): FULL release — the
+    # materialized result frame is the only allowed survivor.
+    prev = SX.DISTRIBUTED_RANK_THRESHOLD
+    SX.DISTRIBUTED_RANK_THRESHOLD = 0
+    try:
+        before = SX._persistent_ids(spark)
+        out = SX.suffix_span_exact(df)
+        n = out.count()
+        leaked = SX._persistent_ids(spark) - before
+        assert n == 7
+        assert len(leaked) <= 1, f"leaked persisted RDDs: {leaked}"
+        SX.release_blocks(spark, leaked)
+    finally:
+        SX.DISTRIBUTED_RANK_THRESHOLD = prev
+    # Small-corpus path: the ~log L rank tables and SA frame must STILL
+    # be released once the pair frame lands; only the token table and
+    # the capped pair frame may ride along with the lazy result.
     before = SX._persistent_ids(spark)
     out = SX.suffix_span_exact(df)
     n = out.count()
     leaked = SX._persistent_ids(spark) - before
-    # max_len=70 -> 8 rank tables + sa + 8 descent levels + toks +
-    # capped would be ~19 retained frames without release; the result
-    # checkpoint is the only allowed survivor.
     assert n == 7
-    assert len(leaked) <= 1, f"leaked persisted RDDs: {leaked}"
+    assert len(leaked) <= 2, f"leaked persisted RDDs: {leaked}"
     SX.release_blocks(spark, leaked)
 
 
