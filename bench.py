@@ -176,6 +176,7 @@ HEADLINE = [
     "dedup_span_suffix",
     "streaming_semi_join",
     "streaming_anti_join",
+    "dedup_span_cut_suffix",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -256,23 +256,29 @@ def release_rank_tables(
         release_blocks(spark, set(t.ids))
 
 
-def suffix_span_exact(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Exact longest duplicated token-span per document (see module
-    docstring). Output: (doc_id, span_exact, n_at_max) — by return
-    time the O(log L) rank tables have been released in BOTH modes;
-    retention is never O(tokens · log L) again.
+class PositionBest(NamedTuple):
+    """Per-position longest-duplicated-span frame plus its retention
+    bookkeeping: ``df`` is (doc_id, pos, best); ``hold_ids`` are the
+    block ids the frame still depends on (release AFTER the last
+    consumer materializes); ``progressive`` says which retention mode
+    produced it (above the token threshold the frame itself is the only
+    held block; below it, the token + pair frames ride along lazily)."""
 
-    Above DISTRIBUTED_RANK_THRESHOLD tokens the release is PROGRESSIVE
-    (per descent level, DISK_ONLY storage — the 100× memory-cliff fix)
-    and the returned frame is materialized with everything else freed;
-    below it the descent runs as one lazy plan, the rank tables are
-    bulk-released once the capped pair frame materializes, and only the
-    token table + pair frame (two O(tokens) frames, megabytes at this
-    tier) ride along with the returned lazy plan until the caller drops
-    it.
-    """
+    df: DataFrame
+    hold_ids: tuple[int, ...]
+    progressive: bool
+
+
+def suffix_position_best(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> PositionBest:
+    """For every token position: the length of the longest span STARTING
+    there that also occurs elsewhere in the corpus (0 if none) — the
+    suffix-array primitive both exact-span scoring (suffix_span_exact)
+    and exact span-CUTTING (dedup_span_cut_suffix) consume. See the
+    module docstring for the construction; retention follows the
+    size-adaptive progressive-release discipline (O(log L) rank tables
+    are ALWAYS released before return)."""
     spark = docs.sparkSession
     # Corpus stats BEFORE exploding: one narrow aggregate over documents
     # decides strategy AND storage level, so the token table itself can
@@ -286,11 +292,12 @@ def suffix_span_exact(
     distributed = n_tokens > DISTRIBUTED_RANK_THRESHOLD
     progressive = distributed  # retention is MBs below the threshold
     if max_len == 0:
-        return docs.select(
+        empty = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.lit(0).cast("long").alias("span_exact"),
-            F.lit(0).cast("long").alias("n_at_max"),
-        )
+            F.lit(1).cast("long").alias("pos"),
+            F.lit(0).cast("long").alias("best"),
+        ).limit(0)
+        return PositionBest(empty, (), progressive)
 
     tok_ids: list[int] = []
     toks = docs.select(
@@ -395,8 +402,8 @@ def suffix_span_exact(
                 F.col("b_len") - F.col("b_pos") + 1,
             ).alias("lcp"),
         ),
-        # The per-suffix union and the n_at_max probe below each read
-        # this twice — an unmaterialized plan would re-run the descent.
+        # The per-suffix union and downstream probes read this more
+        # than once — an unmaterialized plan would re-run the descent.
         capped_ids,
         progressive,
     )
@@ -407,8 +414,11 @@ def suffix_span_exact(
     if not progressive:
         release_rank_tables(spark, tables)
 
-    # Per-suffix best neighbor LCP (pred or succ), then per-doc max +
-    # count of positions achieving it.
+    # Per-suffix best neighbor LCP (pred or succ). LEFT join from ALL
+    # positions: with n ≥ 2 suffixes every position appears in an
+    # adjacent pair, but the degenerate single-suffix corpus has none —
+    # its position still achieves best = 0 and must count downstream
+    # (hypothesis-found edge).
     pair_best = (
         capped.select(
             F.col("a_doc").alias("doc_id"),
@@ -425,17 +435,45 @@ def suffix_span_exact(
         .groupBy("doc_id", "pos")
         .agg(F.max("lcp").alias("best"))
     )
-    # LEFT join from ALL positions: with n ≥ 2 suffixes every position
-    # appears in an adjacent pair, but the degenerate single-suffix
-    # corpus has none — its position still achieves best = 0 and must
-    # count toward n_at_max (hypothesis-found edge).
     per_suffix = (
         toks.select("doc_id", "pos")
         .join(pair_best, ["doc_id", "pos"], "left")
         .select(
-            "doc_id", "pos", F.coalesce(F.col("best"), F.lit(0)).alias("best")
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(F.col("best"), F.lit(0)).cast("long").alias("best"),
         )
     )
+    if progressive:
+        # One row per TOKEN but the only retained frame: materialize it
+        # (DISK_ONLY) and free the token + pair frames immediately.
+        ps_ids: list[int] = []
+        per_suffix = _ckpt(per_suffix, ps_ids, True)
+        release_blocks(spark, set(tok_ids) | set(capped_ids))
+        return PositionBest(per_suffix, tuple(ps_ids), True)
+    # Below the threshold the lazy plan still reads toks and capped;
+    # their two O(tokens) frames stay until the caller drops the result
+    # (the ContextCleaner reclaims local-checkpoint blocks once the
+    # DataFrame is unreachable) — eager materialization would forfeit
+    # the stage elimination a bare count() gets from Catalyst.
+    return PositionBest(per_suffix, tuple(tok_ids) + tuple(capped_ids), False)
+
+
+def suffix_span_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact longest duplicated token-span per document (see module
+    docstring). Output: (doc_id, span_exact, n_at_max) — by return
+    time the O(log L) rank tables have been released in BOTH modes;
+    retention is never O(tokens · log L) again.
+
+    Above DISTRIBUTED_RANK_THRESHOLD tokens the retention is the
+    progressive-release path (suffix_position_best) and the returned
+    one-row-per-doc frame is materialized with everything else freed;
+    below it the plan is lazy end-to-end."""
+    spark = docs.sparkSession
+    pb = suffix_position_best(docs, id_col, text_col)
+    per_suffix = pb.df
     per_doc = per_suffix.groupBy("doc_id").agg(
         F.max("best").alias("span_exact")
     )
@@ -459,17 +497,7 @@ def suffix_span_exact(
             .alias("n_at_max"),
         )
     )
-    if progressive:
-        # One row per DOCUMENT — materializing it lets every remaining
-        # token-sized intermediate (toks, capped) be freed before
-        # return: above the threshold those are the frames that matter.
+    if pb.progressive:
         out = _ckpt(out)
-        release_blocks(spark, set(tok_ids) | set(capped_ids))
-    # Below the threshold the lazy plan still reads toks and capped, so
-    # their two O(tokens) frames stay until the caller drops the result
-    # (the ContextCleaner reclaims local-checkpoint blocks once the
-    # DataFrame is unreachable); eager materialization here would force
-    # the final stage that a bare count() lets Catalyst ELIMINATE (the
-    # left joins preserve cardinality against unique aggregate keys) —
-    # measured +3s at 270k tokens for zero caller benefit.
+        release_blocks(spark, set(pb.hold_ids))
     return out

@@ -4346,3 +4346,148 @@ def q_dedup_span_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_span_exact(
         load_table(spark, sf_dir, "documents", parallelize=True)
     )
+
+
+# --- exact-threshold span CUT via suffix array (round 10) ---------------------
+
+#: Minimum duplicated-run length (tokens) the suffix-exact cut removes.
+#: Deliberately ABOVE the 8-token window resolution: the window ladder
+#: would need K=20 grams (2.5x the gram rows) to express this policy;
+#: the suffix machinery prices every threshold identically.
+_SUFFIX_CUT_MIN = 20
+
+
+@register(
+    "dedup_span_cut_suffix",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, u.p FROM toks, unnest(range(1, len(t) + 1)) AS u(p)
+),
+g AS (
+  SELECT doc_id, p, v.k,
+         md5(array_to_string(list_slice(t, p, p + v.k - 1), ' ')) AS gram
+  FROM pos, unnest(range(1, len(t) - p + 2)) AS v(k)
+),
+dup AS (SELECT k, gram FROM g GROUP BY k, gram HAVING count(*) >= 2),
+perpos AS (
+  SELECT g.doc_id, g.p,
+         max(CASE WHEN d.k IS NOT NULL THEN g.k ELSE 0 END) AS best
+  FROM g LEFT JOIN dup d USING (k, gram)
+  GROUP BY g.doc_id, g.p
+),
+cov AS (
+  SELECT doc_id, p AS st, p + best - 1 AS en
+  FROM perpos WHERE best >= {_SUFFIX_CUT_MIN}
+),
+m AS (
+  SELECT doc_id, st, en,
+         max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM cov
+),
+isl AS (
+  SELECT doc_id, st, en,
+         SUM(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+spans AS (
+  SELECT doc_id, min(st) AS st, max(en) AS en
+  FROM isl GROUP BY doc_id, island
+),
+covs AS (
+  SELECT doc_id, list(struct_pack(st := st, en := en)) AS spans,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id, t.t, coalesce(c.n_spans, 0) AS n_spans,
+         CASE WHEN c.spans IS NULL THEN t.t
+              ELSE list_transform(
+                     list_filter(
+                       range(1, len(t.t) + 1),
+                       p -> len(list_filter(c.spans,
+                                s -> p >= s.st AND p <= s.en)) = 0),
+                     p -> t.t[p]) END AS k
+  FROM toks t LEFT JOIN covs c USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT)          AS n_tokens,
+       CAST(len(k) AS BIGINT)          AS n_kept,
+       CAST(len(t) - len(k) AS BIGINT) AS n_cut,
+       CAST(n_spans AS BIGINT)         AS n_spans,
+       md5(coalesce(array_to_string(k, ' '), ''))  AS scrub_md5
+FROM kept
+""",
+)
+def q_dedup_span_cut_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUFFIX-EXACT duplicated-span cut — the exact-ℓ upgrade of
+    dedup_span_cut (VERDICT r9 item 7): remove every token inside a
+    corpus-duplicated run of ≥ {_SUFFIX_CUT_MIN} tokens, with the same
+    md5 scrub proof, but the extents come from the suffix-array
+    machinery (operators/suffix.py::suffix_position_best) instead of
+    the fixed 8-token window ladder. per-position best is the longest
+    duplicated span STARTING at each token, so the union of
+    [p, p+best(p)-1] over positions with best ≥ N is EXACTLY the
+    token set covered by some duplicated ≥N-run — any threshold at the
+    same O(tokens · log L) cost, where the window ladder would pay
+    K-gram rows per threshold and caps at its resolution. Self-repeats
+    count (longest-REPEATED-substring semantics, matching
+    dedup_span_suffix; the window trio requires ≥2 distinct docs).
+
+    Plan: suffix ranks → adjacent-pair LCPs (size-adaptive global rank,
+    progressive release above 5M tokens), qualifying positions become
+    closed intervals merged by the SAME doc-keyed island sweep as
+    dedup_span_extents (operators/sessions.py::interval_union), the cut
+    is IN-ROW (higher-order filter probing the O(spans) per-doc array),
+    and the oracle replays the brute O(Σlen²) gram ladder — proving the
+    SA extents end-to-end byte-for-byte."""
+    from ..operators.sessions import interval_union
+    from ..operators.suffix import _ckpt, release_blocks, suffix_position_best
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    pb = suffix_position_best(docs)
+    cov = pb.df.where(F.col("best") >= _SUFFIX_CUT_MIN).select(
+        "doc_id",
+        F.col("pos").alias("st"),
+        (F.col("pos") + F.col("best") - 1).alias("en"),
+    )
+    spans = interval_union(cov, key_col="doc_id", start_col="st", end_col="en")
+    covs = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("island_start").alias("st"),
+                F.col("island_end").alias("en"),
+            )
+        ).alias("spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    toks = F.split(F.col("text"), " ")
+    j = docs.select("doc_id", toks.alias("t")).join(covs, "doc_id", "left")
+
+    def _uncovered(tok, i0):
+        p = i0 + F.lit(1).cast("long")
+        return ~F.exists(
+            F.col("spans"), lambda s: (p >= s["st"]) & (p <= s["en"])
+        )
+
+    kept = F.when(F.col("spans").isNull(), F.col("t")).otherwise(
+        F.filter("t", _uncovered)
+    )
+    out = j.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_cut"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("scrub_md5"),
+    )
+    if pb.progressive:
+        # Same retention contract as suffix_span_exact: materialize the
+        # one-row-per-doc result, free the held per-position frame.
+        out = _ckpt(out)
+        release_blocks(spark, set(pb.hold_ids))
+    return out

@@ -204,7 +204,9 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # --- as they land so the backlog stays at zero ---
     "orderby_limit_offset",
     "string_agg_statuses",
-    "text_normalize",
+    # round-10 addition: suffix-exact threshold span cut (took
+    # text_normalize's slot)
+    "dedup_span_cut_suffix",
     # round-10 addition: stream-stream left-anti interval join (took
     # text_token_count's slot)
     "streaming_anti_join",

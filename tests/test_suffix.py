@@ -166,3 +166,55 @@ def test_global_dense_rank_distributed_null_keys(spark):
     }
     assert got_dist == got_win
     assert {g for _, g in got_dist} == {0, 1, 2, 3, 4}
+
+
+def test_suffix_cut_planted(spark):
+    """dedup_span_cut_suffix semantics by construction: a 25-token run
+    shared by two docs is cut from both (threshold 20), an 18-token
+    shared run survives, and the scrub md5 equals the md5 of the
+    expected kept text."""
+    import hashlib
+
+    from ohlc_spark_streaming_spark.registry import QUERIES
+    from ohlc_spark_streaming_spark.queries.analytics import (
+        q_dedup_span_cut_suffix,
+        _SUFFIX_CUT_MIN,
+    )
+
+    assert _SUFFIX_CUT_MIN == 20
+    big = [f"b{i}" for i in range(25)]
+    small = [f"s{i}" for i in range(18)]
+    texts = {
+        0: ["x0", "x1"] + big + ["x2"],
+        1: big + ["y0"],
+        2: ["z0"] + small,
+        3: small + ["z1"],
+        4: [f"u{i}" for i in range(30)],
+    }
+    import tempfile, shutil, os
+    tape = tempfile.mkdtemp(prefix="cut_docs_")
+    try:
+        spark.createDataFrame(
+            [(k, " ".join(v)) for k, v in texts.items()],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(os.path.join(tape, "documents.parquet"))
+        got = {
+            r.doc_id: r for r in q_dedup_span_cut_suffix(spark, tape).collect()
+        }
+    finally:
+        shutil.rmtree(tape, ignore_errors=True)
+    kept_expected = {
+        0: ["x0", "x1", "x2"],
+        1: ["y0"],
+        2: ["z0"] + small,
+        3: small + ["z1"],
+        4: texts[4],
+    }
+    for d, kept in kept_expected.items():
+        row = got[d]
+        assert row.n_tokens == len(texts[d])
+        assert row.n_kept == len(kept), (d, row)
+        assert row.n_cut == len(texts[d]) - len(kept)
+        assert row.scrub_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
+    assert got[0].n_spans == 1 and got[1].n_spans == 1
+    assert got[2].n_spans == 0 and got[4].n_spans == 0
