@@ -757,27 +757,12 @@ def q_streaming_incremental_candles(spark: SparkSession, sf_dir: str) -> DataFra
             eager=True
         )
 
-    import shutil
-    import tempfile
+    from ..streaming.checkpoints import run_foreach_batch
 
-    name = f"stream_ivm_{next(_counter)}"
-    # Fresh checkpoint dir per invocation: reusing one across processes
-    # would resume past the already-committed files and fold NOTHING.
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    try:
-        query = (
-            stream.writeStream.foreachBatch(fold)
-            .queryName(name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        # foreachBatch checkpoints are NOT auto-deleted (unlike
-        # run_to_memory's implicit memory-sink checkpoints) — without
-        # this every invocation leaks a /tmp/ckpt_* dir (ADVICE r8).
-        shutil.rmtree(ckpt, ignore_errors=True)
+    # Fresh ephemeral checkpoint per invocation: reusing one across
+    # processes would resume past the already-committed files and fold
+    # NOTHING; cleanup is the helper's contract (CKPT_RAW lint).
+    run_foreach_batch(stream, fold, f"stream_ivm_{next(_counter)}")
     state = holder["state"]
     if state is None:
         raise RuntimeError("stream produced no micro-batches")
@@ -850,23 +835,9 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         chunks.append(out.localCheckpoint(eager=True))
 
-    import shutil
-    import tempfile
+    from ..streaming.checkpoints import run_foreach_batch
 
-    name = f"stream_asof_{next(_counter)}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    try:
-        query = (
-            stream.writeStream.foreachBatch(enrich)
-            .queryName(name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        # foreachBatch checkpoints are not auto-deleted (ADVICE r8).
-        shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(stream, enrich, f"stream_asof_{next(_counter)}")
     if not chunks:
         raise RuntimeError("stream produced no micro-batches")
     out = chunks[0]
@@ -1156,23 +1127,9 @@ def fold_rolling_active(stream: DataFrame) -> DataFrame:
         # re-read at finalize, and the plan must not grow with batch count.
         holder["state"] = merged.localCheckpoint(eager=True)
 
-    import shutil
-    import tempfile
+    from ..streaming.checkpoints import run_foreach_batch
 
-    name = f"stream_rolling_{next(_counter)}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    try:
-        query = (
-            stream.writeStream.foreachBatch(fold)
-            .queryName(name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        # foreachBatch checkpoints are not auto-deleted (ADVICE r8).
-        shutil.rmtree(ckpt, ignore_errors=True)
+    run_foreach_batch(stream, fold, f"stream_rolling_{next(_counter)}")
     state = holder["state"]
     if state is None:
         raise RuntimeError("stream produced no micro-batches")

@@ -104,6 +104,47 @@ EXPECTED = {
 }
 
 
+#: Files allowed to mention checkpointLocation / checkpoint mkdtemp:
+#: the helper module that OWNS the cleanup contract, the persistent
+#: CheckpointManager topology (recovery semantics — intentionally not
+#: ephemeral), and the sink builders (caller-owned durable locations).
+CKPT_ALLOWED = {
+    "streaming/checkpoints.py",
+    "streaming/app.py",
+    "sinks/kafka.py",
+    "sinks/files.py",
+}
+
+
+def lint_checkpoint_hygiene() -> list[tuple[str, str, str]]:
+    """Source lint (CKPT_RAW): any raw ``checkpointLocation`` option or
+    checkpoint-prefixed mkdtemp outside the allowlist is an error —
+    query code must route through streaming/checkpoints.py's
+    ephemeral_checkpoint / run_foreach_batch so the leak fix of c09363f
+    stays structural rather than per-site (VERDICT r9 item 8)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent / "ohlc_spark_streaming_spark"
+    bad: list[tuple[str, str, str]] = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = path.relative_to(pkg).as_posix()
+        if rel in CKPT_ALLOWED:
+            continue
+        for ln, line in enumerate(path.read_text().splitlines(), 1):
+            raw_opt = "checkpointLocation" in line
+            raw_dir = "mkdtemp" in line and "ckpt" in line
+            if raw_opt or raw_dir:
+                bad.append(
+                    (
+                        rel,
+                        "CKPT_RAW",
+                        f"{rel}:{ln}: raw checkpoint wiring — use "
+                        "streaming/checkpoints.py helpers",
+                    )
+                )
+    return bad
+
+
 def main() -> int:
     names = sys.argv[1:] or [
         n
@@ -117,6 +158,9 @@ def main() -> int:
     spark = build_session(app_name="engine-lint")
     bad: list[tuple[str, str, str]] = []
     n_expected = 0
+    for name, code, msg in lint_checkpoint_hygiene():
+        bad.append((name, code, msg))
+        print(f"[lint] ERROR {name} {code}: {msg}")
     for i, name in enumerate(names, 1):
         df = QUERIES[name](spark, SF_DIR)
         findings = lint_plan(df) + lint_hints(df)
