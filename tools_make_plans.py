@@ -34,10 +34,46 @@ NOTES = {
         "joins per level over the adjacent-pair table; per-doc rollup "
         "is two aggregations. The brute oracle is O(sum len^2) grams — "
         "fine at sf0.01, and deliberately independent of the SA "
-        "machinery it checks. Known local limit: the descent retains "
-        "all ceil(log2 L) rank tables; at the 100x point (27M tokens) "
-        "the 16 GiB single-JVM OOMs — a cluster spills them per "
-        "executor; 10x is 5.6x = linear (SCALE.md)."
+        "machinery it checks. Round 10 removed the 100x memory cliff: "
+        "above the 5M-token threshold every intermediate is DISK_ONLY-"
+        "checkpointed with tracked block ids and released progressively "
+        "(each rank table the moment its descent level materializes, "
+        "each pairs level when its successor lands), so peak footprint "
+        "is O(tokens) on disk + one level in flight — 27M tokens now "
+        "runs in ~400s on the same 16 GiB JVM that used to OOM; below "
+        "the threshold the descent stays one lazy plan (the per-level "
+        "round-trips would double smoke-scale wall-time) with a bulk "
+        "release once the pair frame lands."
+    ),
+    "dedup_span_cut_suffix": (
+        "Exact-threshold span cut on the suffix-array primitive: "
+        "suffix_position_best emits (doc, pos, best) = longest "
+        "duplicated span STARTING at each token, qualifying positions "
+        "become closed intervals [p, p+best-1], the doc-keyed "
+        "interval-union island sweep merges them (same operator as "
+        "dedup_span_extents, no single-partition window), and the cut "
+        "is an in-row higher-order filter over the O(spans) per-doc "
+        "array — one extra shuffle past the suffix machinery. Any "
+        "threshold (here 20 tokens) at the same O(tokens log L): the "
+        "window ladder would pay K-gram rows per threshold and caps at "
+        "its 8-token resolution. The md5 scrub proof byte-checks the "
+        "kept text against the brute-gram oracle end-to-end."
+    ),
+    "streaming_anti_join": (
+        "Stream-stream LEFT ANTI interval join composed from the "
+        "left-outer state machine + right probe column + null filter "
+        "(Spark has no native streaming anti — pinned by a test): every "
+        "emission carries the watermark proof that no in-band match can "
+        "still arrive, state stays O(rate x (lookback + watermark)). "
+        "Two replay hazards pinned while building it: (1) eviction runs "
+        "with the PREVIOUS batch's watermark, so a bounded tape needs "
+        "TWO trailing sentinel files — with one, the final watermark "
+        "exists but no batch ever evicts with it; (2) Catalyst pushes "
+        "left-column predicates through the equi-join key into BOTH "
+        "scans, so a user_id guard filtered the sentinels out AT THE "
+        "SOURCE and starved the watermark — the sentinels carry a "
+        "positive non-existent user id and the guard runs batch-side on "
+        "the result table."
     ),
     "streaming_session_timers": (
         "The timer half of transformWithState (timeMode=EventTime): state "
