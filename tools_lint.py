@@ -86,6 +86,10 @@ EXPECTED = {
     # document length like the shingle-set collects, never by corpus
     # cardinality (queries/analytics.py::q_dedup_span_cut).
     ("dedup_span_cut", "COLLECT_LIST"),
+    # Same boundary, suffix-exact extents: the merged-span array is
+    # bounded by n_tokens/(threshold+1)+1 structs per doc
+    # (queries/analytics.py::q_dedup_span_cut_suffix).
+    ("dedup_span_cut_suffix", "COLLECT_LIST"),
     # Composes the clustering (shingle-set collects, doc-length-bounded)
     # and the span cut above; every collect inherits those boundaries
     # (queries/analytics.py::q_corpus_curation_report).
