@@ -70,11 +70,25 @@ from ..functions.textops import tokens
 #: on fixed per-round cost.
 DISTRIBUTED_RANK_THRESHOLD = 5_000_000
 
-#: Partitions for the global rank sorts. Modest on purpose: every
-#: prefix-doubling round pays fixed per-task scheduling overhead, and
-#: the token tables here are ≤ ~300k rows; a cluster deployment would
-#: scale this with input volume.
+#: Floor for the distributed global-rank sorts: every prefix-doubling
+#: round pays fixed per-task scheduling overhead, so small inputs want
+#: FEW partitions. rank_partitions() scales above the floor with input
+#: volume so each range partition holds a bounded row count at any
+#: scale (1000x data -> 1000x partitions, not 1000x rows per task).
 _RANK_PARTITIONS = 8
+
+#: Target rows per range partition in the distributed rank: ~4M rows of
+#: (doc_id, pos, r) sort comfortably inside one task's execution memory.
+_RANK_ROWS_PER_PARTITION = 4_000_000
+
+
+def rank_partitions(n_rows: int) -> int:
+    """Partition count for the distributed global rank at ``n_rows``:
+    the fixed floor below ~32M rows (scheduling overhead dominates),
+    then one partition per ~4M rows so per-task sort memory stays flat
+    as the corpus grows — the 100 TB posture for an operator whose
+    per-round cost is a range sort."""
+    return max(_RANK_PARTITIONS, -(-n_rows // _RANK_ROWS_PER_PARTITION))
 
 #: All suffix-machinery intermediates live on disk, never in executor
 #: heap — the tables are consumed a bounded number of times each, and
@@ -133,6 +147,7 @@ def global_dense_rank(
     distributed: bool = False,
     track: list[int] | None = None,
     spill: bool = False,
+    partitions: int = _RANK_PARTITIONS,
 ) -> DataFrame:
     """Append a global 0-based DENSE rank column ``gr`` ordered by
     ``key_cols``. Always returns a MATERIALIZED (DISK_ONLY
@@ -163,7 +178,7 @@ def global_dense_rank(
             track,
             spill,
         )
-    rp = df.repartitionByRange(_RANK_PARTITIONS, *key_cols).withColumn(
+    rp = df.repartitionByRange(partitions, *key_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     rp = rp.persist(_SPILL)
@@ -211,6 +226,7 @@ def suffix_rank_tables(
     max_len: int,
     distributed: bool = False,
     spill: bool = False,
+    partitions: int = _RANK_PARTITIONS,
 ) -> list[RankTable]:
     """Prefix-doubling rank tables for d = 1, 2, 4, … ≥ max_len.
     ``tok``: (doc_id, pos, token) with pos 1-based; each table's ``df``
@@ -221,9 +237,9 @@ def suffix_rank_tables(
     (suffix_span_exact), and ``release_rank_tables`` frees any
     remainder."""
     track: list[int] = []
-    r = global_dense_rank(tok, ["token"], distributed, track, spill).select(
-        "doc_id", "pos", F.col("gr").alias("r")
-    )
+    r = global_dense_rank(
+        tok, ["token"], distributed, track, spill, partitions
+    ).select("doc_id", "pos", F.col("gr").alias("r"))
     tables = [RankTable(1, r, tuple(track))]
     d = 1
     while d < max_len:
@@ -241,7 +257,7 @@ def suffix_rank_tables(
         )
         track = []
         r = global_dense_rank(
-            paired, ["r1", "r2"], distributed, track, spill
+            paired, ["r1", "r2"], distributed, track, spill, partitions
         ).select("doc_id", "pos", F.col("gr").alias("r"))
         d *= 2
         tables.append(RankTable(d, r, tuple(track)))
@@ -307,7 +323,10 @@ def suffix_position_best(
     toks = _ckpt(toks, tok_ids, progressive)
     doc_len = toks.groupBy("doc_id").agg(F.max("pos").alias("len"))
 
-    tables = suffix_rank_tables(toks, max_len, distributed, progressive)
+    n_parts = rank_partitions(n_tokens)
+    tables = suffix_rank_tables(
+        toks, max_len, distributed, progressive, n_parts
+    )
     final = tables[-1].df
 
     # Suffix-array order: final rank ties = fully identical suffixes;
@@ -315,7 +334,12 @@ def suffix_position_best(
     # end up adjacent regardless of the arbitrary tie order.
     sa_ids: list[int] = []
     sa = global_dense_rank(
-        final, ["r", "doc_id", "pos"], distributed, sa_ids, progressive
+        final,
+        ["r", "doc_id", "pos"],
+        distributed,
+        sa_ids,
+        progressive,
+        n_parts,
     ).select("doc_id", "pos", F.col("gr").alias("idx"))
     # The last table is only a descent level when its d ≤ max_len; the
     # overshoot table (d > max_len) has served its purpose once the SA
