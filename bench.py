@@ -177,6 +177,7 @@ HEADLINE = [
     "streaming_semi_join",
     "streaming_anti_join",
     "dedup_span_cut_suffix",
+    "boilerplate_span_catalog",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

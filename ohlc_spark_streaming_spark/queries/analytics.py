@@ -4491,3 +4491,95 @@ def q_dedup_span_cut_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _ckpt(out)
         release_blocks(spark, set(pb.hold_ids))
     return out
+
+
+# --- corpus boilerplate catalog (round 10) ------------------------------------
+
+#: Phrase length (tokens) and catalog size for the boilerplate report.
+_BOILER_K = 12
+_BOILER_TOPK = 20
+
+
+@register(
+    "boilerplate_span_catalog",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, u.i, u.i + {_BOILER_K} - 1), ' ')
+           AS gram
+  FROM toks, unnest(range(1, len(t) - {_BOILER_K} + 2)) AS u(i)
+  WHERE len(t) >= {_BOILER_K}
+),
+total AS (SELECT count(*) AS n_total FROM documents),
+agg AS (
+  SELECT gram,
+         count(*) AS n_occ,
+         count(DISTINCT doc_id) AS n_docs
+  FROM g GROUP BY gram HAVING count(*) >= 2
+)
+SELECT gram,
+       CAST(n_occ AS BIGINT)  AS n_occ,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occ * {_BOILER_K} AS BIGINT) AS covered_tokens,
+       CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_share
+FROM agg, total
+ORDER BY n_occ DESC, gram ASC
+LIMIT {_BOILER_TOPK}
+""",
+)
+def q_boilerplate_span_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BOILERPLATE CATALOG — the audit report the span-dedup
+    family feeds on: the top-{_BOILER_TOPK} most-repeated
+    {_BOILER_K}-token phrases corpus-wide, with occurrence count,
+    distinct-document reach, covered-token volume, and document share.
+    The per-document queries answer "how duplicated is THIS doc"
+    (span_windows/pow2/suffix) and "what do I remove" (the cut pair);
+    this answers the curator's corpus-level question — WHICH phrases
+    are the boilerplate worth a template rule — with a fully tie-broken
+    (count desc, phrase asc) deterministic top-k.
+
+    Plan: grams derive IN-ROW (one slice + concat per position — the
+    zip-free linear form, no positional get()), explode once, ONE
+    hash aggregation with map-side combine (boilerplate phrases
+    pre-combine before the exchange — the skew is the signal here and
+    partial aggregation absorbs it), HAVING ≥2 prunes the long tail
+    before the heap, and the top-k is TakeOrderedAndProject (O(k) per
+    partition, no global sort). The 1-row corpus count attaches by
+    broadcast. Scan-shaped at any corpus size: no joins, no windows,
+    no pairwise anything."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= _BOILER_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _BOILER_K + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, _BOILER_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    agg = (
+        g.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_occ") * _BOILER_K).cast("long").alias("covered_tokens"),
+            (
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("doc_share"),
+        )
+        .orderBy(F.col("n_occ").desc(), F.col("gram").asc())
+        .limit(_BOILER_TOPK)
+    )

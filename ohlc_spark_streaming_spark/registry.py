@@ -203,7 +203,9 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # --- green since r5); SURRENDER these slots to round-10 additions
     # --- as they land so the backlog stays at zero ---
     "orderby_limit_offset",
-    "string_agg_statuses",
+    # round-10 addition: corpus boilerplate catalog (took
+    # string_agg_statuses' slot)
+    "boilerplate_span_catalog",
     # round-10 addition: suffix-exact threshold span cut (took
     # text_normalize's slot)
     "dedup_span_cut_suffix",
