@@ -218,3 +218,14 @@ def test_suffix_cut_planted(spark):
         assert row.scrub_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
     assert got[0].n_spans == 1 and got[1].n_spans == 1
     assert got[2].n_spans == 0 and got[4].n_spans == 0
+
+
+def test_rank_partitions_scales_with_input():
+    """Distributed-rank partition count: fixed floor at tested scales
+    (27M tokens = the 100x point still gets 8, so SCALE rows stay
+    representative), then ~4M rows per partition so per-task sort
+    memory is flat three decades up."""
+    assert SX.rank_partitions(270_704) == 8
+    assert SX.rank_partitions(27_000_000) == 8
+    assert SX.rank_partitions(270_000_000) == 68
+    assert SX.rank_partitions(2_700_000_000) == 675
