@@ -1502,9 +1502,14 @@ def q_streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in ev_parts:
             os.utime(os.path.join(tape, f), (1_000_000,) * 2)
         schema = spark.read.parquet(tape).schema
+        # NO maxFilesPerTrigger: the whole tape lands in ONE batch, so
+        # no row can be late relative to an earlier batch's watermark
+        # (the mtime stamping above becomes defense-in-depth) and the
+        # no-data eviction batch then runs once with the final
+        # sentinel-advanced watermark — 2 batches total instead of
+        # per-file batches + evictions (~25% faster at sf0.1).
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
             .parquet(tape)
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )
