@@ -1276,10 +1276,15 @@ def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.path.join(tape, f), (1_000_000 + 10 * later,) * 2
                 )
         schema = spark.read.parquet(tape).schema
-        # Watermarks require TIMESTAMP (not NTZ); UTC session ⇒ same instant
+        # Watermarks require TIMESTAMP (not NTZ); UTC session ⇒ same
+        # instant. NO maxFilesPerTrigger: the whole tape in ONE batch
+        # means no row is ever late relative to a prior batch's
+        # watermark (mtime stamping above stays as defense-in-depth);
+        # the availableNow drain batch then fires every timer ≤ the
+        # sentinel-advanced watermark — one state-server round instead
+        # of one per file.
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
             .parquet(tape)
             .withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", f"{_SESSION_WM_DELAY_S} seconds")
