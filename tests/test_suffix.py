@@ -229,3 +229,19 @@ def test_rank_partitions_scales_with_input():
     assert SX.rank_partitions(27_000_000) == 8
     assert SX.rank_partitions(270_000_000) == 68
     assert SX.rank_partitions(2_700_000_000) == 675
+
+
+def test_suffix_span_progressive_path_matches_brute(spark):
+    """The PROGRESSIVE path (distributed rank + per-level release +
+    DISK_ONLY spill — the 100× code path, forced via the threshold)
+    must produce the same exact spans as the python brute force, not
+    just release its blocks."""
+    df = load_table(spark, SF_SMOKE, "documents")
+    want = _brute({r.doc_id: r.text.split(" ") for r in df.collect()})
+    prev = SX.DISTRIBUTED_RANK_THRESHOLD
+    SX.DISTRIBUTED_RANK_THRESHOLD = 0
+    try:
+        got = _run(spark, df)
+    finally:
+        SX.DISTRIBUTED_RANK_THRESHOLD = prev
+    assert got == want
