@@ -39,9 +39,12 @@ ids are tracked at checkpoint time, and it is RELEASED (blocks dropped)
 the moment the next materialization no longer needs it: each rank table
 right after its descent level lands, each pairs level right after its
 successor lands, everything else when the final per-doc frame (one row
-per document) is materialized. Peak footprint is therefore O(tokens) on
-DISK plus ONE level in flight — not O(tokens · log L) in heap, which is
-what OOM'd a 16 GiB JVM at 27M tokens before this restructure
+per document) is materialized. HEAP therefore holds ONE level in
+flight; DISK peaks at O(tokens · log L) at the end of the forward pass
+(all rank tables must exist before the descent starts — ~11 tables of
+~24 bytes/token at 2k-token documents) and shrinks one table per
+descent level. The round-9 failure was the same O(tokens · log L)
+living in executor HEAP, which OOM'd a 16 GiB JVM at 27M tokens
 (measured after: 27M tokens in ~400s on the same 16 GiB JVM). BELOW the
 threshold the retained tables are megabytes, so the descent stays one
 lazy plan with a single materialization at the end (the ~log L extra
@@ -483,19 +486,30 @@ def suffix_position_best(
     return PositionBest(per_suffix, tuple(tok_ids) + tuple(capped_ids), False)
 
 
+def materialize_and_release(result: DataFrame, pb: PositionBest) -> DataFrame:
+    """Apply ``pb``'s retention contract to a frame DERIVED from its
+    ``df``: in progressive mode, eagerly checkpoint the (small) result
+    and free the held per-position blocks; in lazy mode return the plan
+    untouched. The one public seam consumers need — no caller touches
+    the private checkpoint/tracking helpers."""
+    if pb.progressive:
+        result = _ckpt(result)
+        release_blocks(result.sparkSession, set(pb.hold_ids))
+    return result
+
+
 def suffix_span_exact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact longest duplicated token-span per document (see module
     docstring). Output: (doc_id, span_exact, n_at_max) — by return
     time the O(log L) rank tables have been released in BOTH modes;
-    retention is never O(tokens · log L) again.
+    HEAP retention is never O(tokens · log L) again.
 
     Above DISTRIBUTED_RANK_THRESHOLD tokens the retention is the
     progressive-release path (suffix_position_best) and the returned
     one-row-per-doc frame is materialized with everything else freed;
     below it the plan is lazy end-to-end."""
-    spark = docs.sparkSession
     pb = suffix_position_best(docs, id_col, text_col)
     per_suffix = pb.df
     per_doc = per_suffix.groupBy("doc_id").agg(
@@ -521,7 +535,4 @@ def suffix_span_exact(
             .alias("n_at_max"),
         )
     )
-    if pb.progressive:
-        out = _ckpt(out)
-        release_blocks(spark, set(pb.hold_ids))
-    return out
+    return materialize_and_release(out, pb)

@@ -4426,7 +4426,7 @@ FROM kept
 def q_dedup_span_cut_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUFFIX-EXACT duplicated-span cut — the exact-ℓ upgrade of
     dedup_span_cut (VERDICT r9 item 7): remove every token inside a
-    corpus-duplicated run of ≥ {_SUFFIX_CUT_MIN} tokens, with the same
+    corpus-duplicated run of ≥ 20 tokens (_SUFFIX_CUT_MIN), with the same
     md5 scrub proof, but the extents come from the suffix-array
     machinery (operators/suffix.py::suffix_position_best) instead of
     the fixed 8-token window ladder. per-position best is the longest
@@ -4446,7 +4446,10 @@ def q_dedup_span_cut_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle replays the brute O(Σlen²) gram ladder — proving the
     SA extents end-to-end byte-for-byte."""
     from ..operators.sessions import interval_union
-    from ..operators.suffix import _ckpt, release_blocks, suffix_position_best
+    from ..operators.suffix import (
+        materialize_and_release,
+        suffix_position_best,
+    )
 
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     pb = suffix_position_best(docs)
@@ -4485,12 +4488,8 @@ def q_dedup_span_cut_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.md5(F.concat_ws(" ", kept).cast("binary")).alias("scrub_md5"),
     )
-    if pb.progressive:
-        # Same retention contract as suffix_span_exact: materialize the
-        # one-row-per-doc result, free the held per-position frame.
-        out = _ckpt(out)
-        release_blocks(spark, set(pb.hold_ids))
-    return out
+    # Same retention contract as suffix_span_exact.
+    return materialize_and_release(out, pb)
 
 
 # --- corpus boilerplate catalog (round 10) ------------------------------------
@@ -4530,8 +4529,8 @@ LIMIT {_BOILER_TOPK}
 )
 def q_boilerplate_span_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus BOILERPLATE CATALOG — the audit report the span-dedup
-    family feeds on: the top-{_BOILER_TOPK} most-repeated
-    {_BOILER_K}-token phrases corpus-wide, with occurrence count,
+    family feeds on: the top-20 (_BOILER_TOPK) most-repeated
+    12-token (_BOILER_K) phrases corpus-wide, with occurrence count,
     distinct-document reach, covered-token volume, and document share.
     The per-document queries answer "how duplicated is THIS doc"
     (span_windows/pow2/suffix) and "what do I remove" (the cut pair);

@@ -1236,50 +1236,34 @@ def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes this the 100 TB session shape while the built-in
     session_window twin (streaming_session_windows) must run complete."""
     import datetime
-    import shutil
-    import tempfile
 
+    from ..sources.stream import replay_tape
     from ..streaming.stateful import SESSION_GAP_US, tws_session_timers
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
-    tape = tempfile.mkdtemp(prefix="session_tape_")
-    try:
-        import os
-
-        ev.coalesce(1).write.mode("append").parquet(tape)
-        ev_parts = {f for f in os.listdir(tape) if f.endswith(".parquet")}
-        # Sentinel = max real ts + gap + watermark delay + 1s margin,
-        # DERIVED from the same constants the operator and the
-        # withWatermark call below use — a drifted literal would let
-        # final-session timers land past the last watermark and
-        # silently drop sessions (ADVICE r9).
-        sentinel_ts = max_ts + datetime.timedelta(
-            microseconds=SESSION_GAP_US, seconds=_SESSION_WM_DELAY_S + 1
-        )
-        spark.createDataFrame(
-            [(-1, sentinel_ts, -1, 0.0)],
-            "event_id long, ts timestamp_ntz, user_id long, value double",
-        ).selectExpr(
-            "event_id", "cast(ts as timestamp) as ts", "user_id", "value"
-        ).coalesce(1).write.mode("append").parquet(tape)
-        # The file source replays in mtime order; stamp the sentinel file
-        # strictly LAST (the two write jobs can land in the same mtime
-        # instant, which would leave the replay order undefined and the
-        # events file late-beyond-watermark if the sentinel went first).
-        for f in os.listdir(tape):
-            if f.endswith(".parquet"):
-                later = f not in ev_parts
-                os.utime(
-                    os.path.join(tape, f), (1_000_000 + 10 * later,) * 2
-                )
+    # Sentinel = max real ts + gap + watermark delay + 1s margin,
+    # DERIVED from the same constants the operator and the
+    # withWatermark call below use — a drifted literal would let
+    # final-session timers land past the last watermark and
+    # silently drop sessions (ADVICE r9).
+    sentinel_ts = max_ts + datetime.timedelta(
+        microseconds=SESSION_GAP_US, seconds=_SESSION_WM_DELAY_S + 1
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, 0.0)],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) as ts", "user_id", "value"
+    )
+    with replay_tape(ev, [sentinel]) as tape:
         schema = spark.read.parquet(tape).schema
         # Watermarks require TIMESTAMP (not NTZ); UTC session ⇒ same
         # instant. NO maxFilesPerTrigger: the whole tape in ONE batch
         # means no row is ever late relative to a prior batch's
-        # watermark (mtime stamping above stays as defense-in-depth);
+        # watermark (replay_tape's mtime stamping is defense-in-depth);
         # the availableNow drain batch then fires every timer ≤ the
         # sentinel-advanced watermark — one state-server round instead
         # of one per file.
@@ -1295,8 +1279,6 @@ def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stream_session_timers_{next(_counter)}",
             "append",
         )
-    finally:
-        shutil.rmtree(tape, ignore_errors=True)
     return session_timers_rollup(log)
 
 
@@ -1465,52 +1447,43 @@ def q_streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine anti rows was silently withheld (observed, round 10).
     Oracle: the equivalent NOT EXISTS, exact because the tape is closed."""
     import datetime
-    import os
-    import shutil
-    import tempfile
 
+    from ..sources.stream import replay_tape
     from ..streaming.joins import interval_join_left_anti
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
-    tape = tempfile.mkdtemp(prefix="anti_tape_")
-    try:
-        ev.coalesce(1).write.mode("append").parquet(tape)
-        ev_parts = {f for f in os.listdir(tape) if f.endswith(".parquet")}
-        seen = set(ev_parts)
-        for i in (1, 2):
-            sentinel_ts = max_ts + datetime.timedelta(
-                seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
-            )
-            spark.createDataFrame(
-                [(-i, sentinel_ts, _ANTI_SENTINEL_USER, "sentinel")],
-                "event_id long, ts timestamp_ntz, user_id long,"
-                " event_type string",
-            ).selectExpr(
-                "event_id",
-                "cast(ts as timestamp) as ts",
-                "user_id",
-                "event_type",
-            ).coalesce(1).write.mode("append").parquet(tape)
-            new_parts = {
-                f
-                for f in os.listdir(tape)
-                if f.endswith(".parquet") and f not in seen
-            }
-            for f in new_parts:
-                os.utime(
-                    os.path.join(tape, f), (1_000_000 + 10 * i,) * 2
+    sentinels = [
+        spark.createDataFrame(
+            [
+                (
+                    -i,
+                    max_ts
+                    + datetime.timedelta(
+                        seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
+                    ),
+                    _ANTI_SENTINEL_USER,
+                    "sentinel",
                 )
-            seen |= new_parts
-        for f in ev_parts:
-            os.utime(os.path.join(tape, f), (1_000_000,) * 2)
+            ],
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string",
+        ).selectExpr(
+            "event_id",
+            "cast(ts as timestamp) as ts",
+            "user_id",
+            "event_type",
+        )
+        for i in (1, 2)
+    ]
+    with replay_tape(ev, sentinels) as tape:
         schema = spark.read.parquet(tape).schema
         # NO maxFilesPerTrigger: the whole tape lands in ONE batch, so
         # no row can be late relative to an earlier batch's watermark
-        # (the mtime stamping above becomes defense-in-depth) and the
-        # no-data eviction batch then runs once with the final
+        # (replay_tape's mtime stamping becomes defense-in-depth) and
+        # the no-data eviction batch then runs once with the final
         # sentinel-advanced watermark — 2 batches total instead of
         # per-file batches + evictions (~25% faster at sf0.1).
         stream = (
@@ -1548,8 +1521,8 @@ def q_streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Sentinel guard BATCH-side (see docstring: a streaming-side
         # filter would be pushed into the scans and starve the
         # watermark).
+        # Null-safe: a plain != would also drop NULL-user purchases
+        # that the NOT EXISTS oracle keeps.
         return run_to_memory(out, name, output_mode="append").where(
-            F.col("user_id") != _ANTI_SENTINEL_USER
+            ~F.col("user_id").eqNullSafe(F.lit(_ANTI_SENTINEL_USER))
         )
-    finally:
-        shutil.rmtree(tape, ignore_errors=True)

@@ -64,3 +64,55 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def replay_tape(base_df: DataFrame, sentinel_dfs: list[DataFrame]):
+    """Bounded event-time REPLAY TAPE: a temp directory holding
+    ``base_df`` as the base slab plus one parquet file PER sentinel
+    frame, mtime-stamped strictly after the base and in argument order;
+    yields the tape path and guarantees removal.
+
+    This helper owns the replay invariants the tape-based queries
+    (session timers, anti join) learned the hard way, so the next one
+    doesn't rediscover them:
+
+    * The file source replays in MTIME order and two write jobs can
+      land in the same mtime instant — base files are pinned to a fixed
+      epoch, each sentinel file strictly later. (With the whole tape in
+      one availableNow batch the order is moot — the stamping is
+      defense-in-depth for any reader that sets maxFilesPerTrigger.)
+    * Sentinels are SEPARATE FILES: per-file readers evict with the
+      watermark of the PREVIOUS batch, so a closing sentinel that
+      shares the base file never gets its watermark used.
+    * Sentinel CONTENT is the caller's contract: rows must survive
+      every scan-pushed predicate to reach the watermark nodes
+      (positive non-existent keys, event_type admitted by the side
+      filters — see q_streaming_anti_join's pushdown-starvation note).
+    """
+    import shutil
+    import tempfile
+
+    tape = tempfile.mkdtemp(prefix="replay_tape_")
+    try:
+        base_df.coalesce(1).write.mode("append").parquet(tape)
+        seen = {f for f in os.listdir(tape) if f.endswith(".parquet")}
+        base = set(seen)
+        for i, sdf in enumerate(sentinel_dfs, start=1):
+            sdf.coalesce(1).write.mode("append").parquet(tape)
+            new = {
+                f
+                for f in os.listdir(tape)
+                if f.endswith(".parquet") and f not in seen
+            }
+            for f in new:
+                os.utime(os.path.join(tape, f), (1_000_000 + 10 * i,) * 2)
+            seen |= new
+        for f in base:
+            os.utime(os.path.join(tape, f), (1_000_000,) * 2)
+        yield tape
+    finally:
+        shutil.rmtree(tape, ignore_errors=True)

@@ -175,7 +175,6 @@ def test_suffix_cut_planted(spark):
     expected kept text."""
     import hashlib
 
-    from ohlc_spark_streaming_spark.registry import QUERIES
     from ohlc_spark_streaming_spark.queries.analytics import (
         q_dedup_span_cut_suffix,
         _SUFFIX_CUT_MIN,
