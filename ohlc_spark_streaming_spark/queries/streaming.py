@@ -1526,3 +1526,113 @@ def q_streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, name, output_mode="append").where(
             ~F.col("user_id").eqNullSafe(F.lit(_ANTI_SENTINEL_USER))
         )
+
+
+@register(
+    "streaming_full_outer_join",
+    f"""
+SELECT
+  p.event_id                        AS purchase_id,
+  v.event_id                        AS view_id,
+  coalesce(p.user_id, v.user_id)    AS user_id,
+  p.ts                              AS purchase_ts,
+  v.ts                              AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL {_ANTI_LOOKBACK_S} SECOND
+""",
+)
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last member of the
+    family (inner `streaming_interval_join`, left-outer in
+    streaming/joins.py, semi `streaming_semi_join`, anti
+    `streaming_anti_join`, full-outer here): every purchase paired with
+    every same-user view in the preceding band, PLUS unmatched purchases
+    (view columns null) PLUS unmatched views (purchase columns null) —
+    the reconciliation/audit shape ("nothing on either side goes
+    unaccounted"). Native fullOuter in Spark's join state machine; each
+    side's unmatched rows are watermark-proven, so the bounded replay
+    reuses the anti join's closed-tape discipline verbatim: TWO trailing
+    sentinel files at max(ts) + lookback + delay (+1s, +2s), sentinel
+    rows flowing through BOTH side filters to advance BOTH watermark
+    nodes, guard batch-side (scan pushdown would starve the watermark —
+    see q_streaming_anti_join). Sentinel self-emissions are matched
+    pairs (each left sentinel has an in-band right sentinel), removed by
+    the same user-id guard. Oracle: the equivalent FULL OUTER JOIN."""
+    import datetime
+
+    from ..sources.stream import replay_tape
+    from ..streaming.joins import interval_join_full_outer
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
+    sentinels = [
+        spark.createDataFrame(
+            [
+                (
+                    -i,
+                    max_ts
+                    + datetime.timedelta(
+                        seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
+                    ),
+                    _ANTI_SENTINEL_USER,
+                    "sentinel",
+                )
+            ],
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string",
+        ).selectExpr(
+            "event_id",
+            "cast(ts as timestamp) as ts",
+            "user_id",
+            "event_type",
+        )
+        for i in (1, 2)
+    ]
+    with replay_tape(ev, sentinels) as tape:
+        schema = spark.read.parquet(tape).schema
+        # One availableNow batch + the no-data eviction batch (same
+        # 2-batch shape as the anti join — see its comment).
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(tape)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        purchases = stream.where(
+            F.col("event_type").isin("purchase", "sentinel")
+        ).select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        views = stream.where(
+            F.col("event_type").isin("view", "sentinel")
+        ).select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        out = interval_join_full_outer(
+            purchases,
+            views,
+            key="key_id",
+            left_ts="purchase_ts",
+            right_ts="view_ts",
+            lookback=f"{_ANTI_LOOKBACK_S} seconds",
+            watermark=f"{_ANTI_WM_DELAY_S} seconds",
+        ).select(
+            "purchase_id",
+            "view_id",
+            F.col("key_id").alias("user_id"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        )
+        name = f"stream_fullouter_{next(_counter)}"
+        # Guard batch-side, null-safe (user_id is never null here —
+        # coalesce of the join keys — but keep the anti join's idiom).
+        return run_to_memory(out, name, output_mode="append").where(
+            ~F.col("user_id").eqNullSafe(F.lit(_ANTI_SENTINEL_USER))
+        )

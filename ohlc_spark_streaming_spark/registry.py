@@ -202,7 +202,9 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # --- Tail (4): least-risky re-checks (short, structurally simple,
     # --- green since r5); SURRENDER these slots to round-10 additions
     # --- as they land so the backlog stays at zero ---
-    "orderby_limit_offset",
+    # round-10 addition: stream-stream FULL OUTER interval join (took
+    # orderby_limit_offset's slot — the last remaining tail re-check)
+    "streaming_full_outer_join",
     # round-10 addition: corpus boilerplate catalog (took
     # string_agg_statuses' slot)
     "boilerplate_span_catalog",

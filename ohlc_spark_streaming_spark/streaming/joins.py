@@ -84,6 +84,50 @@ def _interval_join(
     return joined.drop(rk)
 
 
+def interval_join_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join: matched pairs plus
+    unmatched rows from BOTH sides (the other side's columns null) —
+    the reconciliation shape ("every purchase and every view, paired
+    where a pairing exists"). Spark's join state machine supports
+    native fullOuter for stream-stream (since 3.1): each side's
+    unmatched rows are emitted once the OTHER side's watermark proves
+    no in-band partner can still arrive — the band condition bounds
+    both directions (``right_ts ∈ [left_ts - lookback, left_ts]`` ⇔
+    ``left_ts ∈ [right_ts, right_ts + lookback]``), so state on both
+    sides stays ``O(rate × (lookback + watermark))``.
+
+    Unlike :func:`_interval_join` this cannot drop the right key:
+    right-unmatched rows have a NULL left key, so the output ``key``
+    is ``coalesce(l.key, r.key)``. Bounded replays needing the
+    COMPLETE answer must close the tape with watermark-advancing
+    sentinels on both sides (see q_streaming_full_outer_join)."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    lk, rk = F.col(f"l.{key}"), F.col(f"r.{key}")
+    cond = (
+        (lk == rk)
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+    )
+    joined = left.alias("l").join(right.alias("r"), cond, "fullOuter")
+    lcols = [F.col(f"l.{c}") for c in left.columns if c != key]
+    rcols = [F.col(f"r.{c}") for c in right.columns if c != key]
+    return joined.select(F.coalesce(lk, rk).alias(key), *lcols, *rcols)
+
+
 def interval_join_left_semi(
     left: DataFrame,
     right: DataFrame,

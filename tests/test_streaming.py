@@ -289,6 +289,60 @@ def test_streaming_left_outer_interval_join(spark):
     assert any(t[1] is None for t in got)
 
 
+def test_streaming_full_outer_interval_join(spark):
+    """Full-outer stream-stream interval join: matched pairs equal the
+    batch inner join exactly (never watermark-withheld); unmatched rows
+    from EACH side are emitted once the other side's watermark proves no
+    in-band partner can arrive — every emission must exist in the batch
+    full-outer answer, and BOTH null paths must actually fire. Exact
+    completeness is what the sentinel-closed oracle query
+    (streaming_full_outer_join) proves."""
+    from ohlc_spark_streaming_spark.streaming.joins import (
+        interval_join_full_outer,
+    )
+
+    def sides(df):
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        views = df.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("key_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        return purchases, views
+
+    kw = dict(
+        key="key_id", left_ts="purchase_ts", right_ts="view_ts",
+        lookback="2 hours", watermark="1 hour",
+    )
+    sp, sv = sides(events_stream(spark, SF_SMOKE))
+    out = run_to_memory(
+        interval_join_full_outer(sp, sv, **kw)
+        .select("purchase_id", "view_id"),
+        "foj_interval",
+        output_mode="append",
+    )
+    bp, bv = sides(load_table(spark, SF_SMOKE, "events"))
+    batch = interval_join_full_outer(bp, bv, **kw).select(
+        "purchase_id", "view_id"
+    )
+
+    got = set(map(tuple, out.collect()))
+    want = set(map(tuple, batch.collect()))
+    assert got <= want
+    # Matched pairs are never watermark-withheld: exact equality.
+    assert {t for t in got if None not in t} == {
+        t for t in want if None not in t
+    }
+    # BOTH outer paths must actually fire (unmatched purchases AND
+    # unmatched views before the final watermark).
+    assert any(t[1] is None for t in got)
+    assert any(t[0] is None for t in got)
+
+
 def test_streaming_left_anti_interval_join(spark):
     """Left-anti stream-stream interval join (leftOuter + null-probe
     composition — Spark has no native streaming anti, pinned below):
