@@ -263,6 +263,104 @@ def ivf_cosine_topk(
     )
 
 
+def pq_adc_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_cents: int = 8,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Product-quantization ANN search with Asymmetric Distance
+    Computation (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011) — the compressed-index scale path
+    that IVF (coarse cells) and LSH (hyperplane buckets) don't cover:
+
+    * **Encode** (index build): each vector splits into ``n_subspaces``
+      contiguous subvectors; each snaps to its nearest of ``n_cents``
+      seed centroids (argmin L2, ties to the smallest centroid id via
+      the struct-min discipline — the identical assignment
+      q_embedding_pq_audit audits). The corpus is then represented by
+      ``n_subspaces`` small codes per vector — at 100 TB this is the
+      point: an 8-byte code row instead of a 256-byte float vector,
+      so the scan that ranks a billion vectors reads 3% of the bytes.
+    * **Search** (ADC): each query keeps its EXACT subvectors and
+      precomputes a (subspace × centroid) lookup table of squared-L2
+      distances — ``n_queries × n_subspaces × n_cents`` rows, a
+      broadcast. Approximate distance(query, vec) = Σ_s LUT[s][code_s]
+      — one equi-join on (subspace, centroid) + one partial-aggregated
+      sum, never a D-dimensional fold per pair.
+
+    Determinism: each LUT entry is quantized to integer 1e-9 units
+    (``floor(d·1e9 + 0.5)`` — the operators/graph.py rule) BEFORE the
+    per-pair sum, so the 8-way addition is exact integer math and
+    order-independent (a double sum would be shuffle-order-dependent
+    in the last ulp). Output: query_id, vec_id, adc_units (ascending =
+    nearer), rank; ties break on vec_id.
+
+    Codebook is training-free (subvectors of the first ``n_cents``
+    corpus vectors — kmeans_update_step holds the training step); a
+    real deployment swaps in trained centroids, every downstream step
+    unchanged."""
+    from ..functions.vectorops import sqdist
+
+    sub_d = dim // n_subspaces
+    d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+
+    def _explode_subs(frame, out_col):
+        return frame.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(F.col("_e"), s * sub_d + 1, sub_d).alias(
+                                out_col
+                            ),
+                        )
+                        for s in range(n_subspaces)
+                    ]
+                )
+            ).alias("_x"),
+        ).select(id_col, F.col("_x.s").alias("s"), f"_x.{out_col}")
+
+    sub = _explode_subs(d, "sv")
+    cents = _explode_subs(
+        d.where(F.col(id_col) < n_cents), "cv"
+    ).withColumnRenamed(id_col, "_cid")
+    dists = sub.join(F.broadcast(cents), "s").select(
+        id_col, "s", "_cid", sqdist(F.col("sv"), F.col("cv")).alias("_d")
+    )
+    codes = dists.groupBy(id_col, "s").agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("_cid").alias("c")))
+        .getField("c")
+        .alias("c")
+    )
+    lut = dists.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        "s",
+        F.col("_cid").alias("c"),
+        F.floor(F.col("_d") * 1e9 + F.lit(0.5)).cast("long").alias("_du"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "c"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_du").cast("long").alias("adc_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_units").asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_units", "rank")
+    )
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

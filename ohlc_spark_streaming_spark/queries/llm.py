@@ -943,6 +943,64 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_pq_topk",
+    """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sgrid AS (SELECT unnest(range(0, 8)) AS s),
+sub AS (
+  SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sv
+  FROM d, sgrid
+),
+cents AS (
+  SELECT s, vec_id AS cid, list_slice(e, s*8 + 1, s*8 + 8) AS cv
+  FROM d, sgrid WHERE vec_id < 8
+),
+dists AS (
+  SELECT sub.vec_id, sub.s, cents.cid,
+         list_sum(list_transform(list_zip(sv, cv),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+  FROM sub JOIN cents ON sub.s = cents.s
+),
+codes AS (
+  SELECT vec_id, s, (min(struct_pack(d := dist, c := cid))).c AS c
+  FROM dists GROUP BY vec_id, s
+),
+lut AS (
+  SELECT vec_id AS query_id, s, cid AS c,
+         CAST(floor(dist * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_units
+  FROM dists WHERE vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, codes.vec_id, CAST(sum(l.d_units) AS BIGINT) AS adc_units
+  FROM codes JOIN lut l ON codes.s = l.s AND codes.c = l.c
+  WHERE codes.vec_id <> l.query_id
+  GROUP BY l.query_id, codes.vec_id
+)
+SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_units ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
+""",
+)
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN search — the third retrieval scale path beside LSH
+    buckets (similarity_lsh_topk) and IVF cells (similarity_ivf_topk):
+    the corpus is stored as 8 product-quantizer codes per vector (the
+    codebook-assignment q_embedding_pq_audit audits) and each query
+    ranks the WHOLE corpus by summing 8 precomputed lookup-table
+    entries instead of folding 64 dimensions per pair. The oracle
+    replays codebook assignment, lookup-table build, and ADC sum
+    verbatim; the per-entry integer-unit quantization (floor(d·1e9 +
+    0.5)) makes the 8-way sum exact and shuffle-order-independent.
+    Recall vs exact L2 is pinned in tests/test_ann_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.pq_adc_topk(
+        emb, dim=64, n_subspaces=8, n_cents=8, n_queries=10, k=5
+    )
+
+
+@register(
     "text_tfidf",
     f"""
 WITH tok AS (

@@ -184,7 +184,10 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "lm_bigram_topk",
     "text_chunks",
     "text_fingerprint",
-    "profile_documents",
+    # round-10 addition: PQ-ADC ANN search (took profile_documents'
+    # slot — a simple describe-style profile, green since r5; the
+    # 4-slot tail was already surrendered to earlier r10 additions)
+    "similarity_pq_topk",
     "quality_classifier_bucket",
     "split_drift_tvd",
     "split_leakage_audit",

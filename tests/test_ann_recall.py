@@ -62,3 +62,82 @@ def test_ivf_recall_vs_exact(spark):
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in common]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.4, (mean_recall, recalls)
+
+
+def test_pq_adc_recall_and_exactness(spark):
+    """PQ-ADC (pq_adc_topk): two pins.
+
+    (a) RECALL vs exact squared-L2 top-5 — ADC approximates L2, so L2
+        is the right yardstick (not cosine). The untrained 8x8 codebook
+        on near-random vectors measured 0.18 mean recall@5; pin 0.10,
+        ~10x the 5/N random-chance floor.
+    (b) EXACTNESS on centroid rows — a corpus vector that IS a codebook
+        seed (vec_id < 8) encodes with zero quantization error in every
+        subspace, so its ADC distance from any query must equal the
+        QUANTIZED exact distance sum_s floor(d(q_s, c_s)*1e9 + 0.5).
+        This pins the encode -> LUT -> sum path end to end: a wrong
+        slice offset, assignment tie-break, or join key would break it.
+    """
+    from pyspark.sql import Window
+
+    from ohlc_spark_streaming_spark.functions.vectorops import (
+        as_double_array,
+        sqdist,
+    )
+    from ohlc_spark_streaming_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # Exact L2 brute force over the same 10 probe queries.
+    d = emb.select("vec_id", as_double_array("embedding").alias("_v"))
+    q = d.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("_q")
+    )
+    pairs = d.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", sqdist(F.col("_v"), F.col("_q")).alias("d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    exact_top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 5
+    )
+    exact = _topk_sets(exact_top, 5)
+    approx = _topk_sets(pq_adc_topk(emb, k=5), 5)
+    rs = [len(exact[qi] & approx.get(qi, set())) / len(exact[qi]) for qi in exact]
+    assert sum(rs) / len(rs) >= 0.10, rs  # measured 0.18; chance ~0.01
+
+    # (b) centroid rows: ADC == quantized exact. Recompute ADC without
+    # the top-k cut (k = corpus size) and join against the per-subspace
+    # quantized exact sum.
+    n = emb.count()
+    adc_all = pq_adc_topk(emb, k=n).where(F.col("vec_id") < 8)
+    sub_exact = (
+        d.where(F.col("vec_id") < 8)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            sum(
+                [
+                    F.floor(
+                        sqdist(
+                            F.slice(F.col("_v"), s * 8 + 1, 8),
+                            F.slice(F.col("_q"), s * 8 + 1, 8),
+                        )
+                        * 1e9
+                        + F.lit(0.5)
+                    ).cast("long")
+                    for s in range(8)
+                ],
+                F.lit(0).cast("long"),
+            ).alias("want_units"),
+        )
+    )
+    cmp = adc_all.join(sub_exact, ["query_id", "vec_id"])
+    assert cmp.count() == sub_exact.count()
+    bad = cmp.where(F.col("adc_units") != F.col("want_units")).count()
+    assert bad == 0
