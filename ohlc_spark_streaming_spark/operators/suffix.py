@@ -288,16 +288,39 @@ class PositionBest(NamedTuple):
     progressive: bool
 
 
-def suffix_position_best(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> PositionBest:
-    """For every token position: the length of the longest span STARTING
-    there that also occurs elsewhere in the corpus (0 if none) — the
-    suffix-array primitive both exact-span scoring (suffix_span_exact)
-    and exact span-CUTTING (dedup_span_cut_suffix) consume. See the
-    module docstring for the construction; retention follows the
+class SAFrames(NamedTuple):
+    """Shared suffix-array build: SA order + adjacent-pair LCPs, with
+    retention bookkeeping. ``sa`` is (doc_id, pos, idx); ``capped`` is
+    (idx, a_doc, a_pos, b_doc, b_pos, lcp) where row ``idx`` holds
+    LCP(sa[idx], sa[idx+1]) capped by the shorter suffix. ``sa_ids`` is
+    non-empty only when the build kept the SA frame alive for the
+    caller (``keep_sa``); the caller then owns its release."""
+
+    toks: DataFrame
+    tok_ids: tuple[int, ...]
+    sa: DataFrame
+    sa_ids: tuple[int, ...]
+    capped: DataFrame
+    capped_ids: tuple[int, ...]
+    progressive: bool
+    n_tokens: int
+
+
+def _sa_adjacent_lcp(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_sa: bool = False,
+) -> SAFrames | None:
+    """Build the suffix array over the whole corpus and the adjacent-pair
+    LCP frame — the shared core of within-corpus span scoring
+    (suffix_position_best) and cross-corpus contamination scoring
+    (cross_contamination_best). Returns None for a token-less corpus.
+    See the module docstring for the construction; retention follows the
     size-adaptive progressive-release discipline (O(log L) rank tables
-    are ALWAYS released before return)."""
+    are ALWAYS released before return). With ``keep_sa`` the SA frame's
+    blocks survive the build (the cross-corpus path reads SA order
+    again); otherwise they are released with the first descent level."""
     spark = docs.sparkSession
     # Corpus stats BEFORE exploding: one narrow aggregate over documents
     # decides strategy AND storage level, so the token table itself can
@@ -311,12 +334,7 @@ def suffix_position_best(
     distributed = n_tokens > DISTRIBUTED_RANK_THRESHOLD
     progressive = distributed  # retention is MBs below the threshold
     if max_len == 0:
-        empty = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.lit(1).cast("long").alias("pos"),
-            F.lit(0).cast("long").alias("best"),
-        ).limit(0)
-        return PositionBest(empty, (), progressive)
+        return None
 
     tok_ids: list[int] = []
     toks = docs.select(
@@ -355,6 +373,7 @@ def suffix_position_best(
         F.col("pos").alias("b_pos"),
     )
     pairs = sa.join(succ, "idx").select(
+        "idx",
         F.col("doc_id").alias("a_doc"),
         F.col("pos").alias("a_pos"),
         "b_doc",
@@ -368,7 +387,7 @@ def suffix_position_best(
     # (DISK_ONLY), then releases the table it consumed and the previous
     # pairs level — peak footprint bounded to one level in flight. In
     # the small-corpus mode the loop just builds one lazy plan.
-    prev_ids: set[int] = set(sa_ids)
+    prev_ids: set[int] = set() if keep_sa else set(sa_ids)
     for t in sorted(tables, key=lambda t: -t.d):
         if t.d > max_len:
             continue
@@ -388,6 +407,7 @@ def suffix_position_best(
                 "left",
             )
             .select(
+                "idx",
                 "a_doc",
                 "a_pos",
                 "b_doc",
@@ -419,6 +439,7 @@ def suffix_position_best(
         pairs.join(la, "a_doc")
         .join(lb, "b_doc")
         .select(
+            "idx",
             "a_doc",
             "a_pos",
             "b_doc",
@@ -434,12 +455,45 @@ def suffix_position_best(
         capped_ids,
         progressive,
     )
-    # Progressive: only the last pairs level remains; small-corpus: the
-    # whole descent just executed, so every rank table and the SA frame
-    # can be bulk-released now.
+    # Progressive: only the last pairs level remains (plus the SA frame
+    # when the caller keeps it); small-corpus: the whole descent just
+    # executed, so every rank table and the non-kept SA frame can be
+    # bulk-released now.
     release_blocks(spark, prev_ids)
     if not progressive:
         release_rank_tables(spark, tables)
+    return SAFrames(
+        toks,
+        tuple(tok_ids),
+        sa,
+        tuple(sa_ids) if keep_sa else (),
+        capped,
+        tuple(capped_ids),
+        progressive,
+        n_tokens,
+    )
+
+
+def suffix_position_best(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> PositionBest:
+    """For every token position: the length of the longest span STARTING
+    there that also occurs elsewhere in the corpus (0 if none) — the
+    suffix-array primitive both exact-span scoring (suffix_span_exact)
+    and exact span-CUTTING (dedup_span_cut_suffix) consume. See the
+    module docstring for the construction; retention follows the
+    size-adaptive progressive-release discipline (O(log L) rank tables
+    are ALWAYS released before return)."""
+    spark = docs.sparkSession
+    fr = _sa_adjacent_lcp(docs, id_col, text_col, keep_sa=False)
+    if fr is None:
+        empty = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(1).cast("long").alias("pos"),
+            F.lit(0).cast("long").alias("best"),
+        ).limit(0)
+        return PositionBest(empty, (), False)
+    toks, capped, progressive = fr.toks, fr.capped, fr.progressive
 
     # Per-suffix best neighbor LCP (pred or succ). LEFT join from ALL
     # positions: with n ≥ 2 suffixes every position appears in an
@@ -476,14 +530,189 @@ def suffix_position_best(
         # (DISK_ONLY) and free the token + pair frames immediately.
         ps_ids: list[int] = []
         per_suffix = _ckpt(per_suffix, ps_ids, True)
-        release_blocks(spark, set(tok_ids) | set(capped_ids))
+        release_blocks(spark, set(fr.tok_ids) | set(fr.capped_ids))
         return PositionBest(per_suffix, tuple(ps_ids), True)
     # Below the threshold the lazy plan still reads toks and capped;
     # their two O(tokens) frames stay until the caller drops the result
     # (the ContextCleaner reclaims local-checkpoint blocks once the
     # DataFrame is unreachable) — eager materialization would forfeit
     # the stage elimination a bare count() gets from Catalyst.
-    return PositionBest(per_suffix, tuple(tok_ids) + tuple(capped_ids), False)
+    return PositionBest(per_suffix, fr.tok_ids + fr.capped_ids, False)
+
+
+def _prefix_sum(
+    df: DataFrame,
+    val_col: str,
+    order_col: str,
+    out_col: str,
+    distributed: bool = False,
+    partitions: int = _RANK_PARTITIONS,
+) -> DataFrame:
+    """Running SUM of ``val_col`` in ``order_col`` order, INCLUSIVE of
+    the current row — the same two strategies as global_dense_rank:
+    one global-sort window below the threshold; repartitionByRange +
+    per-partition running sums + broadcast cumulative offsets above it
+    (a bounded ≤#partitions-row driver fence, no single-partition
+    funnel)."""
+    if not distributed:
+        w = Window.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return df.withColumn(out_col, F.sum(val_col).over(w))
+    rp = df.repartitionByRange(partitions, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    rp = rp.persist(_SPILL)
+    sums = rp.groupBy("_pid").agg(F.sum(val_col).alias("_s")).collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r._pid):
+        offsets[row._pid] = acc
+        acc += row._s or 0
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        rp.withColumn("_ls", F.sum(val_col).over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_ls")).cast("long"))
+        .drop("_pid", "_ls", "_off")
+    )
+    return out
+
+
+def cross_contamination_best(
+    docs: DataFrame,
+    eval_flag,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT cross-corpus contamination span per TRAIN document: the
+    length of the longest token span that also occurs anywhere in the
+    EVAL subset (``eval_flag`` — a boolean Column over ``docs``), plus
+    how many positions achieve it. The decontamination quantity a
+    "drop/cut training docs sharing a ≥N-token span with the benchmark"
+    policy thresholds on — exact, any N, where decontaminate_ngram is
+    fixed-N. Output: (doc_id, contam_span, n_at_max), train docs only.
+
+    Construction (suffix array over the UNION corpus): a train suffix's
+    longest common prefix with the eval set is attained at the NEAREST
+    eval suffix in SA order on either side (pair LCP = range-min of
+    adjacent LCPs, so moving past the nearest eval suffix can only
+    shrink the min). With ``grp[i]`` = running count of eval suffixes
+    at/before SA index i, every (eval suffix, following train run) is
+    one grp partition whose head is the eval row, and
+
+    * up[i]   = min of adjacent-LCP(pred) over the partition rows after
+      the head up to i (head masked out; its pred-LCP points outside
+      the range),
+    * down[i] = the symmetric pass on grp2 = (total − grp + is_eval),
+      ordered DESC, min over rows strictly preceding i (the head eval
+      row's pred-LCP is IN range this time).
+
+    contam(i) = greatest(up, down) — two partitioned window passes over
+    one row per token, after one prefix count (size-adaptive: global
+    window below the rank threshold, range-partitioned running sums +
+    broadcast offsets above). Same O(tokens · log L) bound and
+    progressive-release discipline as suffix_position_best; exactness
+    is pinned against a python brute force in
+    tests/test_suffix_property.py."""
+    spark = docs.sparkSession
+    flags = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(eval_flag, F.lit(1)).otherwise(F.lit(0)).alias("is_eval"),
+    )
+    train_docs = flags.where(F.col("is_eval") == 0).select("doc_id")
+    fr = _sa_adjacent_lcp(docs, id_col, text_col, keep_sa=True)
+    if fr is None:
+        return train_docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("contam_span"),
+            F.lit(0).cast("long").alias("n_at_max"),
+        )
+    distributed = fr.progressive
+    n_parts = rank_partitions(fr.n_tokens)
+
+    # lcp_pred[i] = LCP(sa[i-1], sa[i]) — the only LCP orientation both
+    # window passes need (see docstring derivation).
+    lp = fr.capped.select(
+        (F.col("idx") + 1).alias("idx"), F.col("lcp").alias("lcp_pred")
+    )
+    rows = fr.sa.join(lp, "idx", "left").join(flags, "doc_id")
+    rows = _prefix_sum(rows, "is_eval", "idx", "grp", distributed, n_parts)
+    e_total = int(
+        flags.join(fr.sa.groupBy("doc_id").count(), "doc_id")
+        .where(F.col("is_eval") == 1)
+        .agg(F.coalesce(F.sum("count"), F.lit(0)))
+        .collect()[0][0]
+    )
+    rows = rows.withColumn(
+        "grp2", F.lit(e_total) - F.col("grp") + F.col("is_eval")
+    )
+
+    w_up = (
+        Window.partitionBy("grp")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_dn = (
+        Window.partitionBy("grp2")
+        .orderBy(F.col("idx").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    masked = F.when(F.col("is_eval") == 1, F.lit(None)).otherwise(
+        F.col("lcp_pred")
+    )
+    up = F.when(F.col("grp") > 0, F.min(masked).over(w_up))
+    down = F.when(F.col("grp2") > 0, F.min(F.col("lcp_pred")).over(w_dn))
+    # The window columns MUST materialize before the eval-row filter:
+    # a filter upstream of the window would delete the partition heads
+    # (the eval rows) the passes pivot on — observed as silently
+    # shifted per-position bests on the tiny-corpus brute check.
+    per_pos = (
+        rows.withColumn("_up", up)
+        .withColumn("_down", down)
+        .where(F.col("is_eval") == 0)
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.greatest("_up", "_down"), F.lit(0))
+            .cast("long")
+            .alias("best"),
+        )
+    )
+    per_doc = per_pos.groupBy("doc_id").agg(
+        F.max("best").alias("contam_span")
+    )
+    n_at_max = (
+        per_pos.join(per_doc, "doc_id")
+        .where(F.col("best") == F.col("contam_span"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_at_max"))
+    )
+    out = (
+        train_docs.join(per_doc, "doc_id", "left")
+        .join(n_at_max, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("contam_span"), F.lit(0))
+            .cast("long")
+            .alias("contam_span"),
+            F.coalesce(F.col("n_at_max"), F.lit(0))
+            .cast("long")
+            .alias("n_at_max"),
+        )
+    )
+    if fr.progressive:
+        out = _ckpt(out)
+        release_blocks(
+            spark,
+            set(fr.tok_ids) | set(fr.sa_ids) | set(fr.capped_ids),
+        )
+    return out
 
 
 def materialize_and_release(result: DataFrame, pb: PositionBest) -> DataFrame:

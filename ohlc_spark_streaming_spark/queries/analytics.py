@@ -4492,6 +4492,79 @@ def q_dedup_span_cut_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_and_release(out, pb)
 
 
+# --- exact cross-corpus decontamination via suffix array (round 10) -----------
+
+#: The held-out "benchmark" slice of the documents table: one source
+#: (5% of docs). The operator takes any boolean doc predicate; the
+#: registry exhibit pins one so the oracle can replay it.
+_DECON_EVAL_SOURCE = "src0"
+
+
+@register(
+    "decontaminate_span",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source = '{_DECON_EVAL_SOURCE}' AS is_eval,
+         {_TOKENS} AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, is_eval, t, u.p
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(p)
+),
+g AS (
+  SELECT doc_id, is_eval, p, v.k,
+         md5(array_to_string(list_slice(t, p, p + v.k - 1), ' ')) AS gram
+  FROM pos, unnest(range(1, len(t) - p + 2)) AS v(k)
+),
+eg AS (SELECT DISTINCT k, gram FROM g WHERE is_eval),
+perpos AS (
+  SELECT g.doc_id, g.p,
+         max(CASE WHEN e.k IS NOT NULL THEN g.k ELSE 0 END) AS best
+  FROM g LEFT JOIN eg e USING (k, gram)
+  WHERE NOT g.is_eval
+  GROUP BY g.doc_id, g.p
+),
+perdoc AS (SELECT doc_id, max(best) AS contam_span FROM perpos GROUP BY doc_id),
+cnt AS (
+  SELECT pp.doc_id, count(*) AS n_at_max
+  FROM perpos pp
+  JOIN perdoc pd ON pp.doc_id = pd.doc_id AND pp.best = pd.contam_span
+  GROUP BY pp.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.contam_span, 0) AS BIGINT) AS contam_span,
+       CAST(coalesce(c.n_at_max, 0) AS BIGINT) AS n_at_max
+FROM documents d
+LEFT JOIN perdoc pd USING (doc_id)
+LEFT JOIN cnt c USING (doc_id)
+WHERE d.source <> '{_DECON_EVAL_SOURCE}'
+""",
+)
+def q_decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-corpus decontamination score — for every TRAIN
+    document (source ≠ '{_DECON_EVAL_SOURCE}'), the longest token span
+    that also occurs anywhere in the EVAL slice, plus how many
+    positions achieve it. This is what a "cut/drop training docs
+    sharing a ≥N-token span with the benchmark" policy thresholds on:
+    decontaminate_ngram answers it at one fixed N; this answers every
+    N at once, exactly. Suffix array over the UNION corpus
+    (operators/suffix.py::cross_contamination_best): a train suffix's
+    longest match into the eval set is attained at the NEAREST eval
+    suffix in SA order on either side (pair LCP = range-min of
+    adjacent LCPs), so after the shared O(tokens · log L) SA build the
+    answer is one prefix count + two partitioned window passes — the
+    oracle replays the brute O(Σlen²) train-gram ∩ eval-gram ladder.
+    Exactness against a python brute force is pinned in
+    tests/test_suffix_property.py."""
+    from ..operators.suffix import cross_contamination_best
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    return cross_contamination_best(
+        docs, F.col("source") == _DECON_EVAL_SOURCE
+    )
+
+
 # --- corpus boilerplate catalog (round 10) ------------------------------------
 
 #: Phrase length (tokens) and catalog size for the boilerplate report.

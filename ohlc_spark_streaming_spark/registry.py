@@ -182,7 +182,9 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # Text / LLM battery
     "bm25_search",
     "lm_bigram_topk",
-    "text_chunks",
+    # round-10 addition: exact cross-corpus decontamination spans (took
+    # text_chunks' slot — fixed-width chunking, green since r5)
+    "decontaminate_span",
     "text_fingerprint",
     # round-10 addition: PQ-ADC ANN search (took profile_documents'
     # slot — a simple describe-style profile, green since r5; the

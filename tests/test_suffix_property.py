@@ -113,3 +113,61 @@ def test_session_fold_split_invariance(ts_list, n_splits):
         closed_all.extend(closed)
     assert closed_all == whole_closed
     assert state == whole_state
+
+
+def _brute_contam(
+    docs: dict[int, list[str]], evalset: set[int]
+) -> dict[int, tuple[int, int]]:
+    eg = set()
+    for d in evalset:
+        t = docs[d]
+        for k in range(1, len(t) + 1):
+            for p in range(len(t) - k + 1):
+                eg.add((k, " ".join(t[p : p + k])))
+    out = {}
+    for d, t in docs.items():
+        if d in evalset:
+            continue
+        best = {p: 0 for p in range(len(t))}
+        for k in range(1, len(t) + 1):
+            for p in range(len(t) - k + 1):
+                if (k, " ".join(t[p : p + k])) in eg:
+                    best[p] = max(best[p], k)
+        mx = max(best.values()) if best else 0
+        out[d] = (mx, sum(1 for v in best.values() if v == mx))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(corpus_strategy, st.data())
+def test_cross_contamination_property(spark, texts, data):
+    """cross_contamination_best equals the O(n²) train-gram ∩ eval-gram
+    brute force for every train doc, under random corpora and random
+    eval subsets (including empty eval, all-eval, eval == train copies —
+    the nearest-eval-window corner cases a fixed corpus misses)."""
+    from pyspark.sql import functions as F
+
+    from ohlc_spark_streaming_spark.operators.suffix import (
+        cross_contamination_best,
+    )
+
+    ids = list(range(len(texts)))
+    evalset = set(
+        data.draw(st.lists(st.sampled_from(ids), unique=True, max_size=len(ids)))
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.contam_span, r.n_at_max)
+        for r in cross_contamination_best(
+            docs, F.col("doc_id").isin(list(evalset) or [-1])
+        ).collect()
+    }
+    want = _brute_contam({i: t for i, t in enumerate(texts)}, evalset)
+    assert got == want, (got, want, texts, evalset)
