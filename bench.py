@@ -178,6 +178,9 @@ HEADLINE = [
     "streaming_anti_join",
     "dedup_span_cut_suffix",
     "boilerplate_span_catalog",
+    "similarity_pq_topk",
+    "streaming_full_outer_join",
+    "decontaminate_span",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

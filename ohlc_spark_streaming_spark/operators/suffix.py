@@ -584,19 +584,19 @@ def _prefix_sum(
     return out
 
 
-def cross_contamination_best(
+def cross_contamination_position_best(
     docs: DataFrame,
     eval_flag,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """EXACT cross-corpus contamination span per TRAIN document: the
-    length of the longest token span that also occurs anywhere in the
-    EVAL subset (``eval_flag`` — a boolean Column over ``docs``), plus
-    how many positions achieve it. The decontamination quantity a
-    "drop/cut training docs sharing a ≥N-token span with the benchmark"
-    policy thresholds on — exact, any N, where decontaminate_ngram is
-    fixed-N. Output: (doc_id, contam_span, n_at_max), train docs only.
+) -> PositionBest:
+    """For every TRAIN token position: the length of the longest span
+    STARTING there that also occurs anywhere in the EVAL subset
+    (``eval_flag`` — a boolean Column over ``docs``) — the cross-corpus
+    twin of suffix_position_best, consumed by contamination scoring
+    (cross_contamination_best) and contamination CUTTING
+    (decontaminate_cut). ``df`` is (doc_id, pos, best) over train
+    positions only; same retention contract as suffix_position_best.
 
     Construction (suffix array over the UNION corpus): a train suffix's
     longest common prefix with the eval set is attained at the NEAREST
@@ -625,14 +625,14 @@ def cross_contamination_best(
         F.col(id_col).alias("doc_id"),
         F.when(eval_flag, F.lit(1)).otherwise(F.lit(0)).alias("is_eval"),
     )
-    train_docs = flags.where(F.col("is_eval") == 0).select("doc_id")
     fr = _sa_adjacent_lcp(docs, id_col, text_col, keep_sa=True)
     if fr is None:
-        return train_docs.select(
-            "doc_id",
-            F.lit(0).cast("long").alias("contam_span"),
-            F.lit(0).cast("long").alias("n_at_max"),
-        )
+        empty = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(1).cast("long").alias("pos"),
+            F.lit(0).cast("long").alias("best"),
+        ).limit(0)
+        return PositionBest(empty, (), False)
     distributed = fr.progressive
     n_parts = rank_partitions(fr.n_tokens)
 
@@ -678,17 +678,48 @@ def cross_contamination_best(
         .where(F.col("is_eval") == 0)
         .select(
             "doc_id",
-            "pos",
+            F.col("pos").cast("long").alias("pos"),
             F.coalesce(F.greatest("_up", "_down"), F.lit(0))
             .cast("long")
             .alias("best"),
         )
     )
-    per_doc = per_pos.groupBy("doc_id").agg(
+    held = set(fr.tok_ids) | set(fr.sa_ids) | set(fr.capped_ids)
+    if fr.progressive:
+        # One row per TRAIN token but the only retained frame:
+        # materialize it (DISK_ONLY) and free everything else.
+        ps_ids: list[int] = []
+        per_pos = _ckpt(per_pos, ps_ids, True)
+        release_blocks(spark, held)
+        return PositionBest(per_pos, tuple(ps_ids), True)
+    return PositionBest(per_pos, tuple(held), False)
+
+
+def cross_contamination_best(
+    docs: DataFrame,
+    eval_flag,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT cross-corpus contamination span per TRAIN document: the
+    length of the longest token span that also occurs anywhere in the
+    EVAL subset, plus how many positions achieve it — the
+    decontamination quantity a "drop/cut training docs sharing a
+    ≥N-token span with the benchmark" policy thresholds on, exact at
+    every N at once (decontaminate_ngram is fixed-N). Output:
+    (doc_id, contam_span, n_at_max), train docs only. See
+    cross_contamination_position_best for the construction."""
+    flags = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(eval_flag, F.lit(1)).otherwise(F.lit(0)).alias("is_eval"),
+    )
+    train_docs = flags.where(F.col("is_eval") == 0).select("doc_id")
+    pb = cross_contamination_position_best(docs, eval_flag, id_col, text_col)
+    per_doc = pb.df.groupBy("doc_id").agg(
         F.max("best").alias("contam_span")
     )
     n_at_max = (
-        per_pos.join(per_doc, "doc_id")
+        pb.df.join(per_doc, "doc_id")
         .where(F.col("best") == F.col("contam_span"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_at_max"))
@@ -706,13 +737,7 @@ def cross_contamination_best(
             .alias("n_at_max"),
         )
     )
-    if fr.progressive:
-        out = _ckpt(out)
-        release_blocks(
-            spark,
-            set(fr.tok_ids) | set(fr.sa_ids) | set(fr.capped_ids),
-        )
-    return out
+    return materialize_and_release(out, pb)
 
 
 def materialize_and_release(result: DataFrame, pb: PositionBest) -> DataFrame:

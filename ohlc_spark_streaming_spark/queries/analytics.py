@@ -4565,6 +4565,150 @@ def q_decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Minimum eval-shared run length (tokens) the decontamination cut
+#: removes. Chosen above the corpus's p90 contamination span (4 at this
+#: generator) so the cut fires on genuinely contaminated docs only.
+_DECON_CUT_MIN = 6
+
+
+@register(
+    "decontaminate_cut",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source = '{_DECON_EVAL_SOURCE}' AS is_eval,
+         {_TOKENS} AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, is_eval, t, u.p
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(p)
+),
+g AS (
+  SELECT doc_id, is_eval, p, v.k,
+         md5(array_to_string(list_slice(t, p, p + v.k - 1), ' ')) AS gram
+  FROM pos, unnest(range(1, len(t) - p + 2)) AS v(k)
+),
+eg AS (SELECT DISTINCT k, gram FROM g WHERE is_eval),
+perpos AS (
+  SELECT g.doc_id, g.p,
+         max(CASE WHEN e.k IS NOT NULL THEN g.k ELSE 0 END) AS best
+  FROM g LEFT JOIN eg e USING (k, gram)
+  WHERE NOT g.is_eval
+  GROUP BY g.doc_id, g.p
+),
+cov AS (
+  SELECT doc_id, p AS st, p + best - 1 AS en
+  FROM perpos WHERE best >= {_DECON_CUT_MIN}
+),
+m AS (
+  SELECT doc_id, st, en,
+         max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pmax
+  FROM cov
+),
+isl AS (
+  SELECT doc_id, st, en,
+         SUM(CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM m
+),
+spans AS (
+  SELECT doc_id, min(st) AS st, max(en) AS en
+  FROM isl GROUP BY doc_id, island
+),
+covs AS (
+  SELECT doc_id, list(struct_pack(st := st, en := en)) AS spans,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id, t.t, coalesce(c.n_spans, 0) AS n_spans,
+         CASE WHEN c.spans IS NULL THEN t.t
+              ELSE list_transform(
+                     list_filter(
+                       range(1, len(t.t) + 1),
+                       p -> len(list_filter(c.spans,
+                                s -> p >= s.st AND p <= s.en)) = 0),
+                     p -> t.t[p]) END AS k
+  FROM toks t LEFT JOIN covs c USING (doc_id)
+  WHERE NOT t.is_eval
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT)          AS n_tokens,
+       CAST(len(k) AS BIGINT)          AS n_kept,
+       CAST(len(t) - len(k) AS BIGINT) AS n_cut,
+       CAST(n_spans AS BIGINT)         AS n_spans,
+       md5(coalesce(array_to_string(k, ' '), ''))  AS scrub_md5
+FROM kept
+""",
+)
+def q_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination CUT — the action decontaminate_span
+    scores: remove from every TRAIN document each token inside an
+    eval-shared run of ≥ {_DECON_CUT_MIN} tokens, with the md5 scrub
+    proof of dedup_span_cut_suffix. Exactness of the extents: per-train-
+    position best (cross_contamination_position_best) is the longest
+    eval-shared span STARTING there, and any token inside some
+    eval-shared ≥N-run is covered by the interval of that run's own
+    start (whose best is ≥ the full run length) — so the interval union
+    over qualifying positions is EXACTLY the contaminated token set.
+    Same island merge (interval_union), in-row higher-order-filter cut,
+    and brute gram-ladder oracle as the within-corpus cut; eval docs
+    pass through neither side."""
+    from ..operators.sessions import interval_union
+    from ..operators.suffix import (
+        cross_contamination_position_best,
+        materialize_and_release,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    pb = cross_contamination_position_best(
+        docs, F.col("source") == _DECON_EVAL_SOURCE
+    )
+    cov = pb.df.where(F.col("best") >= _DECON_CUT_MIN).select(
+        "doc_id",
+        F.col("pos").alias("st"),
+        (F.col("pos") + F.col("best") - 1).alias("en"),
+    )
+    spans = interval_union(cov, key_col="doc_id", start_col="st", end_col="en")
+    covs = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("island_start").alias("st"),
+                F.col("island_end").alias("en"),
+            )
+        ).alias("spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    toks = F.split(F.col("text"), " ")
+    j = (
+        docs.where(F.col("source") != _DECON_EVAL_SOURCE)
+        .select("doc_id", toks.alias("t"))
+        .join(covs, "doc_id", "left")
+    )
+
+    def _uncovered(tok, i0):
+        p = i0 + F.lit(1).cast("long")
+        return ~F.exists(
+            F.col("spans"), lambda s: (p >= s["st"]) & (p <= s["en"])
+        )
+
+    kept = F.when(F.col("spans").isNull(), F.col("t")).otherwise(
+        F.filter("t", _uncovered)
+    )
+    out = j.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_cut"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("scrub_md5"),
+    )
+    return materialize_and_release(out, pb)
+
+
 # --- corpus boilerplate catalog (round 10) ------------------------------------
 
 #: Phrase length (tokens) and catalog size for the boilerplate report.

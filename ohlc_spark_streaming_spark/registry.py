@@ -197,7 +197,10 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "multimodal_blob_stats",
     "multimodal_frame_sample",
     "multimodal_image_decode",
-    "multimodal_meta_entries",
+    # round-10 addition: cross-corpus decontamination cut (took
+    # multimodal_meta_entries' slot — a map-entries explode, green
+    # since r5)
+    "decontaminate_cut",
     # Streaming twins
     "streaming_anomaly_zscore",
     "streaming_distinct_keys",

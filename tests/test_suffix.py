@@ -244,3 +244,59 @@ def test_suffix_span_progressive_path_matches_brute(spark):
     finally:
         SX.DISTRIBUTED_RANK_THRESHOLD = prev
     assert got == want
+
+
+def test_decontaminate_cut_planted(spark):
+    """decontaminate_cut semantics by construction (threshold 6): a
+    10-token run shared with an EVAL doc is cut from the train doc; a
+    5-token eval-shared run survives; a 12-token run shared only with
+    ANOTHER TRAIN doc is NOT contamination and survives; eval docs are
+    absent from the output; scrub md5 equals the expected kept text."""
+    import hashlib
+
+    from ohlc_spark_streaming_spark.queries.analytics import (
+        _DECON_CUT_MIN,
+        _DECON_EVAL_SOURCE,
+        q_decontaminate_cut,
+    )
+
+    assert _DECON_CUT_MIN == 6
+    hot = [f"h{i}" for i in range(10)]
+    warm = [f"w{i}" for i in range(5)]
+    twin = [f"t{i}" for i in range(12)]
+    texts = {
+        0: (["a0"] + hot + ["a1"], "train"),
+        1: (warm + ["b0"], "train"),
+        2: (["c0"] + twin, "train"),
+        3: (twin + ["c1"], "train"),
+        4: (hot + warm, _DECON_EVAL_SOURCE),
+    }
+    import os
+    import shutil
+    import tempfile
+
+    tape = tempfile.mkdtemp(prefix="decon_docs_")
+    try:
+        spark.createDataFrame(
+            [(k, " ".join(t), src) for k, (t, src) in texts.items()],
+            "doc_id long, text string, source string",
+        ).write.mode("overwrite").parquet(
+            os.path.join(tape, "documents.parquet")
+        )
+        got = {r.doc_id: r for r in q_decontaminate_cut(spark, tape).collect()}
+    finally:
+        shutil.rmtree(tape, ignore_errors=True)
+    assert set(got) == {0, 1, 2, 3}  # eval doc 4 absent
+    kept_expected = {
+        0: ["a0", "a1"],          # hot cut
+        1: warm + ["b0"],         # below threshold
+        2: ["c0"] + twin,         # train-train dup is not contamination
+        3: twin + ["c1"],
+    }
+    for d, kept in kept_expected.items():
+        row = got[d]
+        assert row.n_tokens == len(texts[d][0])
+        assert row.n_kept == len(kept), (d, row)
+        assert row.scrub_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
+    assert got[0].n_spans == 1
+    assert got[1].n_spans == 0 and got[2].n_spans == 0
