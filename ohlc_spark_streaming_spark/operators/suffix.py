@@ -291,10 +291,11 @@ class PositionBest(NamedTuple):
 class SAFrames(NamedTuple):
     """Shared suffix-array build: SA order + adjacent-pair LCPs, with
     retention bookkeeping. ``sa`` is (doc_id, pos, idx); ``capped`` is
-    (idx, a_doc, a_pos, b_doc, b_pos, lcp) where row ``idx`` holds
-    LCP(sa[idx], sa[idx+1]) capped by the shorter suffix. ``sa_ids`` is
-    non-empty only when the build kept the SA frame alive for the
-    caller (``keep_sa``); the caller then owns its release."""
+    (a_doc, a_pos, b_doc, b_pos, lcp) for SA-adjacent pairs — prefixed
+    with the pair's SA index ``idx`` (row ``idx`` holds LCP(sa[idx],
+    sa[idx+1]), capped by the shorter suffix) only when the build ran
+    with ``keep_sa``. ``sa_ids`` is non-empty only under ``keep_sa``;
+    the caller then owns the SA frame's release."""
 
     toks: DataFrame
     tok_ids: tuple[int, ...]
@@ -372,8 +373,13 @@ def _sa_adjacent_lcp(
         F.col("doc_id").alias("b_doc"),
         F.col("pos").alias("b_pos"),
     )
+    # The SA index rides along only when the caller keeps the SA frame
+    # (the cross-corpus path keys its window passes on it); the
+    # within-corpus path stays the exact r10 frame shape — one long
+    # narrower through every descent level.
+    carry = ["idx"] if keep_sa else []
     pairs = sa.join(succ, "idx").select(
-        "idx",
+        *carry,
         F.col("doc_id").alias("a_doc"),
         F.col("pos").alias("a_pos"),
         "b_doc",
@@ -407,7 +413,7 @@ def _sa_adjacent_lcp(
                 "left",
             )
             .select(
-                "idx",
+                *carry,
                 "a_doc",
                 "a_pos",
                 "b_doc",
@@ -439,7 +445,7 @@ def _sa_adjacent_lcp(
         pairs.join(la, "a_doc")
         .join(lb, "b_doc")
         .select(
-            "idx",
+            *carry,
             "a_doc",
             "a_pos",
             "b_doc",
