@@ -181,6 +181,7 @@ HEADLINE = [
     "similarity_pq_topk",
     "streaming_full_outer_join",
     "decontaminate_span",
+    "decontaminate_cut",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);
