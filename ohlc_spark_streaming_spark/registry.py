@@ -138,9 +138,16 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 #: backlog stays at zero.
 #:
 #: ROUND-11 PREP (apply at the START of round 11, never mid-round):
-#: backlog stays 0. The oldest remaining rows after this round are the
-#: 49 r6-era re-checks (rotation = whatever tools_rotation.py lists at
-#: round close); round-11 additions displace the least-risky tail as
+#: backlog stays 0. Round-10 ran TWO sessions and landed SEVEN
+#: additions (boilerplate_span_catalog, dedup_span_cut_suffix,
+#: streaming_anti_join, streaming_full_outer_join, similarity_pq_topk,
+#: decontaminate_span, decontaminate_cut) — each took the least-risky
+#: re-check slot at land time, so seven r5-era re-checks rolled over
+#: (orderby_limit_offset, string_agg_statuses, text_normalize,
+#: text_token_count, profile_documents, text_chunks,
+#: multimodal_meta_entries); they join the r6-era cohort as the oldest
+#: remaining rows. Rotation = whatever tools_rotation.py lists at
+#: round close; round-11 additions displace the least-risky tail as
 #: usual. Remaining frontier candidates: event-time TTL exhibit if
 #: Spark ever allows it (pinned ProcessingTime-only in r9), live Kafka
 #: integration if a broker appears.
