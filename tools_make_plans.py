@@ -110,6 +110,64 @@ NOTES = {
         "the ingest pipeline maintains anyway; state per bucket stays "
         "small by LSH construction (that is what makes LSH subquadratic)."
     ),
+    "decontaminate_span": (
+        "Exact cross-corpus contamination on the shared suffix-array "
+        "core: one SA over the UNION of train+eval corpora (same "
+        "prefix-doubling rounds as dedup_span_suffix, now carrying the "
+        "SA index), then the cross answer is NOT an all-pairs probe — "
+        "a train suffix's longest match into the eval set is attained "
+        "at the NEAREST eval suffix in SA order on either side (pair "
+        "LCP = range-min of adjacent LCPs, so passing the nearest eval "
+        "suffix only shrinks the min). One prefix count of eval "
+        "suffixes (size-adaptive: global window below the 5M-token "
+        "threshold, range-partitioned running sums + broadcast offsets "
+        "above) splits the SA into (eval head, following train run) "
+        "partitions; two partitioned window passes (asc masked-head "
+        "min, desc strict-preceding min) give every train position its "
+        "exact eval-shared span. Hazard pinned while building: the "
+        "window columns must materialize ABOVE the eval-row filter — "
+        "a pre-window filter deletes the partition-head eval rows and "
+        "silently shifts every best (caught by the tiny-corpus brute "
+        "check, now a hypothesis property test)."
+    ),
+    "decontaminate_cut": (
+        "The action decontaminate_span scores: qualifying train "
+        "positions (eval-shared best >= 6) become closed intervals, "
+        "the doc-keyed interval-union island sweep merges them, and "
+        "the cut is the same in-row higher-order filter as "
+        "dedup_span_cut_suffix with the same md5 scrub proof — one "
+        "extra shuffle past the shared SA machinery. Eval docs flow "
+        "through neither side; train-train duplication is (correctly) "
+        "not contamination and survives, pinned by a planted test."
+    ),
+    "similarity_pq_topk": (
+        "PQ-ADC search (Jegou et al.): the corpus is 8 small codes per "
+        "vector (the codebook assignment embedding_pq_audit audits) "
+        "and each query ranks the WHOLE corpus by summing 8 lookup-"
+        "table entries — one equi-join of the code table against a "
+        "queries x 64-entry broadcast LUT + one partial-aggregated "
+        "sum, never a 64-dim fold per pair. At 100 TB this is the "
+        "point of PQ: the ranking scan reads ~3% of the bytes (codes, "
+        "not vectors), the LUT is KB-sized, and the join/agg shape is "
+        "embarrassingly partial. Per-entry integer-unit quantization "
+        "(floor(d*1e9+0.5)) makes the 8-way sum exact integer math — "
+        "shuffle-order-independent where a double sum would drift in "
+        "the last ulp between engines."
+    ),
+    "streaming_full_outer_join": (
+        "Native fullOuter stream-stream interval join — the last "
+        "family member (inner/left-outer/semi/anti/full): matched "
+        "pairs emit immediately; each side's unmatched rows emit once "
+        "the OTHER side's watermark proves no in-band partner can "
+        "arrive (the band bounds both directions, so both state stores "
+        "stay O(rate x (lookback + delay))). The bounded replay reuses "
+        "the anti join's closed-tape discipline verbatim: two trailing "
+        "sentinel files flowing through BOTH side filters, guard "
+        "batch-side (scan pushdown would starve the watermark). "
+        "Unlike the inner/semi shapes the right key cannot be dropped "
+        "— right-unmatched rows have a NULL left key, so the output "
+        "key is coalesce(l.key, r.key)."
+    ),
     "approx_percentile_audit": (
         "One scan + one 3-group ObjectHashAggregate; the cost is the exact-"
         "percentile yardstick buffering every group value, inherent to the "
