@@ -182,6 +182,7 @@ HEADLINE = [
     "streaming_full_outer_join",
     "decontaminate_span",
     "decontaminate_cut",
+    "similarity_ivfpq_topk",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

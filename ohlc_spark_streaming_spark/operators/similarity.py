@@ -361,6 +361,117 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_cents: int = 8,
+    n_cells: int = 8,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the production retrieval shape (FAISS
+    "IVFADC", Jégou et al. 2011): coarse quantization prunes the
+    CANDIDATE SET (only the probed cell's inverted list is read,
+    nprobe=1 — the :func:`ivf_cosine_topk` half) and product
+    quantization compresses the CANDIDATES (8 codes per vector ranked
+    by an ADC lookup-table sum, never a D-dim fold — the
+    :func:`pq_adc_topk` half). At 100 TB the two multiply: the scan
+    reads ~1/n_cells of the corpus at ~3% of the bytes.
+
+    Composition is by construction: cells from full-vector argmin L2
+    (ties to smallest centroid id), codes/LUT from the shared 8×8
+    subspace codebook, candidates = the query's cell minus self, ADC
+    in exact integer 1e-9 units (order-independent sum). Output:
+    query_id, vec_id, adc_units, rank — ties on vec_id."""
+    from ..functions.vectorops import sqdist
+
+    sub_d = dim // n_subspaces
+    d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+
+    # --- coarse half: full-vector cell assignment (ivf_cosine_topk) ---
+    cents_full = d.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("_ccid"), F.col("_e").alias("_cv")
+    )
+    cell_dists = d.crossJoin(F.broadcast(cents_full)).select(
+        id_col, "_ccid", sqdist(F.col("_e"), F.col("_cv")).alias("_d")
+    )
+    cells = cell_dists.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("_ccid").alias("c")))
+        .getField("c")
+        .alias("cell")
+    )
+
+    # --- fine half: PQ codes + query LUT (pq_adc_topk) ---
+    def _explode_subs(frame, out_col):
+        return frame.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(F.col("_e"), s * sub_d + 1, sub_d).alias(
+                                out_col
+                            ),
+                        )
+                        for s in range(n_subspaces)
+                    ]
+                )
+            ).alias("_x"),
+        ).select(id_col, F.col("_x.s").alias("s"), f"_x.{out_col}")
+
+    sub = _explode_subs(d, "sv")
+    pq_cents = _explode_subs(
+        d.where(F.col(id_col) < n_cents), "cv"
+    ).withColumnRenamed(id_col, "_cid")
+    dists = sub.join(F.broadcast(pq_cents), "s").select(
+        id_col, "s", "_cid", sqdist(F.col("sv"), F.col("cv")).alias("_d")
+    )
+    codes = (
+        dists.groupBy(id_col, "s")
+        .agg(
+            F.min(F.struct(F.col("_d").alias("d"), F.col("_cid").alias("c")))
+            .getField("c")
+            .alias("c")
+        )
+        .join(cells, id_col)
+    )
+    lut = (
+        dists.where(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "s",
+            F.col("_cid").alias("c"),
+            F.floor(F.col("_d") * 1e9 + F.lit(0.5)).cast("long").alias("_du"),
+        )
+        .join(
+            cells.select(
+                F.col(id_col).alias("query_id"), F.col("cell")
+            ),
+            "query_id",
+        )
+    )
+
+    # --- compose: ADC only over the probed cell's inverted list ---
+    adc = (
+        codes.join(F.broadcast(lut), ["cell", "s", "c"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_du").cast("long").alias("adc_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_units").asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_units", "rank")
+    )
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1001,6 +1001,82 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivfpq_topk",
+    """
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cellcents AS (SELECT vec_id AS ccid, e AS cv FROM d WHERE vec_id < 8),
+celld AS (
+  SELECT vec_id, ccid,
+         list_sum(list_transform(list_zip(e, cv),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+  FROM d CROSS JOIN cellcents
+),
+cells AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := ccid))).c AS cell
+  FROM celld GROUP BY vec_id
+),
+sgrid AS (SELECT unnest(range(0, 8)) AS s),
+sub AS (
+  SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sv
+  FROM d, sgrid
+),
+cents AS (
+  SELECT s, vec_id AS cid, list_slice(e, s*8 + 1, s*8 + 8) AS cv
+  FROM d, sgrid WHERE vec_id < 8
+),
+dists AS (
+  SELECT sub.vec_id, sub.s, cents.cid,
+         list_sum(list_transform(list_zip(sv, cv),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS dist
+  FROM sub JOIN cents ON sub.s = cents.s
+),
+codes AS (
+  SELECT vec_id, s, (min(struct_pack(d := dist, c := cid))).c AS c
+  FROM dists GROUP BY vec_id, s
+),
+lut AS (
+  SELECT vec_id AS query_id, s, cid AS c,
+         CAST(floor(dist * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_units
+  FROM dists WHERE vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, co.vec_id, CAST(sum(l.d_units) AS BIGINT) AS adc_units
+  FROM codes co
+  JOIN cells cc ON co.vec_id = cc.vec_id
+  JOIN lut l ON co.s = l.s AND co.c = l.c
+  JOIN cells qc ON l.query_id = qc.vec_id AND qc.cell = cc.cell
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_units ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
+""",
+)
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — the production retrieval shape (FAISS
+    IVFADC): the coarse half prunes the candidate set to the probed
+    cell's inverted list (similarity_ivf_topk's assignment, nprobe=1),
+    the fine half ranks those candidates by the PQ-ADC lookup-table
+    sum (similarity_pq_topk's codes/LUT, integer 1e-9 units). At
+    100 TB the two multiply: ~1/n_cells of the corpus read at ~3% of
+    the bytes. The oracle replays cell assignment, codebook
+    assignment, LUT build, and the cell-filtered ADC sum verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_pq_topk(
+        emb,
+        dim=64,
+        n_subspaces=8,
+        n_cents=8,
+        n_cells=8,
+        n_queries=10,
+        k=5,
+    )
+
+
+@register(
     "text_tfidf",
     f"""
 WITH tok AS (

@@ -138,14 +138,15 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 #: backlog stays at zero.
 #:
 #: ROUND-11 PREP (apply at the START of round 11, never mid-round):
-#: backlog stays 0. Round-10 ran TWO sessions and landed SEVEN
+#: backlog stays 0. Round-10 ran TWO sessions and landed EIGHT
 #: additions (boilerplate_span_catalog, dedup_span_cut_suffix,
 #: streaming_anti_join, streaming_full_outer_join, similarity_pq_topk,
-#: decontaminate_span, decontaminate_cut) — each took the least-risky
-#: re-check slot at land time, so seven r5-era re-checks rolled over
-#: (orderby_limit_offset, string_agg_statuses, text_normalize,
-#: text_token_count, profile_documents, text_chunks,
-#: multimodal_meta_entries); they join the r6-era cohort as the oldest
+#: similarity_ivfpq_topk, decontaminate_span, decontaminate_cut) —
+#: each took the least-risky re-check slot at land time, so eight
+#: r5-era re-checks rolled over (orderby_limit_offset,
+#: string_agg_statuses, text_normalize, text_token_count,
+#: profile_documents, text_chunks, multimodal_meta_entries,
+#: text_fingerprint); they join the r6-era cohort as the oldest
 #: remaining rows. Rotation = whatever tools_rotation.py lists at
 #: round close; round-11 additions displace the least-risky tail as
 #: usual. Remaining frontier candidates: event-time TTL exhibit if
@@ -192,7 +193,9 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # round-10 addition: exact cross-corpus decontamination spans (took
     # text_chunks' slot — fixed-width chunking, green since r5)
     "decontaminate_span",
-    "text_fingerprint",
+    # round-10 addition: IVF-PQ composite ANN (took text_fingerprint's
+    # slot — a scan-local rolling hash, green since r5)
+    "similarity_ivfpq_topk",
     # round-10 addition: PQ-ADC ANN search (took profile_documents'
     # slot — a simple describe-style profile, green since r5; the
     # 4-slot tail was already surrendered to earlier r10 additions)
