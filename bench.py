@@ -183,6 +183,7 @@ HEADLINE = [
     "decontaminate_span",
     "decontaminate_cut",
     "similarity_ivfpq_topk",
+    "streaming_decontaminate",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1636,3 +1636,152 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, name, output_mode="append").where(
             ~F.col("user_id").eqNullSafe(F.lit(_ANTI_SENTINEL_USER))
         )
+
+
+#: Decontamination gate at ingest: gram length and the held-out eval
+#: source (shared with queries/analytics.py's suffix-exact pair — this
+#: is the STREAMING membership-test face of the same policy).
+_DECON_GRAM = 6
+_DECON_SRC = "src0"
+
+
+@register(
+    "streaming_decontaminate",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+eg AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(t, p, p + {_DECON_GRAM} - 1), ' '))
+           AS gram
+  FROM toks, unnest(range(1, len(t) - {_DECON_GRAM} + 2)) AS u(p)
+  WHERE source = '{_DECON_SRC}'
+),
+tg AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, p, p + {_DECON_GRAM} - 1), ' '))
+           AS gram
+  FROM toks, unnest(range(1, len(t) - {_DECON_GRAM} + 2)) AS u(p)
+  WHERE source <> '{_DECON_SRC}'
+),
+hits AS (
+  SELECT doc_id, max(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM tg LEFT JOIN eg e USING (gram) GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT)                           AS n_docs,
+       CAST(coalesce(sum(h.hit), 0) AS BIGINT)            AS n_contam,
+       CAST(count(*) - coalesce(sum(h.hit), 0) AS BIGINT) AS n_clean
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source <> '{_DECON_SRC}'
+GROUP BY d.source
+""",
+)
+def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination AT INGEST: train documents replayed as a file
+    stream are gated against the held-out eval slice's {_DECON_GRAM}-gram
+    set — the streaming membership-test face of the decontamination
+    family (decontaminate_ngram: fixed-N batch score;
+    decontaminate_span/_cut: exact-span batch suffix machinery). The
+    eval gram set is a STATIC bounded build (benchmark corpora are
+    KB–MB-scale next to a 100 TB train stream) broadcast into every
+    micro-batch's gram join; per-batch the verdict is one narrow in-row
+    gram projection + broadcast left join + per-doc max, and the fold
+    keeps O(#sources) additive state (each doc arrives in exactly one
+    batch, so per-source counts sum across batches) via the sanctioned
+    run_foreach_batch driver. Docs shorter than {_DECON_GRAM} tokens
+    produce zero grams and count clean via explode_outer — same edge
+    the oracle's LEFT JOIN handles. Output: per train source, docs
+    scanned / contaminated / clean."""
+    from ..sources.stream import documents_stream
+    from ..streaming.checkpoints import run_foreach_batch
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    # sequence(a, b) with b < a generates DESCENDING values — guard the
+    # short-doc case to an empty gram array instead.
+    grams = F.when(
+        n >= _DECON_GRAM,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_GRAM - 1)),
+            lambda p: F.md5(
+                F.concat_ws(" ", F.slice(toks, p, _DECON_GRAM)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    docs_all = load_table(spark, sf_dir, "documents")
+    eval_grams = (
+        docs_all.where(F.col("source") == _DECON_SRC)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    stream = documents_stream(spark, sf_dir).where(
+        F.col("source") != _DECON_SRC
+    )
+    return fold_decontaminate(stream, eval_grams)
+
+
+def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Fold a bounded train-document stream through the eval-gram gate
+    (see q_streaming_decontaminate). Factored out so the multi-batch
+    test drives the exact production fold over a file-split tape."""
+    from ..streaming.checkpoints import run_foreach_batch
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= _DECON_GRAM,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_GRAM - 1)),
+            lambda p: F.md5(
+                F.concat_ws(" ", F.slice(toks, p, _DECON_GRAM)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    holder: dict[str, DataFrame | None] = {"state": None}
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        tg = batch_df.select(
+            "doc_id", "source", F.explode_outer(grams).alias("gram")
+        )
+        hits = (
+            tg.join(F.broadcast(eval_grams), "gram", "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.max(F.coalesce(F.col("_hit"), F.lit(0))).alias("hit")
+            )
+        )
+        per_src = hits.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("hit").alias("n_contam"),
+        )
+        cur = holder["state"]
+        un = (
+            per_src
+            if cur is None
+            else cur.unionByName(per_src)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_contam").alias("n_contam"),
+            )
+        )
+        # Eager localCheckpoint: consumed micro-batch inputs must not
+        # be re-read at finalize, and the plan must not grow with batch
+        # count (the fold-family discipline).
+        holder["state"] = un.localCheckpoint(eager=True)
+
+    run_foreach_batch(stream, fold, f"stream_decon_{next(_counter)}")
+    state = holder["state"]
+    if state is None:
+        raise RuntimeError("stream produced no micro-batches")
+    return state.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_contam").cast("long").alias("n_contam"),
+        (F.col("n_docs") - F.col("n_contam")).cast("long").alias("n_clean"),
+    )

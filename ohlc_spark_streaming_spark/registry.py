@@ -138,16 +138,16 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 #: backlog stays at zero.
 #:
 #: ROUND-11 PREP (apply at the START of round 11, never mid-round):
-#: backlog stays 0. Round-10 ran TWO sessions and landed EIGHT
+#: backlog stays 0. Round-10 ran TWO sessions and landed NINE
 #: additions (boilerplate_span_catalog, dedup_span_cut_suffix,
 #: streaming_anti_join, streaming_full_outer_join, similarity_pq_topk,
-#: similarity_ivfpq_topk, decontaminate_span, decontaminate_cut) —
-#: each took the least-risky re-check slot at land time, so eight
-#: r5-era re-checks rolled over (orderby_limit_offset,
-#: string_agg_statuses, text_normalize, text_token_count,
-#: profile_documents, text_chunks, multimodal_meta_entries,
-#: text_fingerprint); they join the r6-era cohort as the oldest
-#: remaining rows. Rotation = whatever tools_rotation.py lists at
+#: similarity_ivfpq_topk, decontaminate_span, decontaminate_cut,
+#: streaming_decontaminate) — each took the least-risky re-check slot
+#: at land time, so nine r5-era re-checks rolled over
+#: (orderby_limit_offset, string_agg_statuses, text_normalize,
+#: text_token_count, profile_documents, text_chunks,
+#: multimodal_meta_entries, text_fingerprint, zorder_bucket_counts);
+#: they join the r6-era cohort as the oldest remaining rows. Rotation = whatever tools_rotation.py lists at
 #: round close; round-11 additions displace the least-risky tail as
 #: usual. Remaining frontier candidates: event-time TTL exhibit if
 #: Spark ever allows it (pinned ProcessingTime-only in r9), live Kafka
@@ -173,7 +173,10 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "approx_distinct_parts",
     "basket_part_pairs",
     "fuzzy_match_parts",
-    "zorder_bucket_counts",
+    # round-10 addition: ingest-time decontamination gate (took
+    # zorder_bucket_counts' slot — a file-stats bucketing audit, green
+    # since r5)
+    "streaming_decontaminate",
     "dq_expectations",
     "cdc_merge_orders",
     "scd2_user_state",

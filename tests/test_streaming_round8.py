@@ -336,3 +336,48 @@ def test_rolling_active_state_is_islands_not_raw_days(spark):
     assert n_islands <= n_days
     # sf0.001 has users active on nearby days -> real merging happened.
     assert n_islands < n_days
+
+
+def test_decontaminate_fold_across_batches(tmp_path, spark):
+    """The ingest decontamination fold must sum per-source counts ACROSS
+    micro-batches: a 4-file train-doc tape (doc_id % 4 interleaves every
+    source across all 4 batches, one file per batch) folded through the
+    eval-gram gate equals the batch oracle twin exactly."""
+    from ohlc_spark_streaming_spark.queries.streaming import (
+        _DECON_GRAM,
+        _DECON_SRC,
+        fold_decontaminate,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= _DECON_GRAM,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_GRAM - 1)),
+            lambda p: F.md5(
+                F.concat_ws(" ", F.slice(toks, p, _DECON_GRAM)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eval_grams = (
+        docs.where(F.col("source") == _DECON_SRC)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    src = str(tmp_path / "docs_split")
+    train = docs.where(F.col("source") != _DECON_SRC)
+    train.withColumn("part", F.col("doc_id") % 4).repartitionByRange(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = fold_decontaminate(stream, eval_grams)
+    want = registry.QUERIES["streaming_decontaminate"](spark, SF_SMOKE)
+    assert _rows(got) == _rows(want)

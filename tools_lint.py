@@ -90,6 +90,10 @@ EXPECTED = {
     # bounded by n_tokens/(threshold+1)+1 structs per doc
     # (queries/analytics.py::q_dedup_span_cut_suffix).
     ("dedup_span_cut_suffix", "COLLECT_LIST"),
+    # Same boundary again, eval-shared extents: merged islands per
+    # TRAIN doc, ≤ n_tokens/(threshold+1)+1 structs
+    # (queries/analytics.py::q_decontaminate_cut).
+    ("decontaminate_cut", "COLLECT_LIST"),
     # Composes the clustering (shingle-set collects, doc-length-bounded)
     # and the span cut above; every collect inherits those boundaries
     # (queries/analytics.py::q_corpus_curation_report).
