@@ -263,6 +263,64 @@ def ivf_cosine_topk(
     )
 
 
+def _pq_codes_lut(
+    d: DataFrame,
+    id_col: str,
+    dim: int,
+    n_subspaces: int,
+    n_cents: int,
+    n_queries: int,
+):
+    """The shared PQ fine half: (codes, lut) from the training-free
+    subspace codebook — ONE definition of the struct-min assignment
+    tie-break and the floor(d·1e9 + 0.5) LUT quantization, so the
+    standalone ADC scan (pq_adc_topk) and the IVF-PQ composite
+    (ivf_pq_topk) cannot drift apart (the composition-exactness test
+    relies on them agreeing bitwise). ``d`` is (id_col, _e: array<double>).
+    codes: (id, s, c); lut: (query_id, s, c, _du integer units)."""
+    from ..functions.vectorops import sqdist
+
+    sub_d = dim // n_subspaces
+
+    def _explode_subs(frame, out_col):
+        return frame.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(F.col("_e"), s * sub_d + 1, sub_d).alias(
+                                out_col
+                            ),
+                        )
+                        for s in range(n_subspaces)
+                    ]
+                )
+            ).alias("_x"),
+        ).select(id_col, F.col("_x.s").alias("s"), f"_x.{out_col}")
+
+    sub = _explode_subs(d, "sv")
+    cents = _explode_subs(
+        d.where(F.col(id_col) < n_cents), "cv"
+    ).withColumnRenamed(id_col, "_cid")
+    dists = sub.join(F.broadcast(cents), "s").select(
+        id_col, "s", "_cid", sqdist(F.col("sv"), F.col("cv")).alias("_d")
+    )
+    codes = dists.groupBy(id_col, "s").agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("_cid").alias("c")))
+        .getField("c")
+        .alias("c")
+    )
+    lut = dists.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        "s",
+        F.col("_cid").alias("c"),
+        F.floor(F.col("_d") * 1e9 + F.lit(0.5)).cast("long").alias("_du"),
+    )
+    return codes, lut
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -304,47 +362,8 @@ def pq_adc_topk(
     corpus vectors — kmeans_update_step holds the training step); a
     real deployment swaps in trained centroids, every downstream step
     unchanged."""
-    from ..functions.vectorops import sqdist
-
-    sub_d = dim // n_subspaces
     d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
-
-    def _explode_subs(frame, out_col):
-        return frame.select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.slice(F.col("_e"), s * sub_d + 1, sub_d).alias(
-                                out_col
-                            ),
-                        )
-                        for s in range(n_subspaces)
-                    ]
-                )
-            ).alias("_x"),
-        ).select(id_col, F.col("_x.s").alias("s"), f"_x.{out_col}")
-
-    sub = _explode_subs(d, "sv")
-    cents = _explode_subs(
-        d.where(F.col(id_col) < n_cents), "cv"
-    ).withColumnRenamed(id_col, "_cid")
-    dists = sub.join(F.broadcast(cents), "s").select(
-        id_col, "s", "_cid", sqdist(F.col("sv"), F.col("cv")).alias("_d")
-    )
-    codes = dists.groupBy(id_col, "s").agg(
-        F.min(F.struct(F.col("_d").alias("d"), F.col("_cid").alias("c")))
-        .getField("c")
-        .alias("c")
-    )
-    lut = dists.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        "s",
-        F.col("_cid").alias("c"),
-        F.floor(F.col("_d") * 1e9 + F.lit(0.5)).cast("long").alias("_du"),
-    )
+    codes, lut = _pq_codes_lut(d, id_col, dim, n_subspaces, n_cents, n_queries)
     adc = (
         codes.join(F.broadcast(lut), ["s", "c"])
         .where(F.col(id_col) != F.col("query_id"))
@@ -388,7 +407,6 @@ def ivf_pq_topk(
     query_id, vec_id, adc_units, rank — ties on vec_id."""
     from ..functions.vectorops import sqdist
 
-    sub_d = dim // n_subspaces
     d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
 
     # --- coarse half: full-vector cell assignment (ivf_cosine_topk) ---
@@ -404,55 +422,14 @@ def ivf_pq_topk(
         .alias("cell")
     )
 
-    # --- fine half: PQ codes + query LUT (pq_adc_topk) ---
-    def _explode_subs(frame, out_col):
-        return frame.select(
-            id_col,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.slice(F.col("_e"), s * sub_d + 1, sub_d).alias(
-                                out_col
-                            ),
-                        )
-                        for s in range(n_subspaces)
-                    ]
-                )
-            ).alias("_x"),
-        ).select(id_col, F.col("_x.s").alias("s"), f"_x.{out_col}")
-
-    sub = _explode_subs(d, "sv")
-    pq_cents = _explode_subs(
-        d.where(F.col(id_col) < n_cents), "cv"
-    ).withColumnRenamed(id_col, "_cid")
-    dists = sub.join(F.broadcast(pq_cents), "s").select(
-        id_col, "s", "_cid", sqdist(F.col("sv"), F.col("cv")).alias("_d")
+    # --- fine half: the SHARED PQ codes + query LUT, cell-tagged ---
+    pq_codes, pq_lut = _pq_codes_lut(
+        d, id_col, dim, n_subspaces, n_cents, n_queries
     )
-    codes = (
-        dists.groupBy(id_col, "s")
-        .agg(
-            F.min(F.struct(F.col("_d").alias("d"), F.col("_cid").alias("c")))
-            .getField("c")
-            .alias("c")
-        )
-        .join(cells, id_col)
-    )
-    lut = (
-        dists.where(F.col(id_col) < n_queries)
-        .select(
-            F.col(id_col).alias("query_id"),
-            "s",
-            F.col("_cid").alias("c"),
-            F.floor(F.col("_d") * 1e9 + F.lit(0.5)).cast("long").alias("_du"),
-        )
-        .join(
-            cells.select(
-                F.col(id_col).alias("query_id"), F.col("cell")
-            ),
-            "query_id",
-        )
+    codes = pq_codes.join(cells, id_col)
+    lut = pq_lut.join(
+        cells.select(F.col(id_col).alias("query_id"), F.col("cell")),
+        "query_id",
     )
 
     # --- compose: ADC only over the probed cell's inverted list ---

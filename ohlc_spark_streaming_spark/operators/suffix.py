@@ -552,19 +552,26 @@ def _prefix_sum(
     order_col: str,
     out_col: str,
     distributed: bool = False,
+    track: list[int] | None = None,
     partitions: int = _RANK_PARTITIONS,
-) -> DataFrame:
+) -> tuple[DataFrame, int | None]:
     """Running SUM of ``val_col`` in ``order_col`` order, INCLUSIVE of
     the current row — the same two strategies as global_dense_rank:
     one global-sort window below the threshold; repartitionByRange +
     per-partition running sums + broadcast cumulative offsets above it
     (a bounded ≤#partitions-row driver fence, no single-partition
-    funnel)."""
+    funnel). Returns ``(frame, grand_total)``; the total is a free
+    by-product of the distributed offset accumulation and None in the
+    window branch (where the caller's own frame is cheap to aggregate).
+    The distributed output is DISK_ONLY-checkpointed with its block ids
+    appended to ``track`` (same deterministic-release contract as
+    global_dense_rank — the intermediate rp cache is unpersisted here,
+    never left to the ContextCleaner)."""
     if not distributed:
         w = Window.orderBy(order_col).rowsBetween(
             Window.unboundedPreceding, 0
         )
-        return df.withColumn(out_col, F.sum(val_col).over(w))
+        return df.withColumn(out_col, F.sum(val_col).over(w)), None
     rp = df.repartitionByRange(partitions, order_col).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -581,13 +588,16 @@ def _prefix_sum(
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    out = (
+    out = _ckpt(
         rp.withColumn("_ls", F.sum(val_col).over(w))
         .join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_ls")).cast("long"))
-        .drop("_pid", "_ls", "_off")
+        .drop("_pid", "_ls", "_off"),
+        track,
+        True,
     )
-    return out
+    rp.unpersist()
+    return out, int(acc)
 
 
 def cross_contamination_position_best(
@@ -648,13 +658,16 @@ def cross_contamination_position_best(
         (F.col("idx") + 1).alias("idx"), F.col("lcp").alias("lcp_pred")
     )
     rows = fr.sa.join(lp, "idx", "left").join(flags, "doc_id")
-    rows = _prefix_sum(rows, "is_eval", "idx", "grp", distributed, n_parts)
-    e_total = int(
-        flags.join(fr.sa.groupBy("doc_id").count(), "doc_id")
-        .where(F.col("is_eval") == 1)
-        .agg(F.coalesce(F.sum("count"), F.lit(0)))
-        .collect()[0][0]
+    ps_track: list[int] = []
+    rows, e_total = _prefix_sum(
+        rows, "is_eval", "idx", "grp", distributed, ps_track, n_parts
     )
+    if e_total is None:
+        # Window branch: the grand total is one tiny aggregate over the
+        # (small, sub-threshold) rows frame — never a re-scan of the SA.
+        e_total = int(
+            rows.agg(F.coalesce(F.sum("is_eval"), F.lit(0))).collect()[0][0]
+        )
     rows = rows.withColumn(
         "grp2", F.lit(e_total) - F.col("grp") + F.col("is_eval")
     )
@@ -690,7 +703,12 @@ def cross_contamination_position_best(
             .alias("best"),
         )
     )
-    held = set(fr.tok_ids) | set(fr.sa_ids) | set(fr.capped_ids)
+    held = (
+        set(fr.tok_ids)
+        | set(fr.sa_ids)
+        | set(fr.capped_ids)
+        | set(ps_track)
+    )
     if fr.progressive:
         # One row per TRAIN token but the only retained frame:
         # materialize it (DISK_ONLY) and free everything else.

@@ -1388,6 +1388,47 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, name, output_mode="append")
 
 
+def _closed_event_tape(spark: SparkSession, sf_dir: str):
+    """The closed-tape ingredients every sentinel-proof join query
+    shares: the events slab plus TWO trailing watermark-advancing
+    sentinel frames at max(ts) + lookback + delay (+1s, +2s). ONE
+    definition of the discipline (two files because eviction uses the
+    PREVIOUS batch's watermark; a positive non-existent user id so the
+    rows survive scan pushdown — see q_streaming_anti_join's docstring
+    for both observed failure modes). Returns (events_df, sentinel_dfs)
+    for sources.stream.replay_tape."""
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
+    sentinels = [
+        spark.createDataFrame(
+            [
+                (
+                    -i,
+                    max_ts
+                    + datetime.timedelta(
+                        seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
+                    ),
+                    _ANTI_SENTINEL_USER,
+                    "sentinel",
+                )
+            ],
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string",
+        ).selectExpr(
+            "event_id",
+            "cast(ts as timestamp) as ts",
+            "user_id",
+            "event_type",
+        )
+        for i in (1, 2)
+    ]
+    return ev, sentinels
+
+
 #: Band / watermark for the anti-join tape, shared by the join kwargs,
 #: the sentinel offset, and the oracle's INTERVAL literal (same
 #: no-drift rule as _SESSION_WM_DELAY_S).
@@ -1446,38 +1487,10 @@ def q_streaming_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark nodes never saw them, and the last watermark-delay of
     genuine anti rows was silently withheld (observed, round 10).
     Oracle: the equivalent NOT EXISTS, exact because the tape is closed."""
-    import datetime
-
     from ..sources.stream import replay_tape
     from ..streaming.joins import interval_join_left_anti
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type"
-    )
-    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
-    sentinels = [
-        spark.createDataFrame(
-            [
-                (
-                    -i,
-                    max_ts
-                    + datetime.timedelta(
-                        seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
-                    ),
-                    _ANTI_SENTINEL_USER,
-                    "sentinel",
-                )
-            ],
-            "event_id long, ts timestamp_ntz, user_id long,"
-            " event_type string",
-        ).selectExpr(
-            "event_id",
-            "cast(ts as timestamp) as ts",
-            "user_id",
-            "event_type",
-        )
-        for i in (1, 2)
-    ]
+    ev, sentinels = _closed_event_tape(spark, sf_dir)
     with replay_tape(ev, sentinels) as tape:
         schema = spark.read.parquet(tape).schema
         # NO maxFilesPerTrigger: the whole tape lands in ONE batch, so
@@ -1560,38 +1573,10 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     see q_streaming_anti_join). Sentinel self-emissions are matched
     pairs (each left sentinel has an in-band right sentinel), removed by
     the same user-id guard. Oracle: the equivalent FULL OUTER JOIN."""
-    import datetime
-
     from ..sources.stream import replay_tape
     from ..streaming.joins import interval_join_full_outer
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type"
-    )
-    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
-    sentinels = [
-        spark.createDataFrame(
-            [
-                (
-                    -i,
-                    max_ts
-                    + datetime.timedelta(
-                        seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
-                    ),
-                    _ANTI_SENTINEL_USER,
-                    "sentinel",
-                )
-            ],
-            "event_id long, ts timestamp_ntz, user_id long,"
-            " event_type string",
-        ).selectExpr(
-            "event_id",
-            "cast(ts as timestamp) as ts",
-            "user_id",
-            "event_type",
-        )
-        for i in (1, 2)
-    ]
+    ev, sentinels = _closed_event_tape(spark, sf_dir)
     with replay_tape(ev, sentinels) as tape:
         schema = spark.read.parquet(tape).schema
         # One availableNow batch + the no-data eviction batch (same
@@ -1639,10 +1624,32 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Decontamination gate at ingest: gram length and the held-out eval
-#: source (shared with queries/analytics.py's suffix-exact pair — this
-#: is the STREAMING membership-test face of the same policy).
-_DECON_GRAM = 6
-_DECON_SRC = "src0"
+#: source IMPORTED from queries/analytics.py's suffix-exact pair (this
+#: is the STREAMING membership-test face of the SAME policy — one
+#: constant edit moves the whole family; analytics registers before
+#: streaming in registry.py, so the import is cycle-free).
+from .analytics import _DECON_CUT_MIN as _DECON_GRAM  # noqa: E402
+from .analytics import _DECON_EVAL_SOURCE as _DECON_SRC  # noqa: E402
+
+
+def _decon_grams(text_col: str = "text"):
+    """The {_DECON_GRAM}-gram md5 array of a document — ONE definition
+    shared by the static eval-set build, the per-batch stream
+    projection, and the cross-batch test (a drifted copy on either
+    side of the membership join silently breaks the gate).
+    sequence(a, b) with b < a generates DESCENDING values — the
+    short-doc case is guarded to an empty array instead."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    return F.when(
+        n >= _DECON_GRAM,
+        F.transform(
+            F.sequence(F.lit(1), n - (_DECON_GRAM - 1)),
+            lambda p: F.md5(
+                F.concat_ws(" ", F.slice(toks, p, _DECON_GRAM)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @register(
@@ -1695,34 +1702,27 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's LEFT JOIN handles. Output: per train source, docs
     scanned / contaminated / clean."""
     from ..sources.stream import documents_stream
-    from ..streaming.checkpoints import run_foreach_batch
-
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    # sequence(a, b) with b < a generates DESCENDING values — guard the
-    # short-doc case to an empty gram array instead.
-    grams = F.when(
-        n >= _DECON_GRAM,
-        F.transform(
-            F.sequence(F.lit(1), n - (_DECON_GRAM - 1)),
-            lambda p: F.md5(
-                F.concat_ws(" ", F.slice(toks, p, _DECON_GRAM)).cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
     docs_all = load_table(spark, sf_dir, "documents")
-    eval_grams = (
-        docs_all.where(F.col("source") == _DECON_SRC)
-        .select(F.explode(grams).alias("gram"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-
+    eval_grams = build_eval_grams(docs_all)
     stream = documents_stream(spark, sf_dir).where(
         F.col("source") != _DECON_SRC
     )
     return fold_decontaminate(stream, eval_grams)
+
+
+def build_eval_grams(docs: DataFrame) -> DataFrame:
+    """Materialized distinct gram set of the eval slice — eager
+    localCheckpoint so the build (scan + explode + distinct) runs ONCE,
+    not once per micro-batch inside the fold's broadcast join (the
+    docstring's 'static bounded build', made actually static)."""
+    return (
+        docs.where(F.col("source") == _DECON_SRC)
+        .select(F.explode(_decon_grams()).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
 
 
 def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
@@ -1731,17 +1731,7 @@ def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
     test drives the exact production fold over a file-split tape."""
     from ..streaming.checkpoints import run_foreach_batch
 
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= _DECON_GRAM,
-        F.transform(
-            F.sequence(F.lit(1), n - (_DECON_GRAM - 1)),
-            lambda p: F.md5(
-                F.concat_ws(" ", F.slice(toks, p, _DECON_GRAM)).cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _decon_grams()
     holder: dict[str, DataFrame | None] = {"state": None}
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:

@@ -344,29 +344,13 @@ def test_decontaminate_fold_across_batches(tmp_path, spark):
     source across all 4 batches, one file per batch) folded through the
     eval-gram gate equals the batch oracle twin exactly."""
     from ohlc_spark_streaming_spark.queries.streaming import (
-        _DECON_GRAM,
         _DECON_SRC,
+        build_eval_grams,
         fold_decontaminate,
     )
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= _DECON_GRAM,
-        F.transform(
-            F.sequence(F.lit(1), n - (_DECON_GRAM - 1)),
-            lambda p: F.md5(
-                F.concat_ws(" ", F.slice(toks, p, _DECON_GRAM)).cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    eval_grams = (
-        docs.where(F.col("source") == _DECON_SRC)
-        .select(F.explode(grams).alias("gram"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
+    eval_grams = build_eval_grams(docs)
 
     src = str(tmp_path / "docs_split")
     train = docs.where(F.col("source") != _DECON_SRC)

@@ -300,3 +300,30 @@ def test_decontaminate_cut_planted(spark):
         assert row.scrub_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest()
     assert got[0].n_spans == 1
     assert got[1].n_spans == 0 and got[2].n_spans == 0
+
+
+def test_cross_contamination_progressive_path_matches_brute(spark):
+    """The PROGRESSIVE cross-corpus path (distributed rank + distributed
+    prefix sum + keep_sa retention + per-level release — the 100× code
+    path, forced via the threshold) must equal the python brute force:
+    the range-partition offset accumulation, the checkpointed prefix-sum
+    frame, and the keep_sa release ordering are exactly the pieces the
+    small-corpus window branch never exercises."""
+    from .test_suffix_property import _brute_contam
+
+    df = load_table(spark, SF_SMOKE, "documents")
+    texts = {r.doc_id: r.text.split(" ") for r in df.collect()}
+    evalset = {r.doc_id for r in df.where("source = 'src0'").collect()}
+    want = _brute_contam(texts, evalset)
+    prev = SX.DISTRIBUTED_RANK_THRESHOLD
+    SX.DISTRIBUTED_RANK_THRESHOLD = 0
+    try:
+        got = {
+            r.doc_id: (r.contam_span, r.n_at_max)
+            for r in SX.cross_contamination_best(
+                df, F.col("source") == "src0"
+            ).collect()
+        }
+    finally:
+        SX.DISTRIBUTED_RANK_THRESHOLD = prev
+    assert got == want
