@@ -184,6 +184,9 @@ HEADLINE = [
     "decontaminate_cut",
     "similarity_ivfpq_topk",
     "streaming_decontaminate",
+    # round 11: trained ANN codebooks + multi-probe; boilerplate removal
+    "similarity_ivfpq_trained",
+    "boilerplate_cut",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);
@@ -197,6 +200,14 @@ HEADLINE = [
 BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
 )
+#: FROZEN epoch baseline (round-10 numbers, never self-refreshed): the
+#: rolling baseline is replaced by the driver every round, so a slow
+#: multi-round drift would be invisible — each round compares only to
+#: the last. The epoch ratio is printed per query and in total but
+#: never gates; only the rolling comparison alerts.
+EPOCH_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_EPOCH.json"
+)
 REGRESSION_FACTOR = 1.5
 REGRESSION_MIN_DELTA_SEC = 1.0
 #: Timed samples per query; the reported number is the MINIMUM of all N
@@ -205,23 +216,35 @@ N_SAMPLES = 3
 
 
 def report_deltas(timings: dict[str, float]) -> None:
-    try:
-        with open(BASELINE_PATH) as f:
-            base = json.load(f).get("queries", {})
-    except (OSError, ValueError):
+    def _load(path):
+        try:
+            with open(path) as f:
+                return json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            return {}
+
+    base = _load(BASELINE_PATH)
+    epoch = _load(EPOCH_PATH)
+    if not base and not epoch:
         return
     regressions = []
     for name, sec in timings.items():
         prev = base.get(name)
+        ep = epoch.get(name)
+        ep_txt = f", {sec / ep:.2f}x epoch" if ep else ""
         if prev is None:
-            print(f"[bench] {name}: {sec:.3f}s (new; no baseline)", file=sys.stderr)
+            print(
+                f"[bench] {name}: {sec:.3f}s (new; no rolling baseline"
+                f"{ep_txt})",
+                file=sys.stderr,
+            )
             continue
         ratio = sec / prev if prev > 0 else float("inf")
         is_reg = ratio > REGRESSION_FACTOR and sec - prev > REGRESSION_MIN_DELTA_SEC
         tag = " REGRESSION" if is_reg else ""
         print(
             f"[bench] {name}: {sec:.3f}s vs baseline {prev:.3f}s "
-            f"({ratio:.2f}x){tag}",
+            f"({ratio:.2f}x roll{ep_txt}){tag}",
             file=sys.stderr,
         )
         if is_reg:
@@ -230,6 +253,16 @@ def report_deltas(timings: dict[str, float]) -> None:
         worst = ", ".join(f"{n} {r:.2f}x" for n, r in regressions)
         print(f"[bench] {len(regressions)} regression(s) > "
               f"{REGRESSION_FACTOR}x: {worst}", file=sys.stderr)
+    for label, ref in (("rolling", base), ("epoch", epoch)):
+        common = [n for n in timings if n in ref]
+        if common:
+            got = sum(timings[n] for n in common)
+            want = sum(ref[n] for n in common)
+            print(
+                f"[bench] total vs {label}: {got:.1f}s / {want:.1f}s "
+                f"= {got / want:.2f}x over {len(common)} shared queries",
+                file=sys.stderr,
+            )
 
 
 def main() -> None:

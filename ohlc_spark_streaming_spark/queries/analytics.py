@@ -4799,3 +4799,162 @@ def q_boilerplate_span_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), F.col("gram").asc())
         .limit(_BOILER_TOPK)
     )
+
+
+# --- corpus-wide boilerplate removal (round 11) -------------------------------
+
+
+@register(
+    "boilerplate_cut",
+    f"""
+WITH toks AS (SELECT doc_id, source, {_TOKENS} AS t FROM documents),
+g AS (
+  SELECT doc_id, u.i AS i,
+         array_to_string(list_slice(t, u.i, u.i + {_BOILER_K} - 1), ' ')
+           AS gram
+  FROM toks, unnest(range(1, len(t) - {_BOILER_K} + 2)) AS u(i)
+  WHERE len(t) >= {_BOILER_K}
+),
+cat AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS n_occ
+    FROM g GROUP BY gram HAVING count(*) >= 2
+    ORDER BY n_occ DESC, gram ASC LIMIT {_BOILER_TOPK}
+  )
+),
+cov AS (
+  SELECT g.doc_id, g.i AS st, g.i + {_BOILER_K} - 1 AS en
+  FROM g JOIN cat USING (gram)
+),
+covs AS (
+  SELECT doc_id, list(struct_pack(st := st, en := en)) AS spans
+  FROM cov GROUP BY doc_id
+),
+kept AS (
+  SELECT t.doc_id, t.source,
+         c.spans IS NOT NULL AS touched,
+         t.t,
+         CASE WHEN c.spans IS NULL THEN t.t
+              ELSE list_transform(
+                     list_filter(
+                       range(1, len(t.t) + 1),
+                       p -> len(list_filter(c.spans,
+                                s -> p >= s.st AND p <= s.en)) = 0),
+                     p -> t.t[p]) END AS k
+  FROM toks t LEFT JOIN covs c USING (doc_id)
+),
+per AS (
+  SELECT doc_id, source, touched, len(t) AS nt, len(k) AS nk,
+         {hashing.rolling_hash_sql(
+             "doc_id || ':' || coalesce(array_to_string(k, ' '), '')"
+         )} AS h
+  FROM kept
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                 AS n_docs,
+       CAST(SUM(CASE WHEN touched THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+       CAST(SUM(nt) AS BIGINT)                                  AS tokens_before,
+       CAST(SUM(nk) AS BIGINT)                                  AS tokens_after,
+       CAST(SUM(nt) - SUM(nk) AS BIGINT)                        AS tokens_cut,
+       CAST(SUM(h) AS BIGINT)                                   AS scrub_sum,
+       CAST(bit_xor(h) AS BIGINT)                               AS scrub_xor
+FROM per GROUP BY source
+""",
+)
+def q_boilerplate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BOILERPLATE REMOVAL (VERDICT r10 item 7) — the
+    curator action q_boilerplate_span_catalog's report implies: every
+    occurrence of the catalog's top-{_BOILER_TOPK} repeated
+    {_BOILER_K}-token phrases is cut from every document, with a
+    per-source before/after ledger and an order-independent scrub
+    checksum proving byte-for-byte what survived.
+
+    Composition: the catalog is the SAME fully tie-broken top-k CTE
+    (count desc, phrase asc — determinism is what lets the oracle agree
+    on which phrase holds seat 20); its 20 phrases broadcast against
+    the positional gram stream to become closed spans [i, i+{_BOILER_K}-1];
+    the cut is the dedup_span_cut_suffix in-row higher-order filter (a
+    position survives iff no covering span — overlapping occurrences
+    union naturally). The proof is the shard_checksum_manifest
+    discipline, not a collect_list: per doc one cross-engine rolling
+    hash of ``doc_id:kept_text``, then commutative sum + xor per source
+    — order/partition-independent by algebra, O(1) aggregate state, so
+    the witness survives any executor layout at 100 TB (a sorted-list
+    md5 would buffer every doc id per source). The planted-phrase test
+    (tests/test_round11_ops.py) recomputes the checksums from expected
+    kept text byte-for-byte.
+
+    Scale: grams derive in-row, ONE map-side-combined catalog
+    aggregate + TakeOrdered(20), one broadcast semi-shaped join to find
+    occurrences, one per-doc span list (bounded by per-doc occurrence
+    count), one final per-source aggregate. No pairwise anything; the
+    only wide exchanges are the catalog agg and the tiny span groupBy."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    gpos = F.when(
+        n >= _BOILER_K,
+        F.transform(
+            F.sequence(F.lit(1), n - _BOILER_K + 1),
+            lambda i: F.struct(
+                i.cast("long").alias("i"),
+                F.concat_ws(" ", F.slice(toks, i, _BOILER_K)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:long,gram:string>>"))
+    g = docs.select("doc_id", F.explode(gpos).alias("_g")).select(
+        "doc_id", F.col("_g.i").alias("i"), F.col("_g.gram").alias("gram")
+    )
+    cat = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .orderBy(F.col("n_occ").desc(), F.col("gram").asc())
+        .limit(_BOILER_TOPK)
+        .select("gram")
+    )
+    cov = g.join(F.broadcast(cat), "gram").select(
+        "doc_id",
+        F.col("i").alias("st"),
+        (F.col("i") + _BOILER_K - 1).alias("en"),
+    )
+    covs = cov.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("st"), F.col("en"))).alias("spans")
+    )
+    j = docs.select("doc_id", "source", toks.alias("t")).join(
+        covs, "doc_id", "left"
+    )
+
+    def _uncovered(tok, i0):
+        p = i0 + F.lit(1).cast("long")
+        return ~F.exists(
+            F.col("spans"), lambda s: (p >= s["st"]) & (p <= s["en"])
+        )
+
+    kept = F.when(F.col("spans").isNull(), F.col("t")).otherwise(
+        F.filter("t", _uncovered)
+    )
+    per = j.select(
+        "source",
+        F.col("spans").isNotNull().alias("touched"),
+        F.size("t").cast("long").alias("nt"),
+        F.size(kept).cast("long").alias("nk"),
+        hashing.rolling_hash(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.concat_ws(" ", kept),
+            )
+        ).alias("h"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("touched"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_touched"),
+        F.sum("nt").cast("long").alias("tokens_before"),
+        F.sum("nk").cast("long").alias("tokens_after"),
+        (F.sum("nt") - F.sum("nk")).cast("long").alias("tokens_cut"),
+        F.sum("h").cast("long").alias("scrub_sum"),
+        F.bit_xor("h").cast("long").alias("scrub_xor"),
+    )

@@ -1076,6 +1076,153 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_trained_oracle(
+    iters: int = 2, nprobe: int = 2, n_cents: int = 8, k: int = 5
+) -> str:
+    """DuckDB oracle for similarity_ivfpq_trained: replays BOTH Lloyd
+    trainings (coarse full-vector cells and per-subspace PQ codebooks,
+    ``iters`` unrolled CTE layers each — the fixed-iteration pattern
+    pagerank_copurchase uses), then the nprobe-cell multi-probe ADC
+    search. Mean updates sum exact floor(x·1e12 + 0.5) integer units in
+    DECIMAL(38,0) (the kmeans_update_step discipline) so the trained
+    centroid doubles are bit-identical to Spark's; emptied centroids
+    keep their seats via the same LEFT JOIN + coalesce guard."""
+    sq = "list_sum(list_transform(list_zip({a}, {b}), x -> (x[1]-x[2])*(x[1]-x[2])))"
+    qmean = (
+        "CAST(SUM(CAST(floor(u.v * 1e12 + CAST(0.5 AS DOUBLE)) "
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / count(*)"
+    )
+    parts = [
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS cv FROM d WHERE vec_id < {n_cents})",
+        "sgrid AS (SELECT unnest(range(0, 8)) AS s)",
+        "sd AS (SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sv FROM d, sgrid)",
+        f"k0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sd WHERE vec_id < {n_cents})",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        # --- coarse iteration i: assign -> exact-unit mean -> coalesce ---
+        parts += [
+            f"""a{i} AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell FROM (
+    SELECT d.vec_id, c.cid, {sq.format(a="d.e", b="c.cv")} AS dist
+    FROM d CROSS JOIN c{p} c
+  ) GROUP BY vec_id
+)""",
+            f"""u{i} AS (
+  SELECT cell, u.i AS dim, {qmean} AS nc
+  FROM (SELECT vec_id,
+               unnest(list_transform(e, (x, i) -> {{'i': i, 'v': x}})) AS u
+        FROM d) t
+  JOIN a{i} USING (vec_id) GROUP BY cell, u.i
+)""",
+            f"n{i} AS (SELECT cell AS cid, list(nc ORDER BY dim) AS cv "
+            f"FROM u{i} GROUP BY cell)",
+            f"c{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv "
+            f"FROM c{p} c LEFT JOIN n{i} n USING (cid))",
+            # --- subspace iteration i (same shape, s in every key) ---
+            f"""b{i} AS (
+  SELECT vec_id, s, (min(struct_pack(d := dist, c := cid))).c AS cell FROM (
+    SELECT sd.vec_id, sd.s, k.cid, {sq.format(a="sd.sv", b="k.cv")} AS dist
+    FROM sd JOIN k{p} k ON sd.s = k.s
+  ) GROUP BY vec_id, s
+)""",
+            f"""v{i} AS (
+  SELECT s, cell, u.i AS dim, {qmean} AS nc
+  FROM (SELECT vec_id, s,
+               unnest(list_transform(sv, (x, i) -> {{'i': i, 'v': x}})) AS u
+        FROM sd) t
+  JOIN b{i} USING (vec_id, s) GROUP BY s, cell, u.i
+)""",
+            f"m{i} AS (SELECT s, cell AS cid, list(nc ORDER BY dim) AS cv "
+            f"FROM v{i} GROUP BY s, cell)",
+            f"k{i} AS (SELECT k.s, k.cid, coalesce(m.cv, k.cv) AS cv "
+            f"FROM k{p} k LEFT JOIN m{i} m ON k.s = m.s AND k.cid = m.cid)",
+        ]
+    parts += [
+        f"""celld AS (
+  SELECT d.vec_id, c.cid, {sq.format(a="d.e", b="c.cv")} AS dist
+  FROM d CROSS JOIN c{iters} c
+)""",
+        """cells AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell
+  FROM celld GROUP BY vec_id
+)""",
+        f"""qc AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS probe
+    FROM celld WHERE vec_id < 10
+  ) WHERE probe <= {nprobe}
+)""",
+        f"""fdists AS (
+  SELECT sd.vec_id, sd.s, k.cid, {sq.format(a="sd.sv", b="k.cv")} AS dist
+  FROM sd JOIN k{iters} k ON sd.s = k.s
+)""",
+        """codes AS (
+  SELECT vec_id, s, (min(struct_pack(d := dist, c := cid))).c AS c
+  FROM fdists GROUP BY vec_id, s
+)""",
+        """lut AS (
+  SELECT vec_id AS query_id, s, cid AS c,
+         CAST(floor(dist * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_units
+  FROM fdists WHERE vec_id < 10
+)""",
+        """adc AS (
+  SELECT l.query_id, co.vec_id, CAST(sum(l.d_units) AS BIGINT) AS adc_units
+  FROM codes co
+  JOIN cells ce ON co.vec_id = ce.vec_id
+  JOIN qc ON qc.cell = ce.cell
+  JOIN lut l ON l.query_id = qc.query_id AND l.s = co.s AND l.c = co.c
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)""",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_units ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+    )
+
+
+@register("similarity_ivfpq_trained", _ivfpq_trained_oracle())
+def q_similarity_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED IVF-PQ ANN with multi-probe (VERDICT r10 item 1) —
+    similarity_ivfpq_topk with its two quality knobs turned: the coarse
+    cells AND the per-subspace PQ codebooks are Lloyd-trained (two
+    fixed k-means iterations from the training-free seeds —
+    kmeans_update_step's single step iterated, exact integer-unit
+    centroid means so training is bitwise cross-engine), and each query
+    probes its 2 nearest cells instead of 1. On the near-random
+    synthetic corpus this lifts recall@5 vs exact L2 from 0.20
+    (untrained, nprobe=1) to ~0.30 — the trained-quantizer lift a FAISS
+    user gets from index training; the recall curve is pinned in
+    tests/test_ann_recall.py. Scale: training adds 2 narrow
+    scan+partial-agg rounds with O(k·dim) driver state; search reads
+    ~nprobe/n_cells of the corpus at ~3% of the bytes. The oracle
+    replays BOTH trainings and the multi-probe ADC search end-to-end —
+    retrieval quality machinery, not just shape, under the value-hash
+    gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_pq_trained_topk(
+        emb,
+        dim=64,
+        n_subspaces=8,
+        n_cents=8,
+        n_cells=8,
+        n_queries=10,
+        k=5,
+        iters=2,
+        nprobe=2,
+    )
+
+
 @register(
     "text_tfidf",
     f"""

@@ -1708,20 +1708,36 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = documents_stream(spark, sf_dir).where(
         F.col("source") != _DECON_SRC
     )
-    return fold_decontaminate(stream, eval_grams)
+    out = fold_decontaminate(stream, eval_grams)
+    # The fold's final state is itself localCheckpointed, so the gram
+    # blocks are dead once the stream drains — release them (the
+    # suffix-machinery retention discipline; blocking so the disk space
+    # is back before the caller's next operator runs).
+    eval_grams.unpersist(blocking=True)
+    return out
 
 
 def build_eval_grams(docs: DataFrame) -> DataFrame:
     """Materialized distinct gram set of the eval slice — eager
     localCheckpoint so the build (scan + explode + distinct) runs ONCE,
     not once per micro-batch inside the fold's broadcast join (the
-    docstring's 'static bounded build', made actually static)."""
+    docstring's 'static bounded build', made actually static).
+
+    DISK_ONLY storage (round-10 ADVICE): this is the one frame
+    rebroadcast into EVERY micro-batch for the lifetime of the ingest
+    stream, so its residency scales with the eval corpus — spill it
+    like operators/suffix.py spills its rank tables instead of pinning
+    executor heap; the broadcast copy is what the join actually reads.
+    Callers that own the frame release it with ``unpersist()`` once the
+    fold completes (q_streaming_decontaminate does)."""
+    from pyspark import StorageLevel
+
     return (
         docs.where(F.col("source") == _DECON_SRC)
         .select(F.explode(_decon_grams()).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
 
 

@@ -119,12 +119,23 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # (green) driver CORRECTNESS row, until every oracle-backed query has one
 # (tracked in ROTATION.md — regenerate with tools_rotation.py).
 #
-# Round-10 window (VERDICT r9 item 3, per the written prep note): the
-# backlog is ZERO and the oldest remaining driver rows are the 49
-# r5-era re-checks — they fill the 49 rotation slots exactly. Round-10
-# additions displace only the least-risky tail re-checks (short,
-# structurally simple queries green since r5); the dedup pair joins
-# and the as-of family stay in per the prep note.
+# POST-BACKLOG ROTATION POLICY (round 11, VERDICT r10 item 4): with all
+# 254 queries driver-checked at least once, the window rotates
+# OLDEST-GREEN-FIRST — each round re-checks the queries whose latest
+# driver row is stalest (merge CORRECTNESS_r*.json, take max round per
+# name, ascending), so no query's latest row ages past ~4 rounds at the
+# current registry size (254 names / 49 rotating slots ≈ 5.2 rounds a
+# full cycle; additions displace least-risky tail re-checks, which then
+# lead the next round's cohort). tools_rotation.py prints the cohort.
+#
+# Round-11 window: the 9 r5-era rows that rolled over when round-10's
+# nine additions took their slots, then 39 of the 49 r6-era rows
+# (riskier families first; the 10 structurally simplest r6 rows —
+# above_avg_orders, agg_distinct_counts, date_functions,
+# mode_order_priority, orderby_limit, price_histogram,
+# stats_corr_qty_price, topk_per_group, unpivot_lineitem_measures,
+# user_event_type_sets — lead round 12's cohort), with round-11
+# additions taking tail slots as they land.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
@@ -153,88 +164,69 @@ DRIVER_ANCHORS: tuple[str, ...] = (
 #: Spark ever allows it (pinned ProcessingTime-only in r9), live Kafka
 #: integration if a broker appears.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # --- Re-checks: ALL 49 r5-era rows (oldest remaining driver rows;
-    # --- per the ROUND-10 PREP plan) ---
-    # Reference parity / candles / Python DataSource
-    "streaming_trade_pipeline",
-    "pyds_tick_summary",
-    "pyds_stream_tick_summary",
-    "candles_gap_fill",
-    "candle_mad_outliers",
-    # TPC-H tail / relational battery
-    "q12_priority_by_status",
-    "skyline_orders",
-    "latest_event_per_user",
-    "cohort_retention",
-    "funnel_conversion",
-    "session_funnel",
-    "interarrival_stats",
-    "anomaly_zscore_events",
-    "approx_distinct_parts",
-    "basket_part_pairs",
-    "fuzzy_match_parts",
-    # round-10 addition: ingest-time decontamination gate (took
-    # zorder_bucket_counts' slot — a file-stats bucketing audit, green
-    # since r5)
-    "streaming_decontaminate",
-    "dq_expectations",
-    "cdc_merge_orders",
-    "scd2_user_state",
-    # As-of join family (kept in per the prep note)
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_asof_bucketed",
-    # Dedup / similarity (pair joins kept in per the prep note)
-    "dedup_jaccard_pairs",
-    "dedup_span_windows",
-    "similarity_ivf_topk",
-    "similarity_topk_vectorized",
-    "embeddings_stats",
-    # Text / LLM battery
-    "bm25_search",
-    "lm_bigram_topk",
-    # round-10 addition: exact cross-corpus decontamination spans (took
-    # text_chunks' slot — fixed-width chunking, green since r5)
-    "decontaminate_span",
-    # round-10 addition: IVF-PQ composite ANN (took text_fingerprint's
-    # slot — a scan-local rolling hash, green since r5)
-    "similarity_ivfpq_topk",
-    # round-10 addition: PQ-ADC ANN search (took profile_documents'
-    # slot — a simple describe-style profile, green since r5; the
-    # 4-slot tail was already surrendered to earlier r10 additions)
-    "similarity_pq_topk",
-    "quality_classifier_bucket",
-    "split_drift_tvd",
-    "split_leakage_audit",
-    # Multimodal
-    "multimodal_blob_stats",
-    "multimodal_frame_sample",
-    "multimodal_image_decode",
-    # round-10 addition: cross-corpus decontamination cut (took
-    # multimodal_meta_entries' slot — a map-entries explode, green
-    # since r5)
-    "decontaminate_cut",
+    # --- The 9 r5-era rows (oldest: rolled over when round-10's nine
+    # --- additions took their slots) ---
+    "multimodal_meta_entries",
+    "orderby_limit_offset",
+    "profile_documents",
+    "string_agg_statuses",
+    "text_chunks",
+    "text_fingerprint",
+    "text_normalize",
+    "text_token_count",
+    "zorder_bucket_counts",
+    # --- 39 r6-era rows, riskier families first ---
     # Streaming twins
-    "streaming_anomaly_zscore",
-    "streaming_distinct_keys",
-    "streaming_quality_filter",
-    "streaming_stateful_error_counts",
-    "streaming_static_join",
-    # --- Tail (4): least-risky re-checks (short, structurally simple,
-    # --- green since r5); SURRENDER these slots to round-10 additions
-    # --- as they land so the backlog stays at zero ---
-    # round-10 addition: stream-stream FULL OUTER interval join (took
-    # orderby_limit_offset's slot — the last remaining tail re-check)
-    "streaming_full_outer_join",
-    # round-10 addition: corpus boilerplate catalog (took
-    # string_agg_statuses' slot)
-    "boilerplate_span_catalog",
-    # round-10 addition: suffix-exact threshold span cut (took
-    # text_normalize's slot)
-    "dedup_span_cut_suffix",
-    # round-10 addition: stream-stream left-anti interval join (took
-    # text_token_count's slot)
-    "streaming_anti_join",
+    "streaming_asof_enrich",
+    "streaming_candle_mad_outliers",
+    "streaming_dedup_exact",
+    "streaming_incremental_candles",
+    "streaming_interarrival_stats",
+    "streaming_session_funnel",
+    # Dedup / embedding / sketch
+    "dedup_containment",
+    "dedup_cross_source",
+    "dedup_hybrid_pairs",
+    "minhash_recall_audit",
+    "embedding_centroid_assign",
+    "embedding_dim_variance",
+    "embedding_quantize_int8",
+    "approx_percentile_audit",
+    "spatial_neighbor_pairs",
+    # Graph / stats
+    "bfs_distance_copurchase",
+    "pagerank_copurchase",
+    "stats_chi2_independence",
+    "part_hierarchy_rollup",
+    "cooc_lift_topk",
+    "inverted_index_champions",
+    "conjunctive_search",
+    "doc_length_histogram",
+    "udtf_token_positions",
+    # Candles / windows
+    "candles_incremental_update",
+    "candle_bollinger",
+    "candle_gap_fill",
+    "candle_minmax_norm",
+    "candle_trend_slope",
+    "ohlc_rollup_candles",
+    "ohlc_rollup_daily",
+    "twap_candles",
+    "window_candle_returns",
+    "window_running_total",
+    # Relational battery
+    "q5_region_revenue",
+    "error_streaks",
+    "funnel_timed",
+    "funnel_view_purchase",
+    # --- Tail: round-11 additions take these slots as they land ---
+    # round-11 addition: corpus-wide boilerplate removal with the
+    # rolling-hash scrub checksum (took cube_orders' slot — a grouping-
+    # sets exhibit, green since r6)
+    "boilerplate_cut",
+    # round-11 addition: Lloyd-trained IVF-PQ with nprobe=2 (took
+    # orderby_limit's slot — a one-line sort/limit, green since r6)
+    "similarity_ivfpq_trained",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

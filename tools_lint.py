@@ -94,6 +94,12 @@ EXPECTED = {
     # TRAIN doc, ≤ n_tokens/(threshold+1)+1 structs
     # (queries/analytics.py::q_decontaminate_cut).
     ("decontaminate_cut", "COLLECT_LIST"),
+    # Same boundary, catalog-phrase spans: the per-doc span array is
+    # bounded by that doc's occurrences of the 20 catalog phrases
+    # (≤ n_tokens positions, in practice a handful); the per-SOURCE
+    # aggregate deliberately avoids the list — sum/xor rolling-hash
+    # checksums, O(1) state (queries/analytics.py::q_boilerplate_cut).
+    ("boilerplate_cut", "COLLECT_LIST"),
     # Composes the clustering (shingle-set collects, doc-length-bounded)
     # and the span cut above; every collect inherits those boundaries
     # (queries/analytics.py::q_corpus_curation_report).
