@@ -187,6 +187,7 @@ HEADLINE = [
     # round 11: trained ANN codebooks + multi-probe; boilerplate removal
     "similarity_ivfpq_trained",
     "boilerplate_cut",
+    "streaming_decontaminate_incr",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1741,6 +1741,121 @@ def build_eval_grams(docs: DataFrame) -> DataFrame:
     )
 
 
+def fold_eval_grams(
+    eval_stream: DataFrame, state: DataFrame | None = None
+) -> DataFrame:
+    """Fold an EVAL-side document stream into the persisted distinct
+    gram-set table — the eval half of the fully incremental
+    decontamination gate (see q_streaming_decontaminate_incr). Delta
+    discipline (dedup_incremental_probe's shape, applied to state
+    maintenance): each micro-batch's distinct grams probe the state
+    with one LEFT ANTI join and only the FRESH grams append, so
+    per-arrival cost tracks the eval delta, never the accumulated set,
+    and the state table's size is the true distinct-gram count.
+    State is an eager DISK_ONLY localCheckpoint per batch (the
+    build_eval_grams retention discipline) with the superseded
+    snapshot's blocks released as soon as the new one materializes.
+    ``state`` resumes from a previous fold's gram table (pass the
+    (gram, _hit) frame a prior call returned) — the eval-side APPEND
+    path the two-phase tape test drives. Returns the final gram table
+    in the gate's (gram, _hit) schema."""
+    from pyspark import StorageLevel
+
+    from ..streaming.checkpoints import run_foreach_batch
+
+    holder: dict[str, DataFrame | None] = {
+        "state": state.select("gram") if state is not None else None
+    }
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        bg = batch_df.select(F.explode(_decon_grams()).alias("gram")).distinct()
+        cur = holder["state"]
+        new = (
+            bg
+            if cur is None
+            else cur.unionByName(bg.join(cur, "gram", "left_anti"))
+        )
+        holder["state"] = new.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        if cur is not None:
+            cur.unpersist()
+
+    run_foreach_batch(eval_stream, fold, f"stream_evalgrams_{next(_counter)}")
+    state = holder["state"]
+    if state is None:
+        raise RuntimeError("eval stream produced no micro-batches")
+    return state.withColumn("_hit", F.lit(1))
+
+
+@register(
+    "streaming_decontaminate_incr",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+eg AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(t, p, p + {_DECON_GRAM} - 1), ' '))
+           AS gram
+  FROM toks, unnest(range(1, len(t) - {_DECON_GRAM} + 2)) AS u(p)
+  WHERE source = '{_DECON_SRC}'
+),
+tg AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(t, p, p + {_DECON_GRAM} - 1), ' '))
+           AS gram
+  FROM toks, unnest(range(1, len(t) - {_DECON_GRAM} + 2)) AS u(p)
+  WHERE source <> '{_DECON_SRC}'
+),
+hits AS (
+  SELECT doc_id, max(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM tg LEFT JOIN eg e USING (gram) GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT)                           AS n_docs,
+       CAST(coalesce(sum(h.hit), 0) AS BIGINT)            AS n_contam,
+       CAST(count(*) - coalesce(sum(h.hit), 0) AS BIGINT) AS n_clean,
+       CAST((SELECT count(*) FROM eg) AS BIGINT)          AS n_eval_grams
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source <> '{_DECON_SRC}'
+GROUP BY d.source
+""",
+)
+def q_streaming_decontaminate_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY INCREMENTAL decontamination gate (VERDICT r10 stretch):
+    streaming_decontaminate rebuilds the eval-gram broadcast from a
+    static table; here BOTH corpora are streams. Phase 1 folds the
+    eval-document stream into a persisted distinct-gram table with the
+    dedup_incremental_probe delta shape (batch grams LEFT ANTI probe
+    the state, only fresh grams append — per-arrival cost tracks the
+    eval delta); phase 2 replays the train stream through the same
+    broadcast gate (fold_decontaminate, shared verbatim). Gate
+    decisions equal the batch recompute because the registry exhibit
+    drains the eval tape before opening the train gate; the two-phase
+    tape test (tests/test_round11_ops.py) proves the stronger
+    property — after an EVAL-SIDE APPEND the incrementally updated
+    state gates identically to a from-scratch batch rebuild over the
+    grown eval corpus. Output adds ``n_eval_grams`` (the state table's
+    row count) so the persisted-state size itself is oracle-checked.
+    At 100 TB: benchmark suites grow by deltas; re-hashing only the
+    appended slice instead of the whole eval corpus per refresh is the
+    point, and the train side's per-batch plan is unchanged."""
+    from ..sources.stream import documents_stream
+
+    eval_stream = documents_stream(spark, sf_dir).where(
+        F.col("source") == _DECON_SRC
+    )
+    eval_grams = fold_eval_grams(eval_stream)
+    n_grams = eval_grams.count()
+    train_stream = documents_stream(spark, sf_dir).where(
+        F.col("source") != _DECON_SRC
+    )
+    out = fold_decontaminate(train_stream, eval_grams)
+    eval_grams.unpersist(blocking=True)
+    return out.withColumn("n_eval_grams", F.lit(n_grams).cast("long"))
+
+
 def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
     """Fold a bounded train-document stream through the eval-gram gate
     (see q_streaming_decontaminate). Factored out so the multi-batch

@@ -218,8 +218,11 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "q5_region_revenue",
     "error_streaks",
     "funnel_timed",
-    "funnel_view_purchase",
     # --- Tail: round-11 additions take these slots as they land ---
+    # round-11 addition: fully incremental decontamination gate — eval
+    # grams folded as a delta-maintained state table (took
+    # funnel_view_purchase's slot — a two-step funnel, green since r6)
+    "streaming_decontaminate_incr",
     # round-11 addition: corpus-wide boilerplate removal with the
     # rolling-hash scrub checksum (took cube_orders' slot — a grouping-
     # sets exhibit, green since r6)

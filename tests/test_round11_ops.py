@@ -21,6 +21,63 @@ def _rh(s: str) -> int:
     return acc
 
 
+def test_incremental_eval_gram_gate_two_phase(tmp_path, spark):
+    """The fully incremental decontamination gate's append proof
+    (streaming_decontaminate_incr): fold HALF the eval corpus into the
+    gram state, then fold an eval-side APPEND (two more files, so the
+    delta anti-join path runs across real micro-batches) into the SAME
+    state, and the grown state must (a) equal a from-scratch batch
+    rebuild over the full eval corpus gram-for-gram and (b) gate the
+    train stream identically to the batch recompute (the
+    streaming_decontaminate twin's rows)."""
+    from pyspark.sql import functions as F
+
+    from ohlc_spark_streaming_spark.queries.streaming import (
+        _DECON_SRC,
+        build_eval_grams,
+        fold_decontaminate,
+        fold_eval_grams,
+    )
+    from ohlc_spark_streaming_spark.registry import QUERIES
+    from ohlc_spark_streaming_spark.sources.batch import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    eval_docs = docs.where(F.col("source") == _DECON_SRC)
+    evala = eval_docs.where(F.col("doc_id") % 2 == 0)
+    evalb = eval_docs.where(F.col("doc_id") % 2 == 1)
+
+    def tape(df, path, n_files):
+        df.withColumn("part", F.col("doc_id") % n_files).repartitionByRange(
+            n_files, "part"
+        ).drop("part").write.mode("overwrite").parquet(path)
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    # Phase 1: half the eval corpus -> state S1.
+    s1 = fold_eval_grams(tape(evala, str(tmp_path / "eval_a"), 1))
+    want_a = {r.gram for r in build_eval_grams(evala).collect()}
+    assert {r.gram for r in s1.collect()} == want_a
+
+    # Phase 2: eval-side APPEND folded into S1 (two files -> the
+    # second batch exercises the anti-join delta against grown state).
+    s2 = fold_eval_grams(tape(evalb, str(tmp_path / "eval_b"), 2), state=s1)
+    want_full = {r.gram for r in build_eval_grams(eval_docs).collect()}
+    assert {r.gram for r in s2.collect()} == want_full
+
+    # The grown state gates the train stream exactly like the batch
+    # recompute over the full eval corpus.
+    train = docs.where(F.col("source") != _DECON_SRC)
+    got = fold_decontaminate(tape(train, str(tmp_path / "train"), 2), s2)
+    want = QUERIES["streaming_decontaminate"](spark, SF_SMOKE)
+    as_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert as_rows(got) == as_rows(want)
+
+
 def test_boilerplate_cut_planted(spark):
     """boilerplate_cut semantics by construction: a 12-token phrase
     repeated across three docs enters the catalog and EVERY occurrence

@@ -181,6 +181,19 @@ NOTES = {
         "tests/test_ann_recall.py — so the plan adds exactly one join "
         "key (cell) over similarity_pq_topk, no second ranking path."
     ),
+    "streaming_decontaminate_incr": (
+        "Both decontamination corpora incremental: the eval stream "
+        "folds into a persisted distinct-gram table with the "
+        "dedup_incremental_probe delta shape — each batch's grams LEFT "
+        "ANTI probe the state and only FRESH grams append, DISK_ONLY "
+        "checkpoint per snapshot with the superseded blocks released — "
+        "so refreshing the gate after a benchmark-suite append "
+        "re-hashes only the delta, never the accumulated eval corpus. "
+        "The train side replays fold_decontaminate verbatim (shared "
+        "gate, one definition). n_eval_grams puts the state table's "
+        "size under the oracle hash; the two-phase tape test proves "
+        "append-then-gate equals the from-scratch batch rebuild."
+    ),
     "boilerplate_cut": (
         "The catalog's implied curator action: the SAME fully "
         "tie-broken top-20 phrase CTE (count desc, phrase asc), its 20 "
