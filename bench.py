@@ -188,6 +188,7 @@ HEADLINE = [
     "similarity_ivfpq_trained",
     "boilerplate_cut",
     "streaming_decontaminate_incr",
+    "ann_recall_report",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

@@ -1076,17 +1076,20 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_trained_oracle(
-    iters: int = 2, nprobe: int = 2, n_cents: int = 8, k: int = 5
-) -> str:
-    """DuckDB oracle for similarity_ivfpq_trained: replays BOTH Lloyd
-    trainings (coarse full-vector cells and per-subspace PQ codebooks,
-    ``iters`` unrolled CTE layers each — the fixed-iteration pattern
-    pagerank_copurchase uses), then the nprobe-cell multi-probe ADC
-    search. Mean updates sum exact floor(x·1e12 + 0.5) integer units in
-    DECIMAL(38,0) (the kmeans_update_step discipline) so the trained
-    centroid doubles are bit-identical to Spark's; emptied centroids
-    keep their seats via the same LEFT JOIN + coalesce guard."""
+def _ivfpq_trained_ctes(
+    iters: int = 2, nprobe: int = 2, n_cents: int = 8
+) -> list[str]:
+    """Shared CTE chain replaying trained IVF-PQ in DuckDB, through the
+    ``adc`` relation: BOTH Lloyd trainings (coarse full-vector cells and
+    per-subspace PQ codebooks, ``iters`` unrolled CTE layers each — the
+    fixed-iteration pattern pagerank_copurchase uses), then the
+    nprobe-cell multi-probe ADC scores. Mean updates sum exact
+    floor(x·1e12 + 0.5) integer units in DECIMAL(38,0) (the
+    kmeans_update_step discipline) so the trained centroid doubles are
+    bit-identical to Spark's; emptied centroids keep their seats via
+    the same LEFT JOIN + coalesce guard. ONE definition feeds both the
+    similarity_ivfpq_trained oracle and the ann_recall_report oracle —
+    the recall yardstick replays the same trained index it audits."""
     sq = "list_sum(list_transform(list_zip({a}, {b}), x -> (x[1]-x[2])*(x[1]-x[2])))"
     qmean = (
         "CAST(SUM(CAST(floor(u.v * 1e12 + CAST(0.5 AS DOUBLE)) "
@@ -1179,14 +1182,63 @@ def _ivfpq_trained_oracle(
   GROUP BY l.query_id, co.vec_id
 )""",
     ]
+    return parts
+
+
+def _ivfpq_trained_oracle(
+    iters: int = 2, nprobe: int = 2, n_cents: int = 8, k: int = 5
+) -> str:
+    """similarity_ivfpq_trained's oracle: the shared trained-index CTE
+    chain + the top-k cut."""
     return (
-        ",\n".join(parts)
+        ",\n".join(_ivfpq_trained_ctes(iters, nprobe, n_cents))
         + f"""
 SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_units ASC, vec_id ASC) AS rank
   FROM adc
 ) WHERE rank <= {k}
+"""
+    )
+
+
+def _ann_recall_oracle(k: int = 5) -> str:
+    """ann_recall_report's oracle: the shared trained-index CTE chain,
+    an exact squared-L2 top-k yardstick over the same 10 probe queries,
+    and the per-query overlap count."""
+    return (
+        ",\n".join(_ivfpq_trained_ctes())
+        + f""",
+exactd AS (
+  SELECT q.vec_id AS query_id, d.vec_id,
+         list_sum(list_transform(list_zip(d.e, q.e),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+  FROM d CROSS JOIN d q
+  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id
+),
+exacttop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, vec_id ASC) AS r
+    FROM exactd
+  ) WHERE r <= {k}
+),
+approxtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_units ASC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {k}
+)
+SELECT e.query_id,
+       CAST(count(a.vec_id) AS BIGINT)  AS n_hits,
+       CAST({k} AS BIGINT)              AS k,
+       CAST(count(a.vec_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM exacttop e
+LEFT JOIN approxtop a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
 """
     )
 
@@ -1220,6 +1272,68 @@ def q_similarity_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         iters=2,
         nprobe=2,
+    )
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY as an oracle-checked artifact: per probe
+    query, how many of the exact squared-L2 top-5 neighbors the
+    TRAINED IVF-PQ index (similarity_ivfpq_trained's exact
+    configuration) returns — recall@5, the number tests/
+    test_ann_recall.py pins, promoted from a pytest assertion to a
+    driver-hash-checked result. The oracle replays the trained index
+    via the SHARED CTE chain plus an exact brute-force yardstick, so a
+    drift in training, probing, or ADC ranking shows up as a value
+    mismatch here even if the top-k query itself still passes.
+
+    Scale: the yardstick half is the deliberate O(N·Q·D) brute force —
+    bounded by the 10-query probe set, the same shape as
+    similarity_topk; the index half reads ~nprobe/n_cells of the
+    corpus at ~3% of the bytes. Output: query_id, n_hits, k, recall."""
+    from ..functions.vectorops import as_double_array, sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", as_double_array("embedding").alias("_v"))
+    q = d.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("_q")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", sqdist(F.col("_v"), F.col("_q")).alias("_d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("vec_id").asc()
+    )
+    exact_top = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= 5)
+        .select("query_id", "vec_id")
+    )
+    approx_top = sim_ops.ivf_pq_trained_topk(
+        emb,
+        dim=64,
+        n_subspaces=8,
+        n_cents=8,
+        n_cells=8,
+        n_queries=10,
+        k=5,
+        iters=2,
+        nprobe=2,
+    ).select("query_id", "vec_id", F.lit(1).alias("_m"))
+    return (
+        exact_top.join(approx_top, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("_m"), F.lit(0))).alias("_hits"))
+        .select(
+            "query_id",
+            F.col("_hits").cast("long").alias("n_hits"),
+            F.lit(5).cast("long").alias("k"),
+            (F.col("_hits").cast("double") / F.lit(5.0)).alias("recall"),
+        )
     )
 
 

@@ -129,13 +129,14 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # lead the next round's cohort). tools_rotation.py prints the cohort.
 #
 # Round-11 window: the 9 r5-era rows that rolled over when round-10's
-# nine additions took their slots, then 39 of the 49 r6-era rows
-# (riskier families first; the 10 structurally simplest r6 rows —
-# above_avg_orders, agg_distinct_counts, date_functions,
-# mode_order_priority, orderby_limit, price_histogram,
-# stats_corr_qty_price, topk_per_group, unpivot_lineitem_measures,
-# user_event_type_sets — lead round 12's cohort), with round-11
-# additions taking tail slots as they land.
+# nine additions took their slots, then the r6-era rows riskier-first,
+# with round-11 additions taking tail slots as they land. The r6 rows
+# left out (the 10 structurally simplest — above_avg_orders,
+# agg_distinct_counts, date_functions, mode_order_priority,
+# orderby_limit, price_histogram, stats_corr_qty_price, topk_per_group,
+# unpivot_lineitem_measures, user_event_type_sets — plus those each
+# addition displaced: cube_orders, funnel_view_purchase, funnel_timed)
+# lead round 12's cohort.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
@@ -217,8 +218,11 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # Relational battery
     "q5_region_revenue",
     "error_streaks",
-    "funnel_timed",
     # --- Tail: round-11 additions take these slots as they land ---
+    # round-11 addition: oracle-checked recall@5 report for the trained
+    # ANN index (took funnel_timed's slot — a timed two-step funnel,
+    # green since r6)
+    "ann_recall_report",
     # round-11 addition: fully incremental decontamination gate — eval
     # grams folded as a delta-maintained state table (took
     # funnel_view_purchase's slot — a two-step funnel, green since r6)

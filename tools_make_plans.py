@@ -181,6 +181,18 @@ NOTES = {
         "tests/test_ann_recall.py — so the plan adds exactly one join "
         "key (cell) over similarity_pq_topk, no second ranking path."
     ),
+    "ann_recall_report": (
+        "Retrieval quality under the value-hash gate: per probe query, "
+        "the overlap between the exact squared-L2 top-5 and what the "
+        "TRAINED IVF-PQ index returns — recall@5 promoted from a "
+        "pytest pin to a driver-checked result. The oracle replays the "
+        "trained index via the SAME CTE chain as "
+        "similarity_ivfpq_trained (one definition, so the yardstick "
+        "audits the index it ships with) plus a brute-force exact "
+        "half bounded by the 10-query probe set. A drift anywhere in "
+        "training, probing, or ADC ranking surfaces as a recall value "
+        "mismatch even when the top-k rows still look plausible."
+    ),
     "streaming_decontaminate_incr": (
         "Both decontamination corpora incremental: the eval stream "
         "folds into a persisted distinct-gram table with the "
