@@ -215,6 +215,16 @@ REGRESSION_MIN_DELTA_SEC = 1.0
 #: Timed samples per query; the reported number is the MINIMUM of all N
 #: (same estimator for improvements and regressions — see run loop).
 N_SAMPLES = 3
+#: SUB-5s queries get extra samples (VERDICT r10 item 6: every round's
+#: flag adjudications land on this class — this VM swings sub-second
+#: queries 0.8x–1.7x with zero code delta, and min-of-3 still samples
+#: the slow side often enough to cross the 1.5x gate). The rule is
+#: SYMMETRIC (every sub-5s query gets 5 samples, flagged or not), so it
+#: tightens the estimator without the optimistic bias of re-sampling
+#: only would-be regressions; the added cost is bounded by 2 x 5s x
+#: (#fast queries).
+N_SAMPLES_FAST = 5
+FAST_QUERY_SEC = 5.0
 
 
 def report_deltas(timings: dict[str, float]) -> None:
@@ -304,7 +314,17 @@ def main() -> None:
         # regressions (the old policy) biased the report optimistic —
         # improvements kept their lucky sample while regressions got
         # retries; min-of-N applies the same estimator to both directions.
-        timings[name] = round(min(run_once() for _ in range(N_SAMPLES)), 4)
+        # Sub-5s queries take N_SAMPLES_FAST samples (jitter-dominated
+        # class — see the constant's note). Classification uses the MIN
+        # of the base samples, not the first: a genuinely-fast query
+        # whose first sample lands on the slow side of the jitter band
+        # is exactly the one that needs the extra samples.
+        samples = [run_once() for _ in range(N_SAMPLES)]
+        if min(samples) < FAST_QUERY_SEC:
+            samples += [
+                run_once() for _ in range(N_SAMPLES_FAST - N_SAMPLES)
+            ]
+        timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
     report_deltas(timings)

@@ -1711,10 +1711,37 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fold_decontaminate(stream, eval_grams)
     # The fold's final state is itself localCheckpointed, so the gram
     # blocks are dead once the stream drains — release them (the
-    # suffix-machinery retention discipline; blocking so the disk space
-    # is back before the caller's next operator runs).
-    eval_grams.unpersist(blocking=True)
+    # suffix-machinery retention discipline).
+    release_ckpt(spark, eval_grams)
     return out
+
+
+def _ckpt_tracked(df: DataFrame) -> DataFrame:
+    """Eager DISK_ONLY localCheckpoint with the new block ids recorded
+    on the returned frame (``_release_ids``), so owners can actually
+    free the disk blocks via :func:`release_ckpt` when done.
+    ``DataFrame.unpersist()`` CANNOT do this — it only consults the
+    cache manager, which never registers local checkpoints (the exact
+    pitfall operators/suffix.py:102 documents; this round's self-review
+    confirmed unpersist leaves the RDD in getPersistentRDDs)."""
+    from ..operators.suffix import _ckpt
+
+    ids: list[int] = []
+    out = _ckpt(df, track=ids, spill=True)
+    out._release_ids = tuple(ids)
+    return out
+
+
+def release_ckpt(spark: SparkSession, df: DataFrame | None) -> None:
+    """Free the checkpoint blocks a :func:`_ckpt_tracked` frame owns
+    (no-op for frames without tracked ids, e.g. a caller-owned resume
+    state). Only call once every consumer has materialized — the data
+    is gone irrevocably."""
+    from ..operators.suffix import release_blocks
+
+    ids = getattr(df, "_release_ids", ()) if df is not None else ()
+    if ids:
+        release_blocks(spark, set(ids))
 
 
 def build_eval_grams(docs: DataFrame) -> DataFrame:
@@ -1723,21 +1750,19 @@ def build_eval_grams(docs: DataFrame) -> DataFrame:
     not once per micro-batch inside the fold's broadcast join (the
     docstring's 'static bounded build', made actually static).
 
-    DISK_ONLY storage (round-10 ADVICE): this is the one frame
-    rebroadcast into EVERY micro-batch for the lifetime of the ingest
-    stream, so its residency scales with the eval corpus — spill it
-    like operators/suffix.py spills its rank tables instead of pinning
-    executor heap; the broadcast copy is what the join actually reads.
-    Callers that own the frame release it with ``unpersist()`` once the
-    fold completes (q_streaming_decontaminate does)."""
-    from pyspark import StorageLevel
-
-    return (
+    DISK_ONLY storage with TRACKED block ids (round-10 ADVICE): this is
+    the one frame rebroadcast into EVERY micro-batch for the lifetime
+    of the ingest stream, so its residency scales with the eval corpus
+    — spill it like operators/suffix.py spills its rank tables instead
+    of pinning executor heap; the broadcast copy is what the join
+    actually reads. Callers that own the frame release it with
+    :func:`release_ckpt` once the fold completes
+    (q_streaming_decontaminate does)."""
+    return _ckpt_tracked(
         docs.where(F.col("source") == _DECON_SRC)
         .select(F.explode(_decon_grams()).alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
 
 
@@ -1754,13 +1779,14 @@ def fold_eval_grams(
     and the state table's size is the true distinct-gram count.
     State is an eager DISK_ONLY localCheckpoint per batch (the
     build_eval_grams retention discipline) with the superseded
-    snapshot's blocks released as soon as the new one materializes.
+    snapshot's blocks released — via tracked ids, the only release that
+    reaches local checkpoints — as soon as the new one materializes.
     ``state`` resumes from a previous fold's gram table (pass the
-    (gram, _hit) frame a prior call returned) — the eval-side APPEND
+    (gram, _hit) frame a prior call returned; its blocks stay
+    caller-owned and are never released here) — the eval-side APPEND
     path the two-phase tape test drives. Returns the final gram table
-    in the gate's (gram, _hit) schema."""
-    from pyspark import StorageLevel
-
+    in the gate's (gram, _hit) schema, carrying its tracked ids for
+    :func:`release_ckpt`."""
     from ..streaming.checkpoints import run_foreach_batch
 
     holder: dict[str, DataFrame | None] = {
@@ -1775,17 +1801,17 @@ def fold_eval_grams(
             if cur is None
             else cur.unionByName(bg.join(cur, "gram", "left_anti"))
         )
-        holder["state"] = new.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        )
-        if cur is not None:
-            cur.unpersist()
+        holder["state"] = _ckpt_tracked(new)
+        release_ckpt(batch_df.sparkSession, cur)
 
     run_foreach_batch(eval_stream, fold, f"stream_evalgrams_{next(_counter)}")
-    state = holder["state"]
-    if state is None:
+    out = holder["state"]
+    if out is None:
         raise RuntimeError("eval stream produced no micro-batches")
-    return state.withColumn("_hit", F.lit(1))
+    ids = out._release_ids
+    out = out.withColumn("_hit", F.lit(1))
+    out._release_ids = ids
+    return out
 
 
 @register(
@@ -1852,7 +1878,7 @@ def q_streaming_decontaminate_incr(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("source") != _DECON_SRC
     )
     out = fold_decontaminate(train_stream, eval_grams)
-    eval_grams.unpersist(blocking=True)
+    release_ckpt(spark, eval_grams)
     return out.withColumn("n_eval_grams", F.lit(n_grams).cast("long"))
 
 
@@ -1893,8 +1919,10 @@ def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
         )
         # Eager localCheckpoint: consumed micro-batch inputs must not
         # be re-read at finalize, and the plan must not grow with batch
-        # count (the fold-family discipline).
-        holder["state"] = un.localCheckpoint(eager=True)
+        # count (the fold-family discipline). Tracked ids so each
+        # superseded O(#sources) snapshot's blocks actually free.
+        holder["state"] = _ckpt_tracked(un)
+        release_ckpt(batch_df.sparkSession, cur)
 
     run_foreach_batch(stream, fold, f"stream_decon_{next(_counter)}")
     state = holder["state"]

@@ -176,7 +176,8 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "text_normalize",
     "text_token_count",
     "zorder_bucket_counts",
-    # --- 39 r6-era rows, riskier families first ---
+    # --- 36 r6-era rows, riskier families first (the count shrinks by
+    # --- one per round-11 addition below) ---
     # Streaming twins
     "streaming_asof_enrich",
     "streaming_candle_mad_outliers",

@@ -45,13 +45,28 @@ def test_incremental_eval_gram_gate_two_phase(tmp_path, spark):
 
     docs = load_table(spark, SF_SMOKE, "documents")
     eval_docs = docs.where(F.col("source") == _DECON_SRC)
-    evala = eval_docs.where(F.col("doc_id") % 2 == 0)
-    evalb = eval_docs.where(F.col("doc_id") % 2 == 1)
+    # Eval doc_ids at this SF are the multiples of 20 (all even — a
+    # parity split would leave phase 2 EMPTY and the append path
+    # untested; caught by self-review). Halve on mod 40 instead, and
+    # sanity-pin both halves non-empty.
+    evala = eval_docs.where(F.col("doc_id") % 40 == 0)
+    evalb = eval_docs.where(F.col("doc_id") % 40 != 0)
+    assert evala.count() > 0 and evalb.count() > 0
 
     def tape(df, path, n_files):
-        df.withColumn("part", F.col("doc_id") % n_files).repartitionByRange(
-            n_files, "part"
-        ).drop("part").write.mode("overwrite").parquet(path)
+        # Bucket on doc_id div 40 (consecutive eval docs alternate
+        # buckets) so the phase-2 tape really is n_files files — phase 2
+        # must run n_files real micro-batches for the delta anti-join
+        # path to exercise.
+        df.withColumn(
+            "part", F.expr("doc_id div 40") % n_files
+        ).repartitionByRange(n_files, "part").drop("part").write.mode(
+            "overwrite"
+        ).parquet(path)
+        n_written = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        assert n_written == n_files, (path, n_written)
         return (
             spark.readStream.schema(df.schema)
             .option("maxFilesPerTrigger", "1")
@@ -67,6 +82,7 @@ def test_incremental_eval_gram_gate_two_phase(tmp_path, spark):
     # second batch exercises the anti-join delta against grown state).
     s2 = fold_eval_grams(tape(evalb, str(tmp_path / "eval_b"), 2), state=s1)
     want_full = {r.gram for r in build_eval_grams(eval_docs).collect()}
+    assert want_full > want_a  # the append REALLY added grams
     assert {r.gram for r in s2.collect()} == want_full
 
     # The grown state gates the train stream exactly like the batch
