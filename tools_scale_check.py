@@ -187,6 +187,16 @@ def main() -> None:
             sys.exit("--ledger requires a path")
         ledger = argv[i + 1]
         del argv[i : i + 2]
+    samples = 3
+    if "--samples" in argv:
+        # Second-decade spot checks: at 100x a single timed run of a
+        # minutes-long query is plenty for a sub-linear/super-linear
+        # verdict (the margin is 1.3x the multiplier), and best-of-3
+        # plus the warm run quadruples a multi-hour sweep — the round-11
+        # anti/full-outer 100x attempt timed out exactly this way.
+        i = argv.index("--samples")
+        samples = int(argv[i + 1])
+        del argv[i : i + 2]
     copies, dst = COPIES, DST
     if "--copies" in argv:
         i = argv.index("--copies")
@@ -237,9 +247,9 @@ def main() -> None:
         if fn is None:
             print(f"{name:35s}  (unknown)")
             continue
-        small = best_of(spark, lambda: fn(spark, SRC).count())
+        small = best_of(spark, lambda: fn(spark, SRC).count(), n=samples)
         spark.catalog.clearCache()
-        big = best_of(spark, lambda: fn(spark, dst).count())
+        big = best_of(spark, lambda: fn(spark, dst).count(), n=samples)
         spark.catalog.clearCache()
         ratio = big / small
         results.append((name, small, big, ratio))
