@@ -137,6 +137,13 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # unpivot_lineitem_measures, user_event_type_sets — plus those each
 # addition displaced: cube_orders, funnel_view_purchase, funnel_timed)
 # lead round 12's cohort.
+#
+# ROUND-12 PREP (apply at the START of round 12, never mid-round):
+# oldest-green-first as above. The cohort: the 13 r6-era rows named in
+# the previous paragraph, then the r7-era rows (the next-oldest band —
+# tools_rotation.py / the merged CORRECTNESS_r*.json ledger lists them;
+# ~49 of them fill the window). Round-12 additions displace the
+# least-risky tail as usual.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
