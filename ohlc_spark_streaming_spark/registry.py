@@ -128,22 +128,23 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # full cycle; additions displace least-risky tail re-checks, which then
 # lead the next round's cohort). tools_rotation.py prints the cohort.
 #
-# Round-11 window: the 9 r5-era rows that rolled over when round-10's
-# nine additions took their slots, then the r6-era rows riskier-first,
-# with round-11 additions taking tail slots as they land. The r6 rows
-# left out (the 10 structurally simplest — above_avg_orders,
-# agg_distinct_counts, date_functions, mode_order_priority,
-# orderby_limit, price_histogram, stats_corr_qty_price, topk_per_group,
-# unpivot_lineitem_measures, user_event_type_sets — plus those each
-# addition displaced: cube_orders, funnel_view_purchase, funnel_timed)
-# lead round 12's cohort.
+# Round-12 window (applied at round-12 open per the r11 prep note):
+# the 13 r6-era rows (stalest in the merged ledger — last green r6),
+# then 36 of the 49 r7-era rows riskier-families-first. The 13 r7 rows
+# left out (the structurally simplest — above_p90_lineitems,
+# array_functions, daily_active_cumulative, join_null_safe,
+# json_roundtrip_lines, map_functions_battery, null_semantics,
+# pivot_linestatus, revenue_growth_mom, variant_props_stats,
+# window_trailing_range, window_value_functions, zonemap_prune_audit —
+# plus whatever each round-12 addition displaces from the tail) lead
+# round 13's cohort.
 #
-# ROUND-12 PREP (apply at the START of round 12, never mid-round):
-# oldest-green-first as above. The cohort: the 13 r6-era rows named in
-# the previous paragraph, then the r7-era rows (the next-oldest band —
-# tools_rotation.py / the merged CORRECTNESS_r*.json ledger lists them;
-# ~49 of them fill the window). Round-12 additions displace the
-# least-risky tail as usual.
+# ROUND-13 PREP (apply at the START of round 13, never mid-round):
+# oldest-green-first as above. The cohort: the 13 deferred r7-era rows
+# named in the previous paragraph, the tail names round-12 additions
+# displaced, then the r8-era band (tools_rotation.py / the merged
+# CORRECTNESS_r*.json ledger lists them). Round-13 additions displace
+# the least-risky tail as usual.
 
 #: Permanent window slots — the flagship reference-parity query (also
 #: what __spark_entry__.entry() runs).
@@ -151,97 +152,75 @@ DRIVER_ANCHORS: tuple[str, ...] = (
     "ohlc_candles",
 )
 
-#: Round-10 rotation: all 49 r5-era re-checks (the oldest remaining
-#: driver rows). Ordered family-by-family with the LEAST-RISKY names at
-#: the tail — round-10 additions take tail slots as they land so the
-#: backlog stays at zero.
-#:
-#: ROUND-11 PREP (apply at the START of round 11, never mid-round):
-#: backlog stays 0. Round-10 ran TWO sessions and landed NINE
-#: additions (boilerplate_span_catalog, dedup_span_cut_suffix,
-#: streaming_anti_join, streaming_full_outer_join, similarity_pq_topk,
-#: similarity_ivfpq_topk, decontaminate_span, decontaminate_cut,
-#: streaming_decontaminate) — each took the least-risky re-check slot
-#: at land time, so nine r5-era re-checks rolled over
-#: (orderby_limit_offset, string_agg_statuses, text_normalize,
-#: text_token_count, profile_documents, text_chunks,
-#: multimodal_meta_entries, text_fingerprint, zorder_bucket_counts);
-#: they join the r6-era cohort as the oldest remaining rows. Rotation = whatever tools_rotation.py lists at
-#: round close; round-11 additions displace the least-risky tail as
-#: usual. Remaining frontier candidates: event-time TTL exhibit if
-#: Spark ever allows it (pinned ProcessingTime-only in r9), live Kafka
-#: integration if a broker appears.
+#: Round-12 rotation: oldest-green-first per the post-backlog policy —
+#: the 13 r6-era rows (stalest in the merged r1–r11 ledger), then 36 of
+#: the 49 r7-era rows, riskier families first with the LEAST-RISKY
+#: names at the tail so round-12 additions can take tail slots as they
+#: land (displaced names lead round 13's cohort alongside the 13
+#: deferred r7 rows). Remaining frontier candidates: event-time TTL
+#: exhibit if Spark ever allows it (pinned ProcessingTime-only in r9),
+#: live Kafka integration if a broker appears.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # --- The 9 r5-era rows (oldest: rolled over when round-10's nine
+    # --- The 13 r6-era rows (oldest: deferred when round-10/11
     # --- additions took their slots) ---
-    "multimodal_meta_entries",
-    "orderby_limit_offset",
-    "profile_documents",
-    "string_agg_statuses",
-    "text_chunks",
-    "text_fingerprint",
-    "text_normalize",
-    "text_token_count",
-    "zorder_bucket_counts",
-    # --- 36 r6-era rows, riskier families first (the count shrinks by
-    # --- one per round-11 addition below) ---
+    "above_avg_orders",
+    "agg_distinct_counts",
+    "cube_orders",
+    "date_functions",
+    "funnel_timed",
+    "funnel_view_purchase",
+    "mode_order_priority",
+    "orderby_limit",
+    "price_histogram",
+    "stats_corr_qty_price",
+    "topk_per_group",
+    "unpivot_lineitem_measures",
+    "user_event_type_sets",
+    # --- 36 r7-era rows, riskier families first ---
     # Streaming twins
-    "streaming_asof_enrich",
-    "streaming_candle_mad_outliers",
-    "streaming_dedup_exact",
-    "streaming_incremental_candles",
-    "streaming_interarrival_stats",
-    "streaming_session_funnel",
-    # Dedup / embedding / sketch
-    "dedup_containment",
-    "dedup_cross_source",
-    "dedup_hybrid_pairs",
-    "minhash_recall_audit",
-    "embedding_centroid_assign",
-    "embedding_dim_variance",
-    "embedding_quantize_int8",
-    "approx_percentile_audit",
-    "spatial_neighbor_pairs",
+    "streaming_interval_join",
+    "streaming_transition_counts",
+    "streaming_vwap_candles",
+    # Dedup / decontamination / suffix spans
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_incremental_probe",
+    "dedup_span_extents",
+    "dedup_survivorship",
+    # Embedding / similarity
+    "embedding_pq_audit",
+    "embedding_whiten",
+    "embedding_whiten_ivf",
+    "similarity_lsh_topk",
     # Graph / stats
-    "bfs_distance_copurchase",
-    "pagerank_copurchase",
-    "stats_chi2_independence",
-    "part_hierarchy_rollup",
-    "cooc_lift_topk",
-    "inverted_index_champions",
-    "conjunctive_search",
-    "doc_length_histogram",
-    "udtf_token_positions",
-    # Candles / windows
-    "candles_incremental_update",
-    "candle_bollinger",
-    "candle_gap_fill",
-    "candle_minmax_norm",
-    "candle_trend_slope",
-    "ohlc_rollup_candles",
-    "ohlc_rollup_daily",
-    "twap_candles",
-    "window_candle_returns",
-    "window_running_total",
-    # Relational battery
-    "q5_region_revenue",
-    "error_streaks",
-    # --- Tail: round-11 additions take these slots as they land ---
-    # round-11 addition: oracle-checked recall@5 report for the trained
-    # ANN index (took funnel_timed's slot — a timed two-step funnel,
-    # green since r6)
-    "ann_recall_report",
-    # round-11 addition: fully incremental decontamination gate — eval
-    # grams folded as a delta-maintained state table (took
-    # funnel_view_purchase's slot — a two-step funnel, green since r6)
-    "streaming_decontaminate_incr",
-    # round-11 addition: corpus-wide boilerplate removal with the
-    # rolling-hash scrub checksum (took cube_orders' slot — a grouping-
-    # sets exhibit, green since r6)
-    "boilerplate_cut",
-    # round-11 addition: Lloyd-trained IVF-PQ with nprobe=2 (took
-    # orderby_limit's slot — a one-line sort/limit, green since r6)
-    "similarity_ivfpq_trained",
+    "link_predict_copurchase",
+    "triangle_count_copurchase",
+    "event_transition_matrix",
+    "split_drift_ks",
+    # LLM pipeline
+    "bpe_top_merges",
+    "corpus_prep_markup",
+    "dataset_shuffle_order",
+    "denylist_redact",
+    "denylist_scan",
+    "epoch_shard_assign",
+    "feature_hash_bow",
+    "ngram_novelty",
+    "pack_sequences",
+    "pii_redact",
+    "quality_repetition",
+    "source_quota_sample",
+    "text_strip_markup",
+    # Multimodal
+    "multimodal_audio_chunks",
+    "multimodal_features",
+    # --- Tail: simple relational joins / plans — round-12 additions
+    # --- take these slots as they land ---
+    "join_full_outer",
+    "join_interval_overlap",
+    "join_range_shipdelay",
+    "ship_interval_coverage",
+    "compaction_plan",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)
