@@ -1077,7 +1077,12 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_trained_ctes(
-    iters: int = 2, nprobe: int = 2, n_cents: int = 8
+    iters: int = 2,
+    nprobe: int = 2,
+    n_cents: int = 8,
+    n_subspaces: int = 8,
+    sub_d: int = 8,
+    n_queries: int = 10,
 ) -> list[str]:
     """Shared CTE chain replaying trained IVF-PQ in DuckDB, through the
     ``adc`` relation: BOTH Lloyd trainings (coarse full-vector cells and
@@ -1095,11 +1100,16 @@ def _ivfpq_trained_ctes(
         "CAST(SUM(CAST(floor(u.v * 1e12 + CAST(0.5 AS DOUBLE)) "
         "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / count(*)"
     )
+    # Every knob the Spark twin exposes (dim = n_subspaces·sub_d,
+    # n_subspaces, n_queries) threads through here (r11 ADVICE) — the
+    # one-definition claim holds for all parameters, not just
+    # iters/nprobe/n_cents.
+    slc = f"list_slice(e, s*{sub_d} + 1, s*{sub_d} + {sub_d})"
     parts = [
         "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, e AS cv FROM d WHERE vec_id < {n_cents})",
-        "sgrid AS (SELECT unnest(range(0, 8)) AS s)",
-        "sd AS (SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sv FROM d, sgrid)",
+        f"sgrid AS (SELECT unnest(range(0, {n_subspaces})) AS s)",
+        f"sd AS (SELECT vec_id, s, {slc} AS sv FROM d, sgrid)",
         f"k0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sd WHERE vec_id < {n_cents})",
     ]
     for i in range(1, iters + 1):
@@ -1156,7 +1166,7 @@ def _ivfpq_trained_ctes(
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist ASC, cid ASC) AS probe
-    FROM celld WHERE vec_id < 10
+    FROM celld WHERE vec_id < {n_queries}
   ) WHERE probe <= {nprobe}
 )""",
         f"""fdists AS (
@@ -1167,10 +1177,10 @@ def _ivfpq_trained_ctes(
   SELECT vec_id, s, (min(struct_pack(d := dist, c := cid))).c AS c
   FROM fdists GROUP BY vec_id, s
 )""",
-        """lut AS (
+        f"""lut AS (
   SELECT vec_id AS query_id, s, cid AS c,
          CAST(floor(dist * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_units
-  FROM fdists WHERE vec_id < 10
+  FROM fdists WHERE vec_id < {n_queries}
 )""",
         """adc AS (
   SELECT l.query_id, co.vec_id, CAST(sum(l.d_units) AS BIGINT) AS adc_units
@@ -1186,12 +1196,22 @@ def _ivfpq_trained_ctes(
 
 
 def _ivfpq_trained_oracle(
-    iters: int = 2, nprobe: int = 2, n_cents: int = 8, k: int = 5
+    iters: int = 2,
+    nprobe: int = 2,
+    n_cents: int = 8,
+    k: int = 5,
+    n_subspaces: int = 8,
+    sub_d: int = 8,
+    n_queries: int = 10,
 ) -> str:
     """similarity_ivfpq_trained's oracle: the shared trained-index CTE
     chain + the top-k cut."""
     return (
-        ",\n".join(_ivfpq_trained_ctes(iters, nprobe, n_cents))
+        ",\n".join(
+            _ivfpq_trained_ctes(
+                iters, nprobe, n_cents, n_subspaces, sub_d, n_queries
+            )
+        )
         + f"""
 SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1202,19 +1222,19 @@ SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
     )
 
 
-def _ann_recall_oracle(k: int = 5) -> str:
+def _ann_recall_oracle(k: int = 5, n_queries: int = 10) -> str:
     """ann_recall_report's oracle: the shared trained-index CTE chain,
-    an exact squared-L2 top-k yardstick over the same 10 probe queries,
+    an exact squared-L2 top-k yardstick over the same probe queries,
     and the per-query overlap count."""
     return (
-        ",\n".join(_ivfpq_trained_ctes())
+        ",\n".join(_ivfpq_trained_ctes(n_queries=n_queries))
         + f""",
 exactd AS (
   SELECT q.vec_id AS query_id, d.vec_id,
          list_sum(list_transform(list_zip(d.e, q.e),
                                  x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
   FROM d CROSS JOIN d q
-  WHERE q.vec_id < 10 AND d.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries} AND d.vec_id <> q.vec_id
 ),
 exacttop AS (
   SELECT query_id, vec_id FROM (

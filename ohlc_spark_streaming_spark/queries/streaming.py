@@ -1708,7 +1708,7 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = documents_stream(spark, sf_dir).where(
         F.col("source") != _DECON_SRC
     )
-    out = fold_decontaminate(stream, eval_grams)
+    out = fold_decontaminate(stream, eval_grams.df)
     # The fold's final state is itself localCheckpointed, so the gram
     # blocks are dead once the stream drains — release them (the
     # suffix-machinery retention discipline).
@@ -1716,35 +1716,50 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _ckpt_tracked(df: DataFrame) -> DataFrame:
-    """Eager DISK_ONLY localCheckpoint with the new block ids recorded
-    on the returned frame (``_release_ids``), so owners can actually
-    free the disk blocks via :func:`release_ckpt` when done.
-    ``DataFrame.unpersist()`` CANNOT do this — it only consults the
-    cache manager, which never registers local checkpoints (the exact
-    pitfall operators/suffix.py:102 documents; this round's self-review
-    confirmed unpersist leaves the RDD in getPersistentRDDs)."""
+class TrackedFrame:
+    """An eagerly checkpointed DataFrame plus the DISK_ONLY block ids it
+    owns. Explicit holder (r11 ADVICE): the previous attribute-based
+    tracking (``df._release_ids``) silently died under any DataFrame
+    transformation, turning a lost ownership record into a disk-block
+    leak; with the holder, forgetting to unwrap ``.df`` is a loud type
+    error instead. ``ids=()`` marks a caller-owned frame this module
+    must never release (resume state)."""
+
+    __slots__ = ("df", "ids")
+
+    def __init__(self, df: DataFrame, ids: tuple[int, ...] = ()):
+        self.df = df
+        self.ids = tuple(ids)
+
+
+def _ckpt_tracked(df: DataFrame) -> TrackedFrame:
+    """Eager DISK_ONLY localCheckpoint returning a :class:`TrackedFrame`
+    carrying the new block ids, so owners can actually free the disk
+    blocks via :func:`release_ckpt` when done. ``DataFrame.unpersist()``
+    CANNOT do this — it only consults the cache manager, which never
+    registers local checkpoints (the exact pitfall
+    operators/suffix.py:102 documents; the r10 self-review confirmed
+    unpersist leaves the RDD in getPersistentRDDs)."""
     from ..operators.suffix import _ckpt
 
     ids: list[int] = []
     out = _ckpt(df, track=ids, spill=True)
-    out._release_ids = tuple(ids)
-    return out
+    return TrackedFrame(out, tuple(ids))
 
 
-def release_ckpt(spark: SparkSession, df: DataFrame | None) -> None:
-    """Free the checkpoint blocks a :func:`_ckpt_tracked` frame owns
-    (no-op for frames without tracked ids, e.g. a caller-owned resume
+def release_ckpt(spark: SparkSession, tracked: TrackedFrame | None) -> None:
+    """Free the checkpoint blocks a :class:`TrackedFrame` owns (no-op
+    for ``None`` or a caller-owned frame with empty ids, e.g. resume
     state). Only call once every consumer has materialized — the data
     is gone irrevocably."""
     from ..operators.suffix import release_blocks
 
-    ids = getattr(df, "_release_ids", ()) if df is not None else ()
+    ids = tracked.ids if tracked is not None else ()
     if ids:
         release_blocks(spark, set(ids))
 
 
-def build_eval_grams(docs: DataFrame) -> DataFrame:
+def build_eval_grams(docs: DataFrame) -> TrackedFrame:
     """Materialized distinct gram set of the eval slice — eager
     localCheckpoint so the build (scan + explode + distinct) runs ONCE,
     not once per micro-batch inside the fold's broadcast join (the
@@ -1767,8 +1782,8 @@ def build_eval_grams(docs: DataFrame) -> DataFrame:
 
 
 def fold_eval_grams(
-    eval_stream: DataFrame, state: DataFrame | None = None
-) -> DataFrame:
+    eval_stream: DataFrame, state: TrackedFrame | None = None
+) -> TrackedFrame:
     """Fold an EVAL-side document stream into the persisted distinct
     gram-set table — the eval half of the fully incremental
     decontamination gate (see q_streaming_decontaminate_incr). Delta
@@ -1782,15 +1797,18 @@ def fold_eval_grams(
     snapshot's blocks released — via tracked ids, the only release that
     reaches local checkpoints — as soon as the new one materializes.
     ``state`` resumes from a previous fold's gram table (pass the
-    (gram, _hit) frame a prior call returned; its blocks stay
-    caller-owned and are never released here) — the eval-side APPEND
-    path the two-phase tape test drives. Returns the final gram table
-    in the gate's (gram, _hit) schema, carrying its tracked ids for
+    :class:`TrackedFrame` a prior call returned; it is re-wrapped with
+    empty ids here so its blocks stay caller-owned and are never
+    released by this fold) — the eval-side APPEND path the two-phase
+    tape test drives. Returns the final gram table in the gate's
+    (gram, _hit) schema as a :class:`TrackedFrame` for
     :func:`release_ckpt`."""
     from ..streaming.checkpoints import run_foreach_batch
 
-    holder: dict[str, DataFrame | None] = {
-        "state": state.select("gram") if state is not None else None
+    holder: dict[str, TrackedFrame | None] = {
+        "state": (
+            TrackedFrame(state.df.select("gram")) if state is not None else None
+        )
     }
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
@@ -1799,7 +1817,7 @@ def fold_eval_grams(
         new = (
             bg
             if cur is None
-            else cur.unionByName(bg.join(cur, "gram", "left_anti"))
+            else cur.df.unionByName(bg.join(cur.df, "gram", "left_anti"))
         )
         holder["state"] = _ckpt_tracked(new)
         release_ckpt(batch_df.sparkSession, cur)
@@ -1808,10 +1826,7 @@ def fold_eval_grams(
     out = holder["state"]
     if out is None:
         raise RuntimeError("eval stream produced no micro-batches")
-    ids = out._release_ids
-    out = out.withColumn("_hit", F.lit(1))
-    out._release_ids = ids
-    return out
+    return TrackedFrame(out.df.withColumn("_hit", F.lit(1)), out.ids)
 
 
 @register(
@@ -1873,11 +1888,11 @@ def q_streaming_decontaminate_incr(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("source") == _DECON_SRC
     )
     eval_grams = fold_eval_grams(eval_stream)
-    n_grams = eval_grams.count()
+    n_grams = eval_grams.df.count()
     train_stream = documents_stream(spark, sf_dir).where(
         F.col("source") != _DECON_SRC
     )
-    out = fold_decontaminate(train_stream, eval_grams)
+    out = fold_decontaminate(train_stream, eval_grams.df)
     release_ckpt(spark, eval_grams)
     return out.withColumn("n_eval_grams", F.lit(n_grams).cast("long"))
 
@@ -1889,7 +1904,7 @@ def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
     from ..streaming.checkpoints import run_foreach_batch
 
     grams = _decon_grams()
-    holder: dict[str, DataFrame | None] = {"state": None}
+    holder: dict[str, TrackedFrame | None] = {"state": None}
 
     def fold(batch_df: DataFrame, _batch_id: int) -> None:
         tg = batch_df.select(
@@ -1910,7 +1925,7 @@ def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
         un = (
             per_src
             if cur is None
-            else cur.unionByName(per_src)
+            else cur.df.unionByName(per_src)
             .groupBy("source")
             .agg(
                 F.sum("n_docs").alias("n_docs"),
@@ -1928,7 +1943,7 @@ def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
     state = holder["state"]
     if state is None:
         raise RuntimeError("stream produced no micro-batches")
-    return state.select(
+    return state.df.select(
         "source",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_contam").cast("long").alias("n_contam"),

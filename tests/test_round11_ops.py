@@ -75,20 +75,20 @@ def test_incremental_eval_gram_gate_two_phase(tmp_path, spark):
 
     # Phase 1: half the eval corpus -> state S1.
     s1 = fold_eval_grams(tape(evala, str(tmp_path / "eval_a"), 1))
-    want_a = {r.gram for r in build_eval_grams(evala).collect()}
-    assert {r.gram for r in s1.collect()} == want_a
+    want_a = {r.gram for r in build_eval_grams(evala).df.collect()}
+    assert {r.gram for r in s1.df.collect()} == want_a
 
     # Phase 2: eval-side APPEND folded into S1 (two files -> the
     # second batch exercises the anti-join delta against grown state).
     s2 = fold_eval_grams(tape(evalb, str(tmp_path / "eval_b"), 2), state=s1)
-    want_full = {r.gram for r in build_eval_grams(eval_docs).collect()}
+    want_full = {r.gram for r in build_eval_grams(eval_docs).df.collect()}
     assert want_full > want_a  # the append REALLY added grams
-    assert {r.gram for r in s2.collect()} == want_full
+    assert {r.gram for r in s2.df.collect()} == want_full
 
     # The grown state gates the train stream exactly like the batch
     # recompute over the full eval corpus.
     train = docs.where(F.col("source") != _DECON_SRC)
-    got = fold_decontaminate(tape(train, str(tmp_path / "train"), 2), s2)
+    got = fold_decontaminate(tape(train, str(tmp_path / "train"), 2), s2.df)
     want = QUERIES["streaming_decontaminate"](spark, SF_SMOKE)
     as_rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert as_rows(got) == as_rows(want)

@@ -362,6 +362,6 @@ def test_decontaminate_fold_across_batches(tmp_path, spark):
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    got = fold_decontaminate(stream, eval_grams)
+    got = fold_decontaminate(stream, eval_grams.df)
     want = registry.QUERIES["streaming_decontaminate"](spark, SF_SMOKE)
     assert _rows(got) == _rows(want)
