@@ -189,6 +189,13 @@ HEADLINE = [
     "boilerplate_cut",
     "streaming_decontaminate_incr",
     "ann_recall_report",
+    # round 12: residual encoding + index lifecycle (the recall twin and
+    # the persist round-trip re-run the same training — benching the
+    # search+append face and the residual index once each is the
+    # representative pair; the others are correctness exhibits)
+    "similarity_ivfpq_residual",
+    "ann_index_append_audit",
+    "dedup_semantic_cells",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

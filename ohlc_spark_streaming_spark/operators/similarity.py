@@ -307,13 +307,16 @@ def _explode_subs(
     n_subspaces: int,
     sub_d: int,
     vec_alias: str = "_e",
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, vec) -> (id, s, <out_col>): split each vector into its
-    ``n_subspaces`` contiguous ``sub_d``-wide subvectors — the PQ
+    """(id, vec) -> (id, *extra, s, <out_col>): split each vector into
+    its ``n_subspaces`` contiguous ``sub_d``-wide subvectors — the PQ
     decomposition shared by the codes/LUT build and the Lloyd
-    sub-codebook trainer."""
+    sub-codebook trainer. ``extra`` columns pass through unchanged (the
+    residual path keys query subvectors by (query, probed cell))."""
     return frame.select(
         id_col,
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -327,7 +330,7 @@ def _explode_subs(
                 ]
             )
         ).alias("_x"),
-    ).select(id_col, F.col("_x.s").alias("s"), f"_x.{out_col}")
+    ).select(id_col, *extra, F.col("_x.s").alias("s"), f"_x.{out_col}")
 
 
 def _pq_codes_lut(
@@ -697,6 +700,305 @@ def ivf_pq_trained_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "adc_units", "rank")
     )
+
+
+def _residuals(
+    d: DataFrame, id_col: str, cells: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """(id, _e) + assignment -> (id, cell, _e := v − centroid(cell(v))):
+    the residual each vector's PQ codes quantize in residual IVF-PQ
+    (FAISS IVFADC's default encoding — Jégou et al. 2011 §III.C: the
+    residual distribution is tighter than the raw one, so the same
+    codebook budget spends its centroids where the data actually is).
+    Elementwise IEEE subtraction (:func:`vdiff`) — bitwise
+    cross-engine, keeping the exact-integer ADC discipline intact."""
+    from ..functions.vectorops import vdiff
+
+    cc = centroids.select(
+        F.col("_ccid").alias("cell"), F.col("_cv").alias("_cc")
+    )
+    return (
+        d.join(cells, id_col)
+        .join(F.broadcast(cc), "cell")
+        .select(id_col, "cell", vdiff(F.col("_e"), F.col("_cc")).alias("_e"))
+    )
+
+
+def train_ann_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_cents: int = 8,
+    n_cells: int = 8,
+    iters: int = 2,
+) -> dict[str, DataFrame]:
+    """Train a RESIDUAL-encoded IVF-PQ index — the FAISS IVFADC default
+    (VERDICT r11 item 1) — and return it as four named tables, the
+    persistable artifact :func:`write_ann_index` ships to parquet:
+
+    * ``centroids`` (_ccid, _cv): Lloyd-trained coarse quantizer.
+    * ``codebook`` (s, _cid, cv): per-subspace PQ codebooks trained on
+      RESIDUALS ``v − centroid(cell(v))``, not raw vectors — the
+      encoding change that moves recall beyond trained-raw.
+    * ``cells`` (id, cell): each corpus vector's coarse assignment.
+    * ``codes`` (id, s, c): each vector's residual PQ codes.
+
+    Training order matters: coarse first (residuals need final cells),
+    then the sub-codebooks on the residual distribution. Scale: both
+    trainings are ``iters`` narrow scan + (key, dim)-partial-agg rounds
+    with O(k·dim) driver state; the index tables the search reads are
+    the codes (8 small ints per vector, ~3% of the embedding bytes)
+    plus two broadcast-sized centroid tables."""
+    d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+    coarse = lloyd_train(d, id_col, "_e", n_cells, iters)
+    cells = _coarse_cells(
+        d, id_col, n_cells, vec_alias="_e", cents=coarse
+    ).drop("probe")
+    rd = _residuals(d, id_col, cells, coarse).select(id_col, "_e")
+    book = train_pq_codebook(rd, id_col, dim, n_subspaces, n_cents, iters)
+    codes, _ = _pq_codes_lut(
+        rd, id_col, dim, n_subspaces, n_cents, n_queries=0, codebook=book
+    )
+    return {
+        "centroids": coarse,
+        "codebook": book,
+        "cells": cells,
+        "codes": codes,
+    }
+
+
+def encode_into_index(
+    new_vecs: DataFrame,
+    index: dict[str, DataFrame],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Assign + residual-encode NEW vectors against a FROZEN index —
+    the incremental-append path (VERDICT r11 item 2): at 100 TB the
+    index trains offline once and the corpus grows by deltas, so
+    appends must cost one assignment + one encode over the delta, never
+    a retrain. No training state is touched; because assignment and
+    encoding are deterministic functions of the frozen
+    centroids/codebook, append ≡ rebuild-encode for the appended slice
+    (pinned by the two-phase test). Returns (cells, codes) for the new
+    vectors, union-able onto the index tables."""
+    d = new_vecs.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+    # n_cells is only consulted for the training-free default centroids,
+    # never with an explicit ``cents`` — pass 0, no table count needed.
+    cells = _coarse_cells(
+        d, id_col, 0, vec_alias="_e", cents=index["centroids"]
+    ).drop("probe")
+    rd = _residuals(d, id_col, cells, index["centroids"]).select(id_col, "_e")
+    codes, _ = _pq_codes_lut(
+        rd,
+        id_col,
+        dim,
+        n_subspaces,
+        n_cents=0,
+        n_queries=0,
+        codebook=index["codebook"],
+    )
+    return cells, codes
+
+
+def ann_index_search(
+    queries: DataFrame,
+    index: dict[str, DataFrame],
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Search a (frozen, possibly parquet-loaded) residual IVF-PQ index:
+    per (query, probed cell) the query's OWN residual vs that cell's
+    centroid builds the ADC lookup table — residual encoding makes the
+    LUT cell-dependent, which is exactly how FAISS computes IVFADC
+    distances (distance ≈ Σ_s ‖r_q(cell) − codebook[s][code]‖²).
+    ``queries`` is (query_id, _e: array<double>); candidates are the
+    probed cells' inverted lists minus self. Exact integer 1e-9-unit
+    ADC, ties on vec_id — fully deterministic, oracle-replayable."""
+    from ..functions.vectorops import sqdist, vdiff
+
+    sub_d = dim // n_subspaces
+    qcells = _coarse_cells(
+        queries,
+        "query_id",
+        0,
+        vec_alias="_e",
+        cents=index["centroids"],
+        nprobe=nprobe,
+    ).select("query_id", "cell")
+    cc = index["centroids"].select(
+        F.col("_ccid").alias("cell"), F.col("_cv").alias("_cc")
+    )
+    qres = (
+        queries.join(F.broadcast(qcells), "query_id")
+        .join(F.broadcast(cc), "cell")
+        .select(
+            "query_id", "cell", vdiff(F.col("_e"), F.col("_cc")).alias("_qr")
+        )
+    )
+    qsub = _explode_subs(
+        qres, "query_id", "sv", n_subspaces, sub_d, vec_alias="_qr",
+        extra=("cell",),
+    )
+    lut = qsub.join(F.broadcast(index["codebook"]), "s").select(
+        "query_id",
+        "cell",
+        "s",
+        F.col("_cid").alias("c"),
+        F.floor(sqdist(F.col("sv"), F.col("cv")) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("_du"),
+    )
+    codes_c = index["codes"].join(index["cells"], id_col)
+    adc = (
+        codes_c.join(F.broadcast(lut), ["cell", "s", "c"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_du").cast("long").alias("adc_units"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_units").asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_units", "rank")
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    n_cents: int = 8,
+    n_cells: int = 8,
+    n_queries: int = 10,
+    k: int = 5,
+    iters: int = 2,
+    nprobe: int = 2,
+    index: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """RESIDUAL-encoded trained IVF-PQ ANN — :func:`ivf_pq_trained_topk`
+    with the encoding upgraded from raw vectors to coarse residuals
+    (FAISS's IVF-PQ default; VERDICT r11 item 1). The machinery is the
+    index-lifecycle triple (:func:`train_ann_index` →
+    :func:`ann_index_search`), so the registry query IS the persistable
+    index path with training inlined; pass ``index`` to search a
+    pre-built (e.g. parquet-loaded) index instead. Output: query_id,
+    vec_id, adc_units, rank — exact integer ADC, ties on vec_id."""
+    d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+    if index is None:
+        index = train_ann_index(
+            corpus, id_col, vec_col, dim, n_subspaces, n_cents, n_cells, iters
+        )
+    q = d.where(F.col(id_col) < n_queries).withColumnRenamed(
+        id_col, "query_id"
+    )
+    return ann_index_search(
+        q, index, id_col=id_col, dim=dim, n_subspaces=n_subspaces,
+        nprobe=nprobe, k=k,
+    )
+
+
+def semantic_dedup_cells(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup shape (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023): embeddings cluster into Lloyd-trained cells
+    (:func:`lloyd_train` — the ANN coarse quantizer reused as the
+    dedup blocker), and near-duplicate detection runs WITHIN each cell
+    only — never all-pairs. A vector is dropped iff a lower-id vector
+    in its cell has cosine ≥ ``threshold``; the survivor of every
+    semantic neighborhood is its lowest id (the deterministic greedy
+    rule — SQL-expressible, so the whole operator sits under the
+    value-hash gate).
+
+    Duplication-invariant like :func:`embedding_near_dup_pairs`
+    (operators/dedup.py ``_set_groups`` discipline): identical vectors
+    collapse to one representative per (cell, vector) BEFORE the pair
+    join — k copies cost one cosine, not k²; a non-representative copy
+    is dropped by construction (its rep is a lower id at cosine 1),
+    and a representative is dropped iff some other group in the cell
+    with a lower rep id clears the threshold. At 100 TB: cell count
+    scales with corpus (k ~ √N keeps cells bounded), training is the
+    shared O(k·dim)-driver-state Lloyd loop, and the pair space is
+    Σ_cell (distinct-vectors-in-cell)² — the same blocked-pair
+    discipline as the LSH dedup family. Output: (id, cell, kept)."""
+    d = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    coarse = lloyd_train(d, id_col, "_v", n_cells, iters)
+    cells = _coarse_cells(
+        d, id_col, n_cells, vec_alias="_v", cents=coarse
+    ).drop("probe")
+    groups = (
+        d.join(cells, id_col)
+        .groupBy("cell", "_v")
+        .agg(
+            F.min(id_col).alias("_rep"),
+            F.sort_array(F.collect_list(id_col)).alias("_members"),
+        )
+    )
+    ga = groups.select(
+        "cell", F.col("_rep").alias("_rep_a"), F.col("_v").alias("_va")
+    )
+    gb = groups.select(
+        "cell", F.col("_rep").alias("_rep_b"), F.col("_v").alias("_vb")
+    )
+    dropped_reps = (
+        ga.join(gb, "cell")
+        .where(F.col("_rep_b") < F.col("_rep_a"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select(F.col("_rep_a").alias("_rep"))
+        .distinct()
+    )
+    return (
+        groups.select(
+            "cell", "_rep", F.explode("_members").alias(id_col)
+        )
+        .join(dropped_reps.withColumn("_d", F.lit(1)), "_rep", "left")
+        .select(
+            id_col,
+            "cell",
+            ((F.col(id_col) == F.col("_rep")) & F.col("_d").isNull()).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+#: The index tables :func:`write_ann_index` persists, in load order.
+ANN_INDEX_TABLES = ("centroids", "codebook", "cells", "codes")
+
+
+def write_ann_index(index: dict[str, DataFrame], path: str) -> None:
+    """Persist a trained index as four parquet tables (VERDICT r11
+    item 2: train offline, serve frozen). Parquet round-trips IEEE
+    doubles bitwise, so a loaded index searches bit-identically to the
+    in-session one (pinned by the persist-search registry entry)."""
+    for name in ANN_INDEX_TABLES:
+        index[name].write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def read_ann_index(spark, path: str) -> dict[str, DataFrame]:
+    """Load a :func:`write_ann_index` artifact."""
+    return {
+        name: spark.read.parquet(f"{path}/{name}")
+        for name in ANN_INDEX_TABLES
+    }
 
 
 def cosine_topk_vectorized(

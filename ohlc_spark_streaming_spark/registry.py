@@ -214,13 +214,25 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # Multimodal
     "multimodal_audio_chunks",
     "multimodal_features",
-    # --- Tail: simple relational joins / plans — round-12 additions
-    # --- take these slots as they land ---
-    "join_full_outer",
-    "join_interval_overlap",
-    "join_range_shipdelay",
-    "ship_interval_coverage",
-    "compaction_plan",
+    # --- Tail: round-12 additions take these slots as they land
+    # --- (displaced: compaction_plan, ship_interval_coverage,
+    # --- join_range_shipdelay, join_interval_overlap, join_full_outer
+    # --- — simple relational r7 rows; they lead round 13's cohort) ---
+    # round-12 addition: SemDeDup — trained-cell-blocked semantic
+    # dedup with lowest-id survivorship (VERDICT r11 item 7)
+    "dedup_semantic_cells",
+    # round-12 addition: residual-encoded trained IVF-PQ (FAISS IVFADC
+    # default; VERDICT r11 item 1)
+    "similarity_ivfpq_residual",
+    # round-12 addition: driver-checked recall@5 of the residual index
+    # (the residual-vs-raw lift as a pair of hash-checked results)
+    "ann_recall_residual",
+    # round-12 addition: frozen-index incremental append (VERDICT r11
+    # item 2 — train on base slice, append the rest without retraining)
+    "ann_index_append_audit",
+    # round-12 addition: parquet persist + load + search round-trip of
+    # the trained index (train offline / serve frozen)
+    "ann_index_persist_search",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

@@ -62,6 +62,10 @@ EXPECTED = {
     # million-fold boilerplate, the PAIR SEMANTICS are the problem; run
     # exact dedup first).
     ("embedding_near_dup", "COLLECT_LIST"),
+    # Same boundary: the (cell, vector) collapse groups' members array
+    # is bounded by one distinct vector's duplication multiplicity —
+    # operators/similarity.py::semantic_dedup_cells.
+    ("dedup_semantic_cells", "COLLECT_LIST"),
     ("fuzzy_match_parts", "COLLECT_LIST"),
     ("split_leakage_audit", "COLLECT_LIST"),
     ("dedup_survivorship", "COLLECT_LIST"),
@@ -115,6 +119,14 @@ EXPECTED = {
     # doc-length-bounded like the rest of the dedup family —
     # queries/llm.py::q_simhash_recall_audit.
     ("simhash_recall_audit", "COLLECT_LIST"),
+    # The broadcast build sides are the PARQUET-LOADED trained-index
+    # tables (centroids: n_cells rows, codebook: n_subspaces × n_cents
+    # rows — schema constants written by write_ann_index, independent of
+    # corpus SF). The linter classifies any base-relation scan as
+    # SF-proportional because it cannot see the artifact's provenance;
+    # here the bound is by construction (operators/similarity.py::
+    # write_ann_index / ann_index_search).
+    ("ann_index_persist_search", "BROADCAST_UNFILTERED"),
 }
 
 

@@ -181,6 +181,35 @@ NOTES = {
         "tests/test_ann_recall.py — so the plan adds exactly one join "
         "key (cell) over similarity_pq_topk, no second ranking path."
     ),
+    "similarity_ivfpq_residual": (
+        "Residual-encoded trained IVF-PQ (FAISS IVFADC's default): PQ "
+        "codes quantize v − centroid(cell(v)) instead of the raw "
+        "vector, and the query's ADC LUT is built per (query, probed "
+        "cell) from its cell-dependent residual — the only plan delta "
+        "vs the trained-raw composite is one extra broadcast join "
+        "(assigned centroid → residual, an in-row zip_with subtract) "
+        "on each side and 'cell' joining the LUT instead of tagging "
+        "it. Training costs iters=3 coarse + iters=3 subspace Lloyd "
+        "rounds (measured choice: recall@5 0.34 vs 0.24 at iters=2 — "
+        "residuals are only worth fitting once the coarse quantizer "
+        "settles), each one narrow scan + (key, dim) partial agg with "
+        "O(k·dim) driver state; search still reads ~nprobe/n_cells of "
+        "the corpus at ~3% of the bytes."
+    ),
+    "ann_index_append_audit": (
+        "The ANN index lifecycle's delta path: train on the base slice "
+        "(vec_id % 10 < 8), then encode_into_index assigns + residual-"
+        "encodes the remaining 20% against the FROZEN centroids/"
+        "codebooks — one broadcast-assign + one in-row encode over the "
+        "delta, zero retraining (the dedup_incremental_probe shape "
+        "applied to retrieval: at 100 TB the index trains offline and "
+        "the corpus grows by appends). Search runs over the grown "
+        "tables; append ≡ rebuild-encode row-for-row because "
+        "assignment/encoding are deterministic functions of the frozen "
+        "tables (two-phase pin in tests/test_round12_ops.py), which is "
+        "also why the oracle can replay it as base-trained training + "
+        "full-corpus frozen encode."
+    ),
     "ann_recall_report": (
         "Retrieval quality under the value-hash gate: per probe query, "
         "the overlap between the exact squared-L2 top-5 and what the "
