@@ -309,42 +309,68 @@ def main() -> None:
             ref = {}
         known_fast |= {n for n, s in ref.items() if s < FAST_QUERY_SEC}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        if os.path.isdir(warm_dir):
-            try:
-                fn(spark, warm_dir).count()
-            except Exception:
-                pass
-        # Cold data, warm code: drop any DataFrame caches the warm run
-        # populated (e.g. the MinHash shingle-set persist) so the timed
-        # run measures real execution, not a cache replay.
-        def run_once() -> float:
-            spark.catalog.clearCache()
-            start = time.perf_counter()
-            fn(spark, sf_dir).count()
-            return time.perf_counter() - start
 
-        # Sampling policy: min-of-N for EVERY query, symmetric by design.
-        # Identical commits have measured 1.5s one run and 7.7s the next
-        # on this VM (GC / page-cache weather), so single-shot numbers are
-        # not comparable round-over-round. Re-sampling only would-be
-        # regressions (the old policy) biased the report optimistic —
-        # improvements kept their lucky sample while regressions got
-        # retries; min-of-N applies the same estimator to both directions.
-        # Sub-5s queries take N_SAMPLES_FAST samples (jitter-dominated
-        # class — see the constant's note). Classification uses the MIN
-        # of the base samples OR a sub-5s baseline time (known_fast): a
-        # genuinely-fast query whose samples land on the slow side of
-        # the jitter band is exactly the one that needs the extras.
-        samples = [run_once() for _ in range(N_SAMPLES)]
-        if min(samples) < FAST_QUERY_SEC or name in known_fast:
-            samples += [
-                run_once() for _ in range(N_SAMPLES_FAST - N_SAMPLES)
-            ]
-        timings[name] = round(min(samples), 4)
+    def run_pass(spark, names: list[str]) -> None:
+        for name in names:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            if os.path.isdir(warm_dir):
+                try:
+                    fn(spark, warm_dir).count()
+                except Exception:
+                    pass
+            # Cold data, warm code: drop any DataFrame caches the warm
+            # run populated (e.g. the MinHash shingle-set persist) so the
+            # timed run measures real execution, not a cache replay.
+            def run_once() -> float:
+                spark.catalog.clearCache()
+                start = time.perf_counter()
+                fn(spark, sf_dir).count()
+                return time.perf_counter() - start
+
+            # Sampling policy: min-of-N for EVERY query, symmetric by
+            # design. Identical commits have measured 1.5s one run and
+            # 7.7s the next on this VM (GC / page-cache weather), so
+            # single-shot numbers are not comparable round-over-round.
+            # Re-sampling only would-be regressions (the old policy)
+            # biased the report optimistic — improvements kept their
+            # lucky sample while regressions got retries; min-of-N
+            # applies the same estimator to both directions. Sub-5s
+            # queries take N_SAMPLES_FAST samples (jitter-dominated
+            # class — see the constant's note). Classification uses the
+            # MIN of the base samples OR a sub-5s baseline time
+            # (known_fast): a genuinely-fast query whose samples land on
+            # the slow side of the jitter band is exactly the one that
+            # needs the extras.
+            samples = [run_once() for _ in range(N_SAMPLES)]
+            if min(samples) < FAST_QUERY_SEC or name in known_fast:
+                samples += [
+                    run_once() for _ in range(N_SAMPLES_FAST - N_SAMPLES)
+                ]
+            timings[name] = round(min(samples), 4)
+
+    # Two-pass suite split (VERDICT r11 item 5): stateful streaming
+    # queries run in their OWN FIRST-POSITIONED pass in a fresh session,
+    # then the session restarts for the batch class. Mechanism being
+    # killed: streaming_dedup_minhash (13s, transformWithState) flagged
+    # 1.6–1.7x in two full r11 suite runs yet was flat (0.99–1.02x) in
+    # three isolated sessions with its module untouched — after ~140
+    # batch queries have churned the JVM (state-store providers, codegen
+    # cache, old-gen pressure), long stateful queries pay a
+    # suite-position tax that round-over-round comparison reads as a
+    # regression. A fixed early position in a dedicated session makes
+    # their environment reproducible; the batch pass gets its own fresh
+    # JVM so both classes decorrelate. Per-query warm runs still pay the
+    # one-time costs inside each session.
+    streaming_names = [
+        n for n in HEADLINE if n.startswith(("streaming_", "pyds_stream"))
+    ]
+    batch_names = [n for n in HEADLINE if n not in set(streaming_names)]
+    run_pass(spark, streaming_names)
+    spark.stop()
+    spark = build_session(app_name="engine-bench-batch")
+    run_pass(spark, batch_names)
 
     total = round(sum(timings.values()), 4)
     report_deltas(timings)
