@@ -196,6 +196,7 @@ HEADLINE = [
     "similarity_ivfpq_residual",
     "ann_index_append_audit",
     "dedup_semantic_cells",
+    "streaming_ann_serve",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

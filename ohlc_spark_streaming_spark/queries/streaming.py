@@ -1949,3 +1949,93 @@ def fold_decontaminate(stream: DataFrame, eval_grams: DataFrame) -> DataFrame:
         F.col("n_contam").cast("long").alias("n_contam"),
         (F.col("n_docs") - F.col("n_contam")).cast("long").alias("n_clean"),
     )
+
+
+def fold_ann_serve(
+    query_stream: DataFrame,
+    index: dict[str, DataFrame],
+    dim: int = 64,
+    n_subspaces: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Serve an ANN QUERY STREAM against a frozen residual IVF-PQ index
+    (VERDICT r11 item 8, the stretch): each micro-batch of query vectors
+    is answered by the batch search operator over the static index
+    tables — the stream-static join pattern, with the broadcast sides
+    (centroids, codebook, per-batch LUT) all schema-constant-bounded.
+    Queries are independent rows, each arriving in exactly ONE batch,
+    and the per-batch search ranks against the FULL static corpus — so
+    per-batch finals ARE the global answer for that batch's queries and
+    the drained tape equals the batch trained top-k exactly (the
+    two-tape pytest pins it). Finals accumulate driver-side: ≤ k rows
+    per query, bounded by the probe set like the similarity-family
+    query fences. At 100 TB this is the serving tier: the index is
+    read-only, per-batch cost is nprobe/n_cells of the CODES (~3% of
+    the bytes), and batches parallelize over queries."""
+    from ..operators.similarity import ann_index_search
+    from ..streaming.checkpoints import run_foreach_batch
+
+    spark = query_stream.sparkSession
+    rows: list = []
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        from ..functions.vectorops import as_double_array
+
+        q = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("_e"),
+        )
+        res = ann_index_search(
+            q, index, dim=dim, n_subspaces=n_subspaces, nprobe=nprobe, k=k
+        )
+        rows.extend(tuple(r) for r in res.collect())
+
+    run_foreach_batch(query_stream, fold, f"stream_annserve_{next(_counter)}")
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, adc_units long, rank long"
+    )
+
+
+def _ann_serve_oracle() -> str:
+    from .llm import _RES_ITERS, _ivfpq_residual_oracle
+
+    return _ivfpq_residual_oracle(iters=_RES_ITERS)
+
+
+@register("streaming_ann_serve", _ann_serve_oracle())
+def q_streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN SERVING: train the residual IVF-PQ index once
+    (batch — the offline trainer), freeze it, and answer a stream of
+    query vectors against it via :func:`fold_ann_serve`. The oracle is
+    similarity_ivfpq_residual's verbatim — the serving tier must return
+    exactly what the batch search returns over the same corpus, which
+    is the whole point of a frozen index. The corpus-sized index tables
+    (cells, codes) are eagerly DISK_ONLY-checkpointed once so training
+    never re-runs per micro-batch (the build_eval_grams retention
+    discipline), and released when the tape drains; centroids and
+    codebook are already driver-materialized literals (lloyd_train's
+    O(k·dim) contract)."""
+    from ..operators import similarity as sim_ops
+    from ..sources.stream import embeddings_stream
+    from .llm import _RES_ITERS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = sim_ops.train_ann_index(
+        emb, dim=64, n_subspaces=8, n_cents=8, n_cells=8, iters=_RES_ITERS
+    )
+    cells_t = _ckpt_tracked(index["cells"])
+    codes_t = _ckpt_tracked(index["codes"])
+    frozen = {
+        "centroids": index["centroids"],
+        "codebook": index["codebook"],
+        "cells": cells_t.df,
+        "codes": codes_t.df,
+    }
+    qstream = embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 10)
+    out = fold_ann_serve(qstream, frozen, nprobe=2, k=5)
+    # Finals are a driver-local relation, so the index blocks are dead
+    # once the tape drains.
+    release_ckpt(spark, cells_t)
+    release_ckpt(spark, codes_t)
+    return out

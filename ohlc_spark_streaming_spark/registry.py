@@ -170,7 +170,6 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "funnel_timed",
     "funnel_view_purchase",
     "mode_order_priority",
-    "orderby_limit",
     "price_histogram",
     "stats_corr_qty_price",
     "topk_per_group",
@@ -221,6 +220,11 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # round-12 addition: SemDeDup — trained-cell-blocked semantic
     # dedup with lowest-id survivorship (VERDICT r11 item 7)
     "dedup_semantic_cells",
+    # round-12 addition (stretch): streaming ANN serving against the
+    # frozen residual index (took orderby_limit's slot — a one-line
+    # sort/limit, displaced a second time per the least-risky rule;
+    # it leads round 13's cohort with the displaced r7 joins)
+    "streaming_ann_serve",
     # round-12 addition: residual-encoded trained IVF-PQ (FAISS IVFADC
     # default; VERDICT r11 item 1)
     "similarity_ivfpq_residual",

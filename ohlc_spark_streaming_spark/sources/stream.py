@@ -66,6 +66,22 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the embeddings table from parquet (schema from the footer;
+    no event-time column — consumers treat rows as an arrival tape, e.g.
+    the ANN serving fold answers each micro-batch of query vectors
+    against a frozen index)."""
+    apply_engine_confs(spark)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
 import contextlib  # noqa: E402
 
 

@@ -177,6 +177,46 @@ def test_semantic_dedup_matches_brute_force(spark):
     assert {v: out2[v] for v in got} == {v: k for v, (_, k) in got.items()}
 
 
+def test_streaming_ann_serve_multibatch_equals_batch(spark, tmp_path):
+    """The serving-tier pin (VERDICT r11 item 8): a query tape split
+    into THREE real micro-batches, served against a frozen residual
+    index, returns row-for-row what the batch trained search returns
+    over the same corpus — per-batch finals against a static index ARE
+    the global answer, regardless of arrival batching."""
+    import os
+
+    from ohlc_spark_streaming_spark.queries.streaming import fold_ann_serve
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = train_ann_index(emb, iters=_RES_ITERS)
+
+    q = emb.where(F.col("vec_id") < 10)
+    tape_dir = str(tmp_path / "qtape")
+    # vec_id % 3 buckets split the 10 queries across 3 files = 3 batches.
+    q.withColumn("part", F.col("vec_id") % 3).repartitionByRange(
+        3, "part"
+    ).drop("part").write.mode("overwrite").parquet(tape_dir)
+    n_files = len(
+        [f for f in os.listdir(tape_dir) if f.endswith(".parquet")]
+    )
+    assert n_files == 3, n_files
+    stream = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tape_dir)
+    )
+    got = set(map(tuple, fold_ann_serve(stream, index, nprobe=2, k=5).collect()))
+    want = set(
+        map(
+            tuple,
+            ivf_pq_residual_topk(
+                emb, k=5, iters=_RES_ITERS, nprobe=2, index=index
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 50
+
+
 def test_index_persist_roundtrip_bitwise(spark, tmp_path):
     """Parquet persistence is invisible to search: a written+loaded
     index returns row-for-row (adc_units bitwise) what the in-memory
