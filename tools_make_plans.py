@@ -210,6 +210,32 @@ NOTES = {
         "also why the oracle can replay it as base-trained training + "
         "full-corpus frozen encode."
     ),
+    "dedup_semantic_cells": (
+        "SemDeDup: the Lloyd-trained ANN coarse quantizer reused as the "
+        "dedup blocker — within-cell cosine pairs only, never "
+        "all-pairs, with identical vectors collapsed to one "
+        "representative per (cell, vector) BEFORE the pair join (the "
+        "_set_groups discipline, so k copies cost one cosine, not k²; "
+        "duplication-invariance pinned in tests/test_round12_ops.py "
+        "against a pure-Python brute force). Survivorship is the "
+        "deterministic greedy rule — dropped iff a lower-id same-cell "
+        "vector clears the threshold — so clustering AND verdicts sit "
+        "under the value hash. At 100 TB, cell count scales with the "
+        "corpus (k ~ sqrt(N)) keeping per-cell pair spaces bounded."
+    ),
+    "streaming_ann_serve": (
+        "The serving tier: train once (batch), freeze the four index "
+        "tables (cells/codes eagerly DISK_ONLY-checkpointed so training "
+        "never re-runs per micro-batch; centroids/codebook are already "
+        "k·dim driver literals), answer each micro-batch of query "
+        "vectors with the batch search operator — stream-static with "
+        "every broadcast side schema-constant. Queries are independent "
+        "rows arriving in exactly one batch and ranked against the "
+        "full static corpus, so per-batch finals ARE the global "
+        "answer; the three-batch tape test pins finals ≡ batch trained "
+        "top-k, and the oracle is similarity_ivfpq_residual's "
+        "verbatim. Finals accumulate driver-side, ≤ k rows per query."
+    ),
     "ann_recall_report": (
         "Retrieval quality under the value-hash gate: per probe query, "
         "the overlap between the exact squared-L2 top-5 and what the "
