@@ -1,0 +1,471 @@
+"""ANN oracle builders: the DuckDB CTE chains replaying trained /
+residual IVF-PQ training, encoding, multi-probe ADC search, recall
+yardsticks, and the SemDeDup cell rule.
+
+Standalone on purpose: both ``queries/llm.py`` (the batch ANN family)
+and ``queries/streaming.py`` (the serving twin) consume these builders
+at registration time, and a cross-import between those two modules is a
+circular-import landmine (the registry imports llm before streaming, so
+an llm-first direct import left streaming's llm names partially
+initialized — caught by tests/test_corpus_hygiene.py's import order).
+This module imports nothing from the package.
+
+Determinism: every double op (squared-L2 folds, IEEE residual
+subtraction, 1e-12-integer-unit centroid means, 1e-9-unit LUT floors)
+is the exact expression tree the Spark operators run — bitwise
+cross-engine (see operators/similarity.py and functions/vectorops.py).
+"""
+
+from __future__ import annotations
+
+
+def _ivfpq_trained_ctes(
+    iters: int = 2,
+    nprobe: int = 2,
+    n_cents: int = 8,
+    n_subspaces: int = 8,
+    sub_d: int = 8,
+    n_queries: int = 10,
+) -> list[str]:
+    """Shared CTE chain replaying trained IVF-PQ in DuckDB, through the
+    ``adc`` relation: BOTH Lloyd trainings (coarse full-vector cells and
+    per-subspace PQ codebooks, ``iters`` unrolled CTE layers each — the
+    fixed-iteration pattern pagerank_copurchase uses), then the
+    nprobe-cell multi-probe ADC scores. Mean updates sum exact
+    floor(x·1e12 + 0.5) integer units in DECIMAL(38,0) (the
+    kmeans_update_step discipline) so the trained centroid doubles are
+    bit-identical to Spark's; emptied centroids keep their seats via
+    the same LEFT JOIN + coalesce guard. ONE definition feeds both the
+    similarity_ivfpq_trained oracle and the ann_recall_report oracle —
+    the recall yardstick replays the same trained index it audits."""
+    # Every knob the Spark twin exposes (dim = n_subspaces·sub_d,
+    # n_subspaces, n_queries) threads through here (r11 ADVICE) — the
+    # one-definition claim holds for all parameters, not just
+    # iters/nprobe/n_cents.
+    slc = f"list_slice(e, s*{sub_d} + 1, s*{sub_d} + {sub_d})"
+    parts = [
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS cv FROM d WHERE vec_id < {n_cents})",
+        f"sgrid AS (SELECT unnest(range(0, {n_subspaces})) AS s)",
+        f"sd AS (SELECT vec_id, s, {slc} AS sv FROM d, sgrid)",
+        f"k0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sd WHERE vec_id < {n_cents})",
+    ]
+    parts += _lloyd_coarse_parts(iters)
+    parts += _lloyd_sub_parts(iters, src="sd", pfx="")
+    parts += [
+        f"""celld AS (
+  SELECT d.vec_id, c.cid, {_SQ.format(a="d.e", b="c.cv")} AS dist
+  FROM d CROSS JOIN c{iters} c
+)""",
+        """cells AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell
+  FROM celld GROUP BY vec_id
+)""",
+        f"""qc AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS probe
+    FROM celld WHERE vec_id < {n_queries}
+  ) WHERE probe <= {nprobe}
+)""",
+        f"""fdists AS (
+  SELECT sd.vec_id, sd.s, k.cid, {_SQ.format(a="sd.sv", b="k.cv")} AS dist
+  FROM sd JOIN k{iters} k ON sd.s = k.s
+)""",
+        """codes AS (
+  SELECT vec_id, s, (min(struct_pack(d := dist, c := cid))).c AS c
+  FROM fdists GROUP BY vec_id, s
+)""",
+        f"""lut AS (
+  SELECT vec_id AS query_id, s, cid AS c,
+         CAST(floor(dist * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_units
+  FROM fdists WHERE vec_id < {n_queries}
+)""",
+        """adc AS (
+  SELECT l.query_id, co.vec_id, CAST(sum(l.d_units) AS BIGINT) AS adc_units
+  FROM codes co
+  JOIN cells ce ON co.vec_id = ce.vec_id
+  JOIN qc ON qc.cell = ce.cell
+  JOIN lut l ON l.query_id = qc.query_id AND l.s = co.s AND l.c = co.c
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)""",
+    ]
+    return parts
+
+
+#: Squared-L2 over two DOUBLE[] lists — the one distance expression every
+#: ANN oracle CTE shares (identical double-op tree to vectorops.sqdist).
+_SQ = "list_sum(list_transform(list_zip({a}, {b}), x -> (x[1]-x[2])*(x[1]-x[2])))"
+#: Exact integer-unit per-dimension mean (the kmeans_update_step /
+#: lloyd_train discipline) — bit-identical centroids cross-engine.
+_QMEAN = (
+    "CAST(SUM(CAST(floor(u.v * 1e12 + CAST(0.5 AS DOUBLE)) "
+    "AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / count(*)"
+)
+#: Residual: elementwise e − centroid (IEEE subtraction, matches
+#: vectorops.vdiff bitwise).
+_VDIFF = "list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+
+
+def _lloyd_coarse_parts(iters: int, src: str = "d") -> list[str]:
+    """``iters`` unrolled coarse Lloyd iterations over relation ``src``
+    (vec_id, e) seeded by ``c0``: a{i} assign → u{i}/n{i} exact-unit
+    means → c{i} coalesce guard. Shared by the trained-raw and the
+    residual oracle chains — one definition of coarse training. ``src``
+    lets the append-audit oracle train on the base slice only."""
+    parts: list[str] = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts += [
+            f"""a{i} AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell FROM (
+    SELECT {src}.vec_id, c.cid, {_SQ.format(a=f"{src}.e", b="c.cv")} AS dist
+    FROM {src} CROSS JOIN c{p} c
+  ) GROUP BY vec_id
+)""",
+            f"""u{i} AS (
+  SELECT cell, u.i AS dim, {_QMEAN} AS nc
+  FROM (SELECT vec_id,
+               unnest(list_transform(e, (x, i) -> {{'i': i, 'v': x}})) AS u
+        FROM {src}) t
+  JOIN a{i} USING (vec_id) GROUP BY cell, u.i
+)""",
+            f"n{i} AS (SELECT cell AS cid, list(nc ORDER BY dim) AS cv "
+            f"FROM u{i} GROUP BY cell)",
+            f"c{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv "
+            f"FROM c{p} c LEFT JOIN n{i} n USING (cid))",
+        ]
+    return parts
+
+
+def _lloyd_sub_parts(iters: int, src: str, pfx: str) -> list[str]:
+    """``iters`` unrolled per-subspace Lloyd iterations over relation
+    ``src`` (vec_id, s, sv) seeded by ``{pfx}k0``: {pfx}b{i} assign →
+    {pfx}v{i}/{pfx}m{i} exact-unit means → {pfx}k{i} coalesce guard.
+    ``pfx=''`` trains on raw subvectors (trained chain); ``pfx='r'``
+    on residual subvectors (residual chain) — same machinery, one
+    definition."""
+    parts: list[str] = []
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts += [
+            f"""{pfx}b{i} AS (
+  SELECT vec_id, s, (min(struct_pack(d := dist, c := cid))).c AS cell FROM (
+    SELECT {src}.vec_id, {src}.s, k.cid, {_SQ.format(a=f"{src}.sv", b="k.cv")} AS dist
+    FROM {src} JOIN {pfx}k{p} k ON {src}.s = k.s
+  ) GROUP BY vec_id, s
+)""",
+            f"""{pfx}v{i} AS (
+  SELECT s, cell, u.i AS dim, {_QMEAN} AS nc
+  FROM (SELECT vec_id, s,
+               unnest(list_transform(sv, (x, i) -> {{'i': i, 'v': x}})) AS u
+        FROM {src}) t
+  JOIN {pfx}b{i} USING (vec_id, s) GROUP BY s, cell, u.i
+)""",
+            f"{pfx}m{i} AS (SELECT s, cell AS cid, list(nc ORDER BY dim) AS cv "
+            f"FROM {pfx}v{i} GROUP BY s, cell)",
+            f"{pfx}k{i} AS (SELECT k.s, k.cid, coalesce(m.cv, k.cv) AS cv "
+            f"FROM {pfx}k{p} k LEFT JOIN {pfx}m{i} m "
+            f"ON k.s = m.s AND k.cid = m.cid)",
+        ]
+    return parts
+
+
+def _materialize(parts: list[str]) -> list[str]:
+    """Mark every CTE ``AS MATERIALIZED``: DuckDB inlines CTEs at each
+    reference site, and the residual chain references its trained
+    relations (c{i}, cells, rk{i}) from several downstream CTEs — the
+    inlined expansion re-runs the whole unrolled training per reference
+    (measured: 187s vs 1.4s at sf0.001). Materialization restores the
+    evaluate-once semantics the Spark twin has by construction."""
+    return [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+
+
+def _ivfpq_residual_ctes(
+    iters: int = 3,
+    nprobe: int = 2,
+    n_cents: int = 8,
+    n_subspaces: int = 8,
+    sub_d: int = 8,
+    n_queries: int = 10,
+    train_filter: str | None = None,
+) -> list[str]:
+    """CTE chain replaying RESIDUAL-encoded trained IVF-PQ in DuckDB,
+    through the ``adc`` relation (VERDICT r11 item 1 — FAISS IVFADC's
+    default encoding): coarse Lloyd training (shared
+    :func:`_lloyd_coarse_parts`), final cell assignment, then the PQ
+    sub-codebooks trained on RESIDUALS ``v − centroid(cell(v))``
+    (shared :func:`_lloyd_sub_parts` over the residual relation), codes
+    on residuals, and a per-(query, probed cell) LUT — residual
+    encoding makes the query's LUT cell-dependent, because the query's
+    own residual differs per probed cell. Every double op (subtraction,
+    squared-L2, integer-unit means and LUT floors) is the exact
+    expression tree the Spark operator runs — bitwise cross-engine.
+
+    ``train_filter`` (a WHERE predicate over vec_id) restricts BOTH
+    trainings to a base slice while assignment/encoding/search stay
+    full-corpus — the append-audit oracle: frozen-index encode over the
+    grown corpus, which by determinism equals train-on-base +
+    incremental append (the two-phase pytest pins the equivalence on
+    the Spark side)."""
+    slc = f"list_slice(e, s*{sub_d} + 1, s*{sub_d} + {sub_d})"
+    train = "d" if train_filter is None else "db"
+    rtrain = "rsd" if train_filter is None else "rsdb"
+    parts = [
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+    ]
+    if train_filter is not None:
+        parts.append(f"db AS (SELECT * FROM d WHERE {train_filter})")
+    parts += [
+        f"c0 AS (SELECT vec_id AS cid, e AS cv "
+        f"FROM {train} WHERE vec_id < {n_cents})",
+        f"sgrid AS (SELECT unnest(range(0, {n_subspaces})) AS s)",
+    ]
+    parts += _lloyd_coarse_parts(iters, src=train)
+    parts += [
+        f"""celld AS (
+  SELECT d.vec_id, c.cid, {_SQ.format(a="d.e", b="c.cv")} AS dist
+  FROM d CROSS JOIN c{iters} c
+)""",
+        """cells AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell
+  FROM celld GROUP BY vec_id
+)""",
+        f"""qc AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cid ASC) AS probe
+    FROM celld WHERE vec_id < {n_queries}
+  ) WHERE probe <= {nprobe}
+)""",
+        # Residual relation: every vector minus its assigned centroid.
+        f"""rd AS (
+  SELECT d.vec_id, {_VDIFF.format(a="d.e", b="c.cv")} AS e
+  FROM d JOIN cells ce ON d.vec_id = ce.vec_id
+  JOIN c{iters} c ON c.cid = ce.cell
+)""",
+        f"rsd AS (SELECT vec_id, s, {slc} AS sv FROM rd, sgrid)",
+    ]
+    if train_filter is not None:
+        parts.append(f"rsdb AS (SELECT * FROM rsd WHERE {train_filter})")
+    parts += [
+        f"rk0 AS (SELECT s, vec_id AS cid, sv AS cv "
+        f"FROM {rtrain} WHERE vec_id < {n_cents})",
+    ]
+    parts += _lloyd_sub_parts(iters, src=rtrain, pfx="r")
+    parts += [
+        f"""rdists AS (
+  SELECT rsd.vec_id, rsd.s, k.cid, {_SQ.format(a="rsd.sv", b="k.cv")} AS dist
+  FROM rsd JOIN rk{iters} k ON rsd.s = k.s
+)""",
+        """codes AS (
+  SELECT vec_id, s, (min(struct_pack(d := dist, c := cid))).c AS c
+  FROM rdists GROUP BY vec_id, s
+)""",
+        # Query residual PER PROBED CELL (the residual-ADC signature).
+        f"""qr AS (
+  SELECT qc.query_id, qc.cell, {_VDIFF.format(a="d.e", b="c.cv")} AS e
+  FROM qc JOIN d ON d.vec_id = qc.query_id
+  JOIN c{iters} c ON c.cid = qc.cell
+)""",
+        f"qrs AS (SELECT query_id, cell, s, {slc} AS sv FROM qr, sgrid)",
+        f"""lut AS (
+  SELECT qrs.query_id, qrs.cell, qrs.s, k.cid AS c,
+         CAST(floor({_SQ.format(a="qrs.sv", b="k.cv")} * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS d_units
+  FROM qrs JOIN rk{iters} k ON qrs.s = k.s
+)""",
+        """adc AS (
+  SELECT l.query_id, co.vec_id, CAST(sum(l.d_units) AS BIGINT) AS adc_units
+  FROM codes co
+  JOIN cells ce ON co.vec_id = ce.vec_id
+  JOIN lut l ON l.cell = ce.cell AND l.s = co.s AND l.c = co.c
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)""",
+    ]
+    return _materialize(parts)
+
+
+def _ivfpq_trained_oracle(
+    iters: int = 2,
+    nprobe: int = 2,
+    n_cents: int = 8,
+    k: int = 5,
+    n_subspaces: int = 8,
+    sub_d: int = 8,
+    n_queries: int = 10,
+) -> str:
+    """similarity_ivfpq_trained's oracle: the shared trained-index CTE
+    chain + the top-k cut."""
+    return (
+        ",\n".join(
+            _ivfpq_trained_ctes(
+                iters, nprobe, n_cents, n_subspaces, sub_d, n_queries
+            )
+        )
+        + f"""
+SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_units ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+    )
+
+
+def _ann_recall_oracle(k: int = 5, n_queries: int = 10) -> str:
+    """ann_recall_report's oracle: the shared trained-index CTE chain,
+    an exact squared-L2 top-k yardstick over the same probe queries,
+    and the per-query overlap count."""
+    return (
+        ",\n".join(_ivfpq_trained_ctes(n_queries=n_queries))
+        + f""",
+exactd AS (
+  SELECT q.vec_id AS query_id, d.vec_id,
+         list_sum(list_transform(list_zip(d.e, q.e),
+                                 x -> (x[1]-x[2])*(x[1]-x[2]))) AS d2
+  FROM d CROSS JOIN d q
+  WHERE q.vec_id < {n_queries} AND d.vec_id <> q.vec_id
+),
+exacttop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, vec_id ASC) AS r
+    FROM exactd
+  ) WHERE r <= {k}
+),
+approxtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_units ASC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {k}
+)
+SELECT e.query_id,
+       CAST(count(a.vec_id) AS BIGINT)  AS n_hits,
+       CAST({k} AS BIGINT)              AS k,
+       CAST(count(a.vec_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM exacttop e
+LEFT JOIN approxtop a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+    )
+
+
+_ANN_TOPK_CUT = """
+SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_units ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+def _ivfpq_residual_oracle(
+    iters: int = 3, nprobe: int = 2, k: int = 5, train_filter: str | None = None
+) -> str:
+    """similarity_ivfpq_residual's oracle (and, with ``train_filter``,
+    ann_index_append_audit's): the residual CTE chain + the top-k cut."""
+    return ",\n".join(
+        _ivfpq_residual_ctes(iters=iters, nprobe=nprobe, train_filter=train_filter)
+    ) + _ANN_TOPK_CUT.format(k=k)
+
+
+def _ann_recall_residual_oracle(k: int = 5, n_queries: int = 10) -> str:
+    """ann_recall_residual's oracle: the residual trained-index chain,
+    the same exact squared-L2 yardstick as ann_recall_report, and the
+    per-query overlap count — the residual-vs-trained-raw recall lift
+    is the difference between two driver-hash-checked results."""
+    return (
+        ",\n".join(_ivfpq_residual_ctes(n_queries=n_queries))
+        + f""",
+exactd AS (
+  SELECT q.vec_id AS query_id, d.vec_id,
+         {_SQ.format(a="d.e", b="q.e")} AS d2
+  FROM d CROSS JOIN d q
+  WHERE q.vec_id < {n_queries} AND d.vec_id <> q.vec_id
+),
+exacttop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, vec_id ASC) AS r
+    FROM exactd
+  ) WHERE r <= {k}
+),
+approxtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_units ASC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {k}
+)
+SELECT e.query_id,
+       CAST(count(a.vec_id) AS BIGINT)  AS n_hits,
+       CAST({k} AS BIGINT)              AS k,
+       CAST(count(a.vec_id) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall
+FROM exacttop e
+LEFT JOIN approxtop a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+    )
+
+
+#: Residual index iteration count — measured, not guessed: on the
+#: structure-free synthetic corpus, residual recall@5 vs exact L2 is
+#: 0.24 at iters=2 but 0.34 at iters=3 (sf0.001; 0.32/0.34 at sf0.01),
+#: clearing trained-raw at equal iters (0.26) AND the registered
+#: trained-raw config's 0.30 — residual encoding needs the coarse
+#: quantizer settled before the residual distribution is worth fitting.
+_RES_ITERS = 3
+
+
+#: Append-audit corpus split: vectors with vec_id % 10 in {8, 9} arrive
+#: AFTER the index is trained (so the PQ seeds, ids 0–7, are all in the
+#: base slice and the probe queries span both slices).
+_ANN_BASE_FILTER = "vec_id % 10 < 8"
+
+
+def _semantic_dedup_oracle(
+    iters: int = 2, n_cells: int = 8, threshold: float = 0.25
+) -> str:
+    """dedup_semantic_cells' oracle: the shared coarse-training chain
+    (cells = the SemDeDup clusters), then the UNCOLLAPSED greedy rule —
+    a vector is dropped iff a lower-id same-cell vector clears the
+    cosine threshold. The Spark operator's identical-vector collapse is
+    a pure optimization the oracle need not replay (cos(v, v-copy)
+    clears any threshold ≤ 1, so collapse preserves the rule)."""
+    parts = [
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS cv FROM d WHERE vec_id < {n_cells})",
+    ]
+    parts += _lloyd_coarse_parts(iters)
+    parts += [
+        f"""celld AS (
+  SELECT d.vec_id, c.cid, {_SQ.format(a="d.e", b="c.cv")} AS dist
+  FROM d CROSS JOIN c{iters} c
+)""",
+        """cells AS (
+  SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell
+  FROM celld GROUP BY vec_id
+)""",
+        """n AS (
+  SELECT d.vec_id, d.e, ce.cell FROM d JOIN cells ce ON d.vec_id = ce.vec_id
+)""",
+        f"""dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM n a JOIN n b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+)""",
+    ]
+    return ",\n".join(_materialize(parts)) + """
+SELECT n.vec_id, n.cell, dr.vec_id IS NULL AS kept
+FROM n LEFT JOIN dropped dr ON n.vec_id = dr.vec_id
+"""

@@ -1998,7 +1998,7 @@ def fold_ann_serve(
 
 
 def _ann_serve_oracle() -> str:
-    from .llm import _RES_ITERS, _ivfpq_residual_oracle
+    from .ann_oracles import _RES_ITERS, _ivfpq_residual_oracle
 
     return _ivfpq_residual_oracle(iters=_RES_ITERS)
 
@@ -2018,7 +2018,7 @@ def q_streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(k·dim) contract)."""
     from ..operators import similarity as sim_ops
     from ..sources.stream import embeddings_stream
-    from .llm import _RES_ITERS
+    from .ann_oracles import _RES_ITERS
 
     emb = load_table(spark, sf_dir, "embeddings")
     index = sim_ops.train_ann_index(
