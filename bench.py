@@ -197,6 +197,7 @@ HEADLINE = [
     "ann_index_append_audit",
     "dedup_semantic_cells",
     "streaming_ann_serve",
+    "ann_index_staleness",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

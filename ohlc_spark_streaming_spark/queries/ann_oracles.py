@@ -377,14 +377,11 @@ def _ivfpq_residual_oracle(
     ) + _ANN_TOPK_CUT.format(k=k)
 
 
-def _ann_recall_residual_oracle(k: int = 5, n_queries: int = 10) -> str:
-    """ann_recall_residual's oracle: the residual trained-index chain,
-    the same exact squared-L2 yardstick as ann_recall_report, and the
-    per-query overlap count — the residual-vs-trained-raw recall lift
-    is the difference between two driver-hash-checked results."""
-    return (
-        ",\n".join(_ivfpq_residual_ctes(n_queries=n_queries))
-        + f""",
+def _recall_tail(k: int, n_queries: int) -> str:
+    """Shared recall@k tail: exact squared-L2 yardstick CTEs over the
+    probe queries, the index's top-k, and the per-query overlap count —
+    appended after any chain that defines ``d`` and ``adc``."""
+    return f""",
 exactd AS (
   SELECT q.vec_id AS query_id, d.vec_id,
          {_SQ.format(a="d.e", b="q.e")} AS d2
@@ -415,7 +412,31 @@ FROM exacttop e
 LEFT JOIN approxtop a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
 GROUP BY e.query_id
 """
-    )
+
+
+def _ann_recall_residual_oracle(k: int = 5, n_queries: int = 10) -> str:
+    """ann_recall_residual's oracle: the residual trained-index chain,
+    the same exact squared-L2 yardstick as ann_recall_report, and the
+    per-query overlap count — the residual-vs-trained-raw recall lift
+    is the difference between two driver-hash-checked results."""
+    return ",\n".join(
+        _ivfpq_residual_ctes(n_queries=n_queries)
+    ) + _recall_tail(k, n_queries)
+
+
+def _ann_staleness_oracle(k: int = 5, n_queries: int = 10) -> str:
+    """ann_index_staleness' oracle: recall@k of the FROZEN base-trained
+    index serving the GROWN corpus (the append-audit chain) against the
+    exact yardstick over that grown corpus. The STALENESS DELTA — how
+    much serving appends from a stale index costs vs retraining — is
+    this row set next to ann_recall_residual's (the retrained index on
+    the same corpus): two independently driver-hash-checked recalls,
+    the same pattern as the residual-vs-raw lift."""
+    return ",\n".join(
+        _ivfpq_residual_ctes(
+            n_queries=n_queries, train_filter=_ANN_BASE_FILTER
+        )
+    ) + _recall_tail(k, n_queries)
 
 
 #: Residual index iteration count — measured, not guessed: on the

@@ -166,7 +166,6 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "above_avg_orders",
     "agg_distinct_counts",
     "cube_orders",
-    "date_functions",
     "funnel_timed",
     "funnel_view_purchase",
     "mode_order_priority",
@@ -237,6 +236,10 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # round-12 addition: parquet persist + load + search round-trip of
     # the trained index (train offline / serve frozen)
     "ann_index_persist_search",
+    # round-12 addition: stale-index recall audit — the retrain signal
+    # (took date_functions' slot — a scalar battery, least-risky; it
+    # leads round 13's cohort)
+    "ann_index_staleness",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

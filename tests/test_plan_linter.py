@@ -185,12 +185,22 @@ def test_hint_lint_filtered_relation_is_info_not_error(spark):
 def test_registry_batch_queries_have_no_hint_errors(spark):
     """No registered batch query may hard-broadcast an SF-proportional
     build side (streaming twins execute real micro-batches on call and
-    carry no hints — checked by their own tests)."""
+    carry no hints — checked by their own tests). Deliberate,
+    documented findings share tools_lint.py's EXPECTED set — one source
+    of truth (e.g. ann_index_persist_search broadcasts PARQUET-LOADED
+    index tables whose row counts are schema constants the classifier
+    cannot see)."""
+    from tools_lint import EXPECTED
+
     bad = {}
     for name, fn in QUERIES.items():
         if name.startswith("streaming_") or name.startswith("pyds_stream"):
             continue
-        errors = [f for f in lint_hints(fn(spark, SF_SMOKE)) if f[0] == "error"]
+        errors = [
+            f
+            for f in lint_hints(fn(spark, SF_SMOKE))
+            if f[0] == "error" and (name, f[1]) not in EXPECTED
+        ]
         if errors:
             bad[name] = errors
     assert not bad, bad

@@ -217,6 +217,32 @@ def test_streaming_ann_serve_multibatch_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 50
 
 
+def test_staleness_audit_shows_retrain_signal(spark):
+    """ann_index_staleness vs ann_recall_residual on the same corpus:
+    the stale (base-trained, append-grown) index recalls strictly less
+    than the retrained index at sf0.001 (0.22 vs 0.34 — deterministic
+    computations on fixed data, so the gap is exact). This is the
+    retrain-scheduling signal the audit exists to expose; it is an
+    empirical property of THIS corpus/split, not a theorem, which is
+    why it lives here as a measured pin rather than in the operator's
+    contract."""
+    from ohlc_spark_streaming_spark.registry import QUERIES
+
+    stale = {
+        r.query_id: r.recall
+        for r in QUERIES["ann_index_staleness"](spark, SF_SMOKE).collect()
+    }
+    fresh = {
+        r.query_id: r.recall
+        for r in QUERIES["ann_recall_residual"](spark, SF_SMOKE).collect()
+    }
+    assert set(stale) == set(fresh) and len(stale) == 10
+    mean_stale = sum(stale.values()) / len(stale)
+    mean_fresh = sum(fresh.values()) / len(fresh)
+    assert mean_stale < mean_fresh, (mean_stale, mean_fresh)
+    assert mean_stale > 0.05  # the stale index still retrieves
+
+
 def test_index_persist_roundtrip_bitwise(spark, tmp_path):
     """Parquet persistence is invisible to search: a written+loaded
     index returns row-for-row (adc_units bitwise) what the in-memory
