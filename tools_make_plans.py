@@ -236,6 +236,18 @@ NOTES = {
         "top-k, and the oracle is similarity_ivfpq_residual's "
         "verbatim. Finals accumulate driver-side, ≤ k rows per query."
     ),
+    "ann_index_staleness": (
+        "The retrain-scheduling signal: recall@5 of the FROZEN "
+        "base-trained index serving the append-grown corpus "
+        "(ann_index_append_audit's exact serving state) against the "
+        "exact squared-L2 yardstick over that corpus. Read next to "
+        "ann_recall_residual (the retrained index on the same corpus: "
+        "0.34) the per-query delta IS the staleness cost (stale: 0.22 "
+        "at sf0.001) — two independently driver-hash-checked results, "
+        "the residual-vs-raw lift pattern. Plan = the append-audit "
+        "chain + the shared _recall_vs_exact tail (one definition on "
+        "both engines: Spark helper mirrors the oracle's _recall_tail)."
+    ),
     "ann_recall_report": (
         "Retrieval quality under the value-hash gate: per probe query, "
         "the overlap between the exact squared-L2 top-5 and what the "
