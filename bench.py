@@ -198,6 +198,7 @@ HEADLINE = [
     "dedup_semantic_cells",
     "streaming_ann_serve",
     "ann_index_staleness",
+    "sample_cell_balanced",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

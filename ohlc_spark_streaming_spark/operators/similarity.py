@@ -980,6 +980,49 @@ def semantic_dedup_cells(
     )
 
 
+def cell_balanced_sample(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    quota: int = 32,
+) -> DataFrame:
+    """Cluster-balanced (semantic-diversity-preserving) subsampling:
+    assign embeddings to Lloyd-trained cells and keep up to ``quota``
+    vectors PER CELL, chosen by a deterministic hash order (md5 of the
+    stable id, tie-broken by the id — the dataset_shuffle_order key).
+    The complement of SemDeDup's within-cell removal: where
+    :func:`semantic_dedup_cells` trims redundancy inside a semantic
+    neighborhood, this op caps each neighborhood's SHARE of the output,
+    so a downsample can't be dominated by the corpus's densest regions
+    (the cluster-proportional curation step between dedup and training).
+
+    Scale: one trained assignment (the shared :func:`lloyd_train` /
+    :func:`_coarse_cells` machinery) + one window ranked within cell.
+    At 100 TB the cell count scales with the corpus (k ~ √N), so the
+    per-cell partitions stay bounded and the hash-order rank
+    parallelizes across cells; the output is ≤ k·quota rows. Output:
+    (id, cell, cell_rank, sample_key) for the sampled rows — the rank
+    and key sit under the value hash, so the SELECTION itself is
+    oracle-checked, not just the counts."""
+    d = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    coarse = lloyd_train(d, id_col, "_v", n_cells, iters)
+    cells = _coarse_cells(
+        d, id_col, n_cells, vec_alias="_v", cents=coarse
+    ).drop("probe")
+    keyed = cells.withColumn(
+        "sample_key",
+        F.md5(F.col(id_col).cast("string").cast("binary")),
+    )
+    w = Window.partitionBy("cell").orderBy("sample_key", id_col)
+    return (
+        keyed.withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("cell_rank") <= quota)
+        .select(id_col, "cell", "cell_rank", "sample_key")
+    )
+
+
 #: The index tables :func:`write_ann_index` persists, in load order.
 ANN_INDEX_TABLES = ("centroids", "codebook", "cells", "codes")
 

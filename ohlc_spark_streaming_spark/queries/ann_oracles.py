@@ -454,15 +454,10 @@ _RES_ITERS = 3
 _ANN_BASE_FILTER = "vec_id % 10 < 8"
 
 
-def _semantic_dedup_oracle(
-    iters: int = 2, n_cells: int = 8, threshold: float = 0.25
-) -> str:
-    """dedup_semantic_cells' oracle: the shared coarse-training chain
-    (cells = the SemDeDup clusters), then the UNCOLLAPSED greedy rule —
-    a vector is dropped iff a lower-id same-cell vector clears the
-    cosine threshold. The Spark operator's identical-vector collapse is
-    a pure optimization the oracle need not replay (cos(v, v-copy)
-    clears any threshold ≤ 1, so collapse preserves the rule)."""
+def _trained_cells_parts(iters: int = 2, n_cells: int = 8) -> list[str]:
+    """The d → coarse-train → celld → cells chain prefix shared by every
+    oracle that consumes trained cells without PQ (SemDeDup, the
+    cell-balanced sampler)."""
     parts = [
         "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, e AS cv FROM d WHERE vec_id < {n_cells})",
@@ -477,6 +472,44 @@ def _semantic_dedup_oracle(
   SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell
   FROM celld GROUP BY vec_id
 )""",
+    ]
+    return parts
+
+
+def _cell_balanced_sample_oracle(
+    iters: int = 2, n_cells: int = 8, quota: int = 32
+) -> str:
+    """sample_cell_balanced's oracle: trained cells + a per-cell
+    deterministic-hash top-``quota`` cut (md5 of the stable id, the
+    dataset_shuffle_order key, tie-broken by the id — a total,
+    bit-reproducible order both engines agree on)."""
+    parts = _trained_cells_parts(iters, n_cells) + [
+        """picked AS (
+  SELECT vec_id, cell,
+         md5(CAST(vec_id AS VARCHAR)) AS sample_key,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS cell_rank
+  FROM cells
+)""",
+    ]
+    return ",\n".join(_materialize(parts)) + f"""
+SELECT vec_id, cell, CAST(cell_rank AS BIGINT) AS cell_rank, sample_key
+FROM picked WHERE cell_rank <= {quota}
+"""
+
+
+def _semantic_dedup_oracle(
+    iters: int = 2, n_cells: int = 8, threshold: float = 0.25
+) -> str:
+    """dedup_semantic_cells' oracle: the shared coarse-training chain
+    (cells = the SemDeDup clusters), then the UNCOLLAPSED greedy rule —
+    a vector is dropped iff a lower-id same-cell vector clears the
+    cosine threshold. The Spark operator's identical-vector collapse is
+    a pure optimization the oracle need not replay (cos(v, v-copy)
+    clears any threshold ≤ 1, so collapse preserves the rule)."""
+    parts = _trained_cells_parts(iters, n_cells)
+    parts += [
         """n AS (
   SELECT d.vec_id, d.e, ce.cell FROM d JOIN cells ce ON d.vec_id = ce.vec_id
 )""",

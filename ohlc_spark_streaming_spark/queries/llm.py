@@ -55,6 +55,7 @@ from .ann_oracles import (
     _ann_recall_oracle,
     _ann_recall_residual_oracle,
     _ann_staleness_oracle,
+    _cell_balanced_sample_oracle,
     _ivfpq_residual_ctes,
     _ivfpq_residual_oracle,
     _ivfpq_trained_oracle,
@@ -1375,6 +1376,24 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.semantic_dedup_cells(
         emb, n_cells=8, iters=2, threshold=0.25
+    )
+
+
+@register("sample_cell_balanced", _cell_balanced_sample_oracle())
+def q_sample_cell_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling — the cluster-proportional curation
+    step between dedup and training: Lloyd-trained cells cap each
+    semantic neighborhood at 32 rows of the output, chosen by the
+    deterministic md5-of-id order (dataset_shuffle_order's key), so a
+    downsample cannot be dominated by the corpus's densest regions
+    (operators/similarity.py::cell_balanced_sample — composes the
+    lloyd_train blocker with the shuffle-order selection; the
+    complement of dedup_semantic_cells' within-cell removal). The rank
+    and key are in the output, so the driver hash checks the SELECTION
+    itself, not just per-cell counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cell_balanced_sample(
+        emb, n_cells=8, iters=2, quota=32
     )
 
 

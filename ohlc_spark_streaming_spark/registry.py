@@ -168,7 +168,6 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "cube_orders",
     "funnel_timed",
     "funnel_view_purchase",
-    "mode_order_priority",
     "price_histogram",
     "stats_corr_qty_price",
     "topk_per_group",
@@ -240,6 +239,11 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # (took date_functions' slot — a scalar battery, least-risky; it
     # leads round 13's cohort)
     "ann_index_staleness",
+    # round-12 addition: cluster-balanced subsampling — trained cells
+    # cap each semantic neighborhood's share of a downsample (took
+    # mode_order_priority's slot — a one-agg mode exhibit; it leads
+    # round 13's cohort)
+    "sample_cell_balanced",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

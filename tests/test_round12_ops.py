@@ -243,6 +243,50 @@ def test_staleness_audit_shows_retrain_signal(spark):
     assert mean_stale > 0.05  # the stale index still retrieves
 
 
+def test_cell_balanced_sample_quota_and_selection(spark):
+    """sample_cell_balanced semantics vs a Python recompute: per cell
+    the output is exactly the ``quota`` lowest (md5(id), id) keys of
+    that cell's members (or all of them if fewer), ranks 1..n dense —
+    the deterministic selection, not just the counts. Cell assignments
+    are taken from the operator's sibling (dedup_semantic_cells runs
+    the identical lloyd_train/_coarse_cells chain at iters=2), so the
+    recompute checks the sampler against an independently driver-
+    checked clustering."""
+    import hashlib
+
+    from ohlc_spark_streaming_spark.operators.similarity import (
+        cell_balanced_sample,
+    )
+    from ohlc_spark_streaming_spark.registry import QUERIES
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = [
+        (r.vec_id, r.cell, r.cell_rank, r.sample_key)
+        for r in cell_balanced_sample(
+            emb, n_cells=8, iters=2, quota=32
+        ).collect()
+    ]
+    cells = {
+        r.vec_id: r.cell
+        for r in QUERIES["dedup_semantic_cells"](spark, SF_SMOKE).collect()
+    }
+    by_cell: dict = {}
+    for vid, cell in cells.items():
+        key = hashlib.md5(str(vid).encode()).hexdigest()
+        by_cell.setdefault(cell, []).append((key, vid))
+    want = set()
+    for cell, members in by_cell.items():
+        for rk, (key, vid) in enumerate(sorted(members)[:32], start=1):
+            want.add((vid, cell, rk, key))
+    assert set(got) == want and len(got) > 0
+    # Quota binds: no cell exceeds 32, and full cells hit exactly 32.
+    per_cell: dict = {}
+    for _, cell, _, _ in got:
+        per_cell[cell] = per_cell.get(cell, 0) + 1
+    assert all(n <= 32 for n in per_cell.values())
+    assert {c: min(len(m), 32) for c, m in by_cell.items()} == per_cell
+
+
 def test_index_persist_roundtrip_bitwise(spark, tmp_path):
     """Parquet persistence is invisible to search: a written+loaded
     index returns row-for-row (adc_units bitwise) what the in-memory
