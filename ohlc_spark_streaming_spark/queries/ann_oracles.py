@@ -18,6 +18,18 @@ cross-engine (see operators/similarity.py and functions/vectorops.py).
 
 from __future__ import annotations
 
+#: Residual index iteration count — measured, not guessed: on the
+#: structure-free synthetic corpus, residual recall@5 vs exact L2 is
+#: 0.24 at iters=2 but 0.34 at iters=3 (sf0.001; 0.32/0.34 at sf0.01),
+#: clearing trained-raw at equal iters (0.26) AND the registered
+#: trained-raw config's 0.30 — residual encoding needs the coarse
+#: quantizer settled before the residual distribution is worth fitting.
+#: Defined here, ABOVE the builders, so ``_ivfpq_residual_ctes``'s
+#: default can reference it — the recall/staleness oracles that rely on
+#: the default stay in lockstep with Spark twins that pass it
+#: explicitly (r12 ADVICE).
+_RES_ITERS = 3
+
 
 def _ivfpq_trained_ctes(
     iters: int = 2,
@@ -184,7 +196,7 @@ def _materialize(parts: list[str]) -> list[str]:
 
 
 def _ivfpq_residual_ctes(
-    iters: int = 3,
+    iters: int = _RES_ITERS,
     nprobe: int = 2,
     n_cents: int = 8,
     n_subspaces: int = 8,
@@ -437,15 +449,6 @@ def _ann_staleness_oracle(k: int = 5, n_queries: int = 10) -> str:
             n_queries=n_queries, train_filter=_ANN_BASE_FILTER
         )
     ) + _recall_tail(k, n_queries)
-
-
-#: Residual index iteration count — measured, not guessed: on the
-#: structure-free synthetic corpus, residual recall@5 vs exact L2 is
-#: 0.24 at iters=2 but 0.34 at iters=3 (sf0.001; 0.32/0.34 at sf0.01),
-#: clearing trained-raw at equal iters (0.26) AND the registered
-#: trained-raw config's 0.30 — residual encoding needs the coarse
-#: quantizer settled before the residual distribution is worth fitting.
-_RES_ITERS = 3
 
 
 #: Append-audit corpus split: vectors with vec_id % 10 in {8, 9} arrive

@@ -1273,7 +1273,6 @@ def q_ann_index_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic functions of the frozen tables (the two-phase pytest
     pins append ≡ rebuild-encode row-for-row)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.where(F.expr(_ANN_BASE_FILTER))
     q = (
         emb.where(F.col("vec_id") < 10)
         .select(

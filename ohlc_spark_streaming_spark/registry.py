@@ -128,22 +128,28 @@ from .queries import streaming as _q_streaming  # noqa: E402,F401
 # full cycle; additions displace least-risky tail re-checks, which then
 # lead the next round's cohort). tools_rotation.py prints the cohort.
 #
-# Round-12 window (applied at round-12 open per the r11 prep note):
-# the 13 r6-era rows (stalest in the merged ledger — last green r6),
-# then 36 of the 49 r7-era rows riskier-families-first. The 13 r7 rows
-# left out (the structurally simplest — above_p90_lineitems,
-# array_functions, daily_active_cumulative, join_null_safe,
-# json_roundtrip_lines, map_functions_battery, null_semantics,
-# pivot_linestatus, revenue_growth_mom, variant_props_stats,
-# window_trailing_range, window_value_functions, zonemap_prune_audit —
-# plus whatever each round-12 addition displaces from the tail) lead
-# round 13's cohort.
+# Round-13 window (applied at round-13 open per the r12 prep note):
+# oldest-green-first over the merged r1–r12 ledger — the 3 r6-era rows
+# round-12 additions displaced (date_functions, mode_order_priority,
+# orderby_limit), the 18 r7-era rows (13 deferred at r12 open + the 5
+# the r12 additions displaced), then 28 of the 48 r8-era rows
+# riskier-families-first. The 20 r8 rows left out (the structurally
+# simplest — relational/TPC-H audits:
+# bloom_prune_audit, equidepth_bin_apply, ewma_candles,
+# grouping_sets_orders, join_cardinality_audit, join_semi_anti,
+# join_skew_audit, json_extract_props, percentiles_quantity,
+# price_histogram_equidepth, q13_order_count_distribution,
+# q15_top_supplier, q18_large_volume_customers, q21_waiting_suppliers,
+# q2_min_cost_supplier, q6_forecast_revenue, rolling_active_7d,
+# set_ops_order_status, snapshot_diff_orders, winsorize_clip — plus
+# whatever each round-13 addition displaces from the tail) lead
+# round 14's cohort.
 #
-# ROUND-13 PREP (apply at the START of round 13, never mid-round):
-# oldest-green-first as above. The cohort: the 13 deferred r7-era rows
-# named in the previous paragraph, the tail names round-12 additions
-# displaced, then the r8-era band (tools_rotation.py / the merged
-# CORRECTNESS_r*.json ledger lists them). Round-13 additions displace
+# ROUND-14 PREP (apply at the START of round 14, never mid-round):
+# oldest-green-first as above. The cohort: the 20 deferred r8-era rows
+# named in the previous paragraph, the tail names round-13 additions
+# displaced, then the r9-era band (tools_rotation.py / the merged
+# CORRECTNESS_r*.json ledger lists them). Round-14 additions displace
 # the least-risky tail as usual.
 
 #: Permanent window slots — the flagship reference-parity query (also
@@ -152,98 +158,73 @@ DRIVER_ANCHORS: tuple[str, ...] = (
     "ohlc_candles",
 )
 
-#: Round-12 rotation: oldest-green-first per the post-backlog policy —
-#: the 13 r6-era rows (stalest in the merged r1–r11 ledger), then 36 of
-#: the 49 r7-era rows, riskier families first with the LEAST-RISKY
-#: names at the tail so round-12 additions can take tail slots as they
-#: land (displaced names lead round 13's cohort alongside the 13
-#: deferred r7 rows). Remaining frontier candidates: event-time TTL
+#: Round-13 rotation: oldest-green-first per the post-backlog policy —
+#: the 3 r6-era rows round-12 additions displaced, the 18 r7-era rows
+#: (13 deferred at r12 open + 5 displaced by r12 additions), then 28 of
+#: the 48 r8-era rows, riskier families first with the LEAST-RISKY
+#: names at the tail so round-13 additions can take tail slots as they
+#: land (displaced names lead round 14's cohort alongside the 20
+#: deferred r8 rows). Remaining frontier candidates: event-time TTL
 #: exhibit if Spark ever allows it (pinned ProcessingTime-only in r9),
 #: live Kafka integration if a broker appears.
 DRIVER_ROTATION: tuple[str, ...] = (
-    # --- The 13 r6-era rows (oldest: deferred when round-10/11
-    # --- additions took their slots) ---
-    "above_avg_orders",
-    "agg_distinct_counts",
-    "cube_orders",
-    "funnel_timed",
-    "funnel_view_purchase",
-    "price_histogram",
-    "stats_corr_qty_price",
-    "topk_per_group",
-    "unpivot_lineitem_measures",
-    "user_event_type_sets",
-    # --- 36 r7-era rows, riskier families first ---
-    # Streaming twins
-    "streaming_interval_join",
-    "streaming_transition_counts",
-    "streaming_vwap_candles",
-    # Dedup / decontamination / suffix spans
-    "decontaminate_ngram",
-    "dedup_clusters",
-    "dedup_incremental_probe",
-    "dedup_span_extents",
-    "dedup_survivorship",
-    # Embedding / similarity
-    "embedding_pq_audit",
-    "embedding_whiten",
-    "embedding_whiten_ivf",
-    "similarity_lsh_topk",
-    # Graph / stats
-    "link_predict_copurchase",
-    "triangle_count_copurchase",
-    "event_transition_matrix",
-    "split_drift_ks",
-    # LLM pipeline
-    "bpe_top_merges",
-    "corpus_prep_markup",
-    "dataset_shuffle_order",
-    "denylist_redact",
-    "denylist_scan",
-    "epoch_shard_assign",
-    "feature_hash_bow",
-    "ngram_novelty",
-    "pack_sequences",
-    "pii_redact",
-    "quality_repetition",
-    "source_quota_sample",
-    "text_strip_markup",
-    # Multimodal
-    "multimodal_audio_chunks",
-    "multimodal_features",
-    # --- Tail: round-12 additions take these slots as they land
-    # --- (displaced: compaction_plan, ship_interval_coverage,
-    # --- join_range_shipdelay, join_interval_overlap, join_full_outer
-    # --- — simple relational r7 rows; they lead round 13's cohort) ---
-    # round-12 addition: SemDeDup — trained-cell-blocked semantic
-    # dedup with lowest-id survivorship (VERDICT r11 item 7)
-    "dedup_semantic_cells",
-    # round-12 addition (stretch): streaming ANN serving against the
-    # frozen residual index (took orderby_limit's slot — a one-line
-    # sort/limit, displaced a second time per the least-risky rule;
-    # it leads round 13's cohort with the displaced r7 joins)
-    "streaming_ann_serve",
-    # round-12 addition: residual-encoded trained IVF-PQ (FAISS IVFADC
-    # default; VERDICT r11 item 1)
-    "similarity_ivfpq_residual",
-    # round-12 addition: driver-checked recall@5 of the residual index
-    # (the residual-vs-raw lift as a pair of hash-checked results)
-    "ann_recall_residual",
-    # round-12 addition: frozen-index incremental append (VERDICT r11
-    # item 2 — train on base slice, append the rest without retraining)
-    "ann_index_append_audit",
-    # round-12 addition: parquet persist + load + search round-trip of
-    # the trained index (train offline / serve frozen)
-    "ann_index_persist_search",
-    # round-12 addition: stale-index recall audit — the retrain signal
-    # (took date_functions' slot — a scalar battery, least-risky; it
-    # leads round 13's cohort)
-    "ann_index_staleness",
-    # round-12 addition: cluster-balanced subsampling — trained cells
-    # cap each semantic neighborhood's share of a downsample (took
-    # mode_order_priority's slot — a one-agg mode exhibit; it leads
-    # round 13's cohort)
-    "sample_cell_balanced",
+    # --- The 3 r6-era rows (oldest: displaced by round-12 additions) ---
+    "date_functions",
+    "mode_order_priority",
+    "orderby_limit",
+    # --- The 18 r7-era rows (13 deferred at r12 open + 5 displaced) ---
+    "compaction_plan",
+    "ship_interval_coverage",
+    "join_range_shipdelay",
+    "join_interval_overlap",
+    "join_full_outer",
+    "above_p90_lineitems",
+    "array_functions",
+    "daily_active_cumulative",
+    "join_null_safe",
+    "json_roundtrip_lines",
+    "map_functions_battery",
+    "null_semantics",
+    "pivot_linestatus",
+    "revenue_growth_mom",
+    "variant_props_stats",
+    "window_trailing_range",
+    "window_value_functions",
+    "zonemap_prune_audit",
+    # --- 28 r8-era rows, riskier families first ---
+    # Streaming twins (transformWithState battery + reference parity)
+    "streaming_error_counts_tws",
+    "streaming_interarrival_stats_tws",
+    "streaming_ohlc_candles",
+    "streaming_rolling_active",
+    "streaming_transition_counts_tws",
+    "streaming_vocab_topk",
+    # Dedup / similarity / clustering
+    "dedup_clusters_star",
+    "dedup_jaccard_ppjoin",
+    "dedup_minhash_lsh",
+    "dedup_span_cut",
+    "simhash_recall_audit",
+    "kmeans_update_step",
+    # Analytics / temporal joins
+    "anomaly_seasonal_baseline",
+    "attribution_position",
+    "join_asof_purchase_view",
+    "pit_feature_join",
+    # LLM pipeline (least-risky tail — round-13 additions displace
+    # from the BOTTOM as they land; displaced names lead round 14)
+    "corpus_curation_report",
+    "contrastive_pairs",
+    "domain_mixture",
+    "group_split_users",
+    "quota_apportion",
+    "shard_checksum_manifest",
+    "source_interleave_order",
+    "target_encode_smoothed",
+    "length_bucket_batches",
+    "dataset_split",
+    "text_sentiment",
+    "vocab_top_tokens",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

@@ -20,7 +20,7 @@ from ohlc_spark_streaming_spark.sources.batch import load_table
 
 from .conftest import SF_SMOKE
 
-_RES_ITERS = 3  # keep in sync with queries/llm.py _RES_ITERS
+from ohlc_spark_streaming_spark.queries.ann_oracles import _RES_ITERS
 
 
 def _topk_sets(df, k=5):
