@@ -380,7 +380,10 @@ SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
 
 
 def _ivfpq_residual_oracle(
-    iters: int = 3, nprobe: int = 2, k: int = 5, train_filter: str | None = None
+    iters: int = _RES_ITERS,
+    nprobe: int = 2,
+    k: int = 5,
+    train_filter: str | None = None,
 ) -> str:
     """similarity_ivfpq_residual's oracle (and, with ``train_filter``,
     ann_index_append_audit's): the residual CTE chain + the top-k cut."""
@@ -389,10 +392,85 @@ def _ivfpq_residual_oracle(
     ) + _ANN_TOPK_CUT.format(k=k)
 
 
-def _recall_tail(k: int, n_queries: int) -> str:
+def _refine_parts(k: int = 5, refine_factor: int = 4) -> list[str]:
+    """Refine re-rank CTEs (VERDICT r12 item 2 — FAISS
+    ``IndexRefineFlat``): the top ``refine_factor·k`` ADC candidates per
+    query, re-scored by EXACT squared-L2 on the raw vectors fetched for
+    only those ids, in 1e-9 integer units (the LUT discipline) — the
+    exact expression tree the Spark operator
+    (``ann_index_search_refined``) runs. Appended after any chain that
+    defines ``d`` and ``adc``."""
+    shortlist = refine_factor * k
+    return [
+        f"""cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_units ASC, vec_id ASC) AS r
+    FROM adc
+  ) WHERE r <= {shortlist}
+)""",
+        f"""refined AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(floor({_SQ.format(a="d.e", b="q.e")} * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS exact_units
+  FROM cand c
+  JOIN d ON d.vec_id = c.vec_id
+  JOIN d q ON q.vec_id = c.query_id
+)""",
+    ]
+
+
+_ANN_REFINE_CUT = """
+SELECT query_id, vec_id, exact_units, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY exact_units ASC, vec_id ASC) AS rank
+  FROM refined
+) WHERE rank <= {k}
+"""
+
+
+def _ivfpq_refine_oracle(
+    iters: int = _RES_ITERS,
+    nprobe: int = 2,
+    k: int = 5,
+    refine_factor: int = 4,
+) -> str:
+    """similarity_ivfpq_refine's oracle: the residual chain, the
+    refine re-rank CTEs, and the top-k cut by exact units."""
+    parts = _ivfpq_residual_ctes(iters=iters, nprobe=nprobe) + _materialize(
+        _refine_parts(k=k, refine_factor=refine_factor)
+    )
+    return ",\n".join(parts) + _ANN_REFINE_CUT.format(k=k)
+
+
+def _ann_recall_refine_oracle(
+    k: int = 5,
+    n_queries: int = 10,
+    refine_factor: int = 4,
+) -> str:
+    """ann_recall_refine's oracle: the residual chain + refine CTEs,
+    the exact yardstick, and the per-query overlap of the REFINED
+    top-k — the refine-vs-residual lift is the difference between two
+    driver-hash-checked results (the ann_recall_residual pattern)."""
+    parts = _ivfpq_residual_ctes(n_queries=n_queries) + _materialize(
+        _refine_parts(k=k, refine_factor=refine_factor)
+    )
+    return ",\n".join(parts) + _recall_tail(
+        k, n_queries, approx_src="refined", order_col="exact_units"
+    )
+
+
+def _recall_tail(
+    k: int,
+    n_queries: int,
+    approx_src: str = "adc",
+    order_col: str = "adc_units",
+) -> str:
     """Shared recall@k tail: exact squared-L2 yardstick CTEs over the
-    probe queries, the index's top-k, and the per-query overlap count —
-    appended after any chain that defines ``d`` and ``adc``."""
+    probe queries, the index's top-k (from ``approx_src`` ordered by
+    ``order_col``), and the per-query overlap count — appended after
+    any chain that defines ``d`` and ``approx_src``."""
     return f""",
 exactd AS (
   SELECT q.vec_id AS query_id, d.vec_id,
@@ -412,8 +490,8 @@ approxtop AS (
   SELECT query_id, vec_id FROM (
     SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY adc_units ASC, vec_id ASC) AS r
-    FROM adc
+                              ORDER BY {order_col} ASC, vec_id ASC) AS r
+    FROM {approx_src}
   ) WHERE r <= {k}
 )
 SELECT e.query_id,

@@ -53,9 +53,11 @@ from .ann_oracles import (
     _ANN_BASE_FILTER,
     _RES_ITERS,
     _ann_recall_oracle,
+    _ann_recall_refine_oracle,
     _ann_recall_residual_oracle,
     _ann_staleness_oracle,
     _cell_balanced_sample_oracle,
+    _ivfpq_refine_oracle,
     _ivfpq_residual_ctes,
     _ivfpq_residual_oracle,
     _ivfpq_trained_oracle,
@@ -1177,6 +1179,49 @@ def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_RES_ITERS,
         nprobe=2,
     )
+
+
+def _refined_search(emb: DataFrame) -> DataFrame:
+    """Inline-trained residual index + ADC-shortlist exact re-rank at
+    the registered knobs — shared by the refine search entry and its
+    recall twin (one definition, two driver-hash-checked views)."""
+    index = sim_ops.train_ann_index(
+        emb, dim=64, n_subspaces=8, n_cents=8, n_cells=8, iters=_RES_ITERS
+    )
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("_e"),
+        )
+    )
+    return sim_ops.ann_index_search_refined(
+        q, index, emb, dim=64, n_subspaces=8, nprobe=2, k=5, refine_factor=4
+    )
+
+
+@register("similarity_ivfpq_refine", _ivfpq_refine_oracle())
+def q_similarity_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + exact re-rank over the residual trained index
+    (VERDICT r12 item 2 — FAISS IndexRefineFlat): ann_index_search
+    retrieves the top refine_factor·k candidates by approximate ADC
+    distance, then exact squared-L2 on ONLY those candidates' raw
+    vectors re-ranks the shortlist (1e-9 integer units, fully
+    deterministic). The standard public recall lever after residual
+    encoding; the oracle replays training, ADC shortlist, and the
+    exact re-rank end-to-end."""
+    return _refined_search(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("ann_recall_refine", _ann_recall_refine_oracle())
+def q_ann_recall_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_recall_residual's REFINE twin: per probe query, recall@5 of
+    the refined (shortlist-re-ranked) search vs the exact squared-L2
+    yardstick — the refine-vs-residual lift (VERDICT r12 item 2 'Done'
+    condition) is the difference between two independently
+    driver-hash-checked results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _recall_vs_exact(emb, _refined_search(emb))
 
 
 def _recall_vs_exact(

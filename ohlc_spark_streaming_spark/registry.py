@@ -223,8 +223,14 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "target_encode_smoothed",
     "length_bucket_batches",
     "dataset_split",
-    "text_sentiment",
-    "vocab_top_tokens",
+    # round-13 addition: ADC-shortlist + exact re-rank (FAISS
+    # IndexRefineFlat; VERDICT r12 item 2 — took text_sentiment's
+    # slot, a lexicon scorer, least-risky; it leads round 14's cohort)
+    "similarity_ivfpq_refine",
+    # round-13 addition: driver-checked recall@5 of the refined search
+    # (the refine-vs-residual lift as a pair of hash-checked results:
+    # 0.72 vs 0.34 at sf0.01 — took vocab_top_tokens' slot)
+    "ann_recall_refine",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (*DRIVER_ANCHORS, *DRIVER_ROTATION)

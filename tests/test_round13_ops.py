@@ -1,0 +1,80 @@
+"""Round-13 operator pins: ADC-shortlist exact re-rank (FAISS
+IndexRefineFlat shape — VERDICT r12 item 2) and its recall lift over
+the plain residual index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ohlc_spark_streaming_spark.queries.ann_oracles import _RES_ITERS
+from ohlc_spark_streaming_spark.operators.similarity import (
+    ann_index_search,
+    ann_index_search_refined,
+    train_ann_index,
+)
+from ohlc_spark_streaming_spark.functions.vectorops import as_double_array
+from ohlc_spark_streaming_spark.sources.batch import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _queries(emb, n=10):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("_e"),
+    )
+
+
+def test_refine_lifts_recall_over_residual(spark):
+    """VERDICT r12 item 2's Done condition: the exact re-rank of the
+    ADC top-4k shortlist lifts recall@5 over the plain residual index.
+    Deterministic computation on fixed data, so the measured recalls
+    are exact: refine 0.64 vs residual 0.34 at sf0.001 (0.72 vs 0.34
+    at sf0.01 — the driver-checked pair ann_recall_refine /
+    ann_recall_residual)."""
+    from .test_ann_recall import _exact_l2_topk
+    from .test_round12_ops import _mean_recall, _topk_sets
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = _exact_l2_topk(spark, k=5)
+    index = train_ann_index(emb, iters=_RES_ITERS)
+    q = _queries(emb)
+    residual = _mean_recall(
+        exact, _topk_sets(ann_index_search(q, index, nprobe=2, k=5))
+    )
+    refined = _mean_recall(
+        exact,
+        _topk_sets(
+            ann_index_search_refined(
+                q, index, emb, nprobe=2, k=5, refine_factor=4
+            )
+        ),
+    )
+    assert residual == 0.34
+    # mean of ten exact per-query ratios; the division makes the mean
+    # itself inexact (0.6399999999999999), so pin to the rounded value
+    assert round(refined, 10) == 0.64
+    assert refined > residual
+
+
+def test_refine_subset_of_shortlist_and_exact_order(spark):
+    """The refined top-k is drawn from the ADC shortlist (refine never
+    invents candidates) and is ordered by exact squared-L2 units
+    (strictly non-decreasing within each query, ties to smaller
+    vec_id)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = train_ann_index(emb, iters=_RES_ITERS)
+    q = _queries(emb)
+    shortlist = {
+        (r.query_id, r.vec_id)
+        for r in ann_index_search(q, index, nprobe=2, k=20).collect()
+    }
+    rows = ann_index_search_refined(
+        q, index, emb, nprobe=2, k=5, refine_factor=4
+    ).collect()
+    assert rows and all((r.query_id, r.vec_id) in shortlist for r in rows)
+    by_q: dict = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append((r.exact_units, r.vec_id))
+    for seq in by_q.values():
+        assert seq == sorted(seq)
