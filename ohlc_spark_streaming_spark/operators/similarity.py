@@ -511,6 +511,7 @@ def lloyd_train(
     n_cents: int,
     iters: int,
     part_cols: tuple[str, ...] = (),
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Driver-coordinated Lloyd's algorithm (k-means) to a FIXED
     iteration count — q_kmeans_update_step's single step iterated
@@ -521,7 +522,9 @@ def lloyd_train(
 
     Seeds are the rows with ``id < n_cents`` (the training-free
     codebook — training starts FROM the untrained quantizer, so the
-    distortion comparison is seed-vs-converged on the same init). Each
+    distortion comparison is seed-vs-converged on the same init), or an
+    explicit ``seeds`` DataFrame (``*part_cols``, ``_ccid``, ``_cv``) —
+    the k-means‖ entry point (:func:`kmeanspar_seeds`). Each
     iteration: assign every vector to its nearest centroid (argmin
     squared-L2, ties to the smallest centroid id via struct-min), then
     move each centroid to the exact-integer-unit per-dimension mean of
@@ -540,8 +543,14 @@ def lloyd_train(
 
     spark = d.sparkSession
     parts = list(part_cols)
-    cents = d.where(F.col(id_col) < n_cents).select(
-        *parts, F.col(id_col).alias("_ccid"), F.col(vec_alias).alias("_cv")
+    cents = (
+        seeds.select(*parts, "_ccid", "_cv")
+        if seeds is not None
+        else d.where(F.col(id_col) < n_cents).select(
+            *parts,
+            F.col(id_col).alias("_ccid"),
+            F.col(vec_alias).alias("_cv"),
+        )
     )
     part_schema = "".join(f"{p} int, " for p in parts)
     cents_schema = f"{part_schema}_ccid long, _cv array<double>"
@@ -606,6 +615,201 @@ def lloyd_train(
         # literals (py4j round-trips IEEE doubles bitwise).
         cents = spark.createDataFrame(cents.collect(), schema=cents_schema)
     return cents
+
+
+#: k-means‖ per-round hash constants. The MinHash multipliers (< 3e4)
+#: are NOT reusable here: sequential ids never wrap ``P`` under them, so
+#: u(x) = h/P would concentrate near 0 and select everything. These
+#: multipliers exceed ``P`` (they wrap for every id ≥ 1 and spread small
+#: sequential ids across [0, P)) while keeping ``id·a`` within int64 for
+#: ids up to ~4e9 — both engines compute the identical BIGINT chain.
+_KMPAR_A = (1103515245, 2027730535)
+_KMPAR_B = (12345, 54321)
+
+
+def kmeanspar_seeds(
+    d: DataFrame,
+    id_col: str,
+    vec_alias: str,
+    n_cents: int,
+    rounds: int = 2,
+    oversample: int | None = None,
+    t_reduce: int = 2,
+) -> DataFrame:
+    """k-means‖ ("scalable k-means++", Bahmani et al., VLDB 2012)
+    seeding for :func:`lloyd_train` (VERDICT r12 item 3) — the public
+    fix for first-k seeding's arbitrary init, DETERMINISTIC by
+    construction so the DuckDB oracle replays it bitwise:
+
+    1. Start from the minimum-id vector (k-means‖ picks one uniform
+       point; the deterministic stand-in).
+    2. ``rounds`` oversampling passes: each point joins the candidate
+       set iff ``u(x) < ℓ·d²(x,C)/φ`` where ``d²(x,C)`` is its 1e-9
+       integer-unit squared distance to the nearest candidate, ``φ``
+       the exact integer total cost, and ``u(x)`` the cross-engine
+       rolling-hash uniform ``((id·aᵣ + bᵣ) mod P)/P``
+       (:data:`_KMPAR_A`/``_B`` — no rand(); Bahmani's independent
+       coin flips with the hash as the coin). Expected ``ℓ`` new
+       candidates per round.
+    3. Weight every candidate by the size of its nearest-neighbor
+       region (ties to the smaller candidate id).
+    4. Reduce the O(ℓ·rounds) weighted candidates to ``n_cents`` seeds
+       DRIVER-SIDE: weighted Lloyd from the top-k-by-weight candidates
+       (``t_reduce`` iterations, exact 1e-12-integer-unit weighted
+       means in unbounded Python ints — Bahmani §3.3's "recluster the
+       weighted candidates").
+
+    Scale contract: each pass is one narrow corpus scan against a
+    broadcast candidate set + one partial agg; driver state is the
+    O(ℓ·rounds·dim) candidate sample and the per-round 1-value cost —
+    exactly how a production k-means‖ trainer runs at 100 TB. Returns
+    (``_ccid``, ``_cv``) — :func:`lloyd_train`'s ``seeds`` contract
+    (``_ccid`` keeps the winning candidates' corpus ids).
+    """
+    from ..functions.hashing import P
+    from ..functions.vectorops import sqdist
+
+    spark = d.sparkSession
+    ell = n_cents if oversample is None else oversample
+    assert rounds <= len(_KMPAR_A), "one hash constant pair per round"
+    schema = "_ccid long, _cv array<double>"
+
+    first = (
+        d.select(F.col(id_col).alias("_ccid"), F.col(vec_alias).alias("_cv"))
+        .orderBy("_ccid")
+        .limit(1)
+        .collect()
+    )
+    cands: list[tuple[int, list[float]]] = [
+        (r._ccid, list(r._cv)) for r in first
+    ]
+    for r in range(1, rounds + 1):
+        cdf = spark.createDataFrame(cands, schema=schema)
+        dist = (
+            d.crossJoin(F.broadcast(cdf))
+            .select(
+                F.col(id_col),
+                sqdist(F.col(vec_alias), F.col("_cv")).alias("_d"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.floor(F.min("_d") * 1e9 + F.lit(0.5))
+                .cast("long")
+                .alias("_du")
+            )
+        )
+        phi = dist.agg(F.sum("_du")).collect()[0][0]
+        a, b = _KMPAR_A[r - 1], _KMPAR_B[r - 1]
+        u = ((F.col(id_col) * F.lit(a) + F.lit(b)) % F.lit(P)).cast(
+            "double"
+        ) / F.lit(float(P))
+        thresh = (F.lit(ell) * F.col("_du").cast("double")) / F.lit(
+            float(phi)
+        )
+        sel = dist.where(u < thresh).select(id_col)
+        picked = (
+            d.join(sel, id_col)
+            .select(
+                F.col(id_col).alias("_ccid"), F.col(vec_alias).alias("_cv")
+            )
+            .collect()
+        )
+        cands += [(r2._ccid, list(r2._cv)) for r2 in picked]
+
+    cdf = spark.createDataFrame(cands, schema=schema)
+    near = (
+        d.crossJoin(F.broadcast(cdf))
+        .select(
+            F.col(id_col),
+            F.struct(
+                sqdist(F.col(vec_alias), F.col("_cv")).alias("d"),
+                F.col("_ccid").alias("c"),
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_s").getField("c").alias("_ncid"))
+        .groupBy("_ncid")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .collect()
+    )
+    weights = {r3._ncid: r3._w for r3 in near}
+    # A candidate whose region is empty (a duplicate vector losing the
+    # d=0 tie to a smaller id) has no mass — it neither seeds nor votes
+    # in the reduce (its weighted contribution would be zero anyway).
+    weighted = [
+        (cid, weights[cid], cv) for cid, cv in cands if weights.get(cid)
+    ]
+    seeds = _weighted_lloyd_reduce(weighted, n_cents, t_reduce)
+    return spark.createDataFrame(seeds, schema=schema)
+
+
+def _weighted_lloyd_reduce(
+    cands: list[tuple[int, int, list[float]]], k: int, t: int
+) -> list[tuple[int, list[float]]]:
+    """Weighted Lloyd over the bounded candidate sample, in plain
+    Python on the driver — every float op mirrors the oracle's SQL
+    expression tree bitwise (left-fold squared-L2, ``floor(x·1e12+0.5)``
+    units summed in unbounded ints ≡ DECIMAL(38,0), float(int)/1e12/W
+    ≡ CAST AS DOUBLE division chain). Seeds are the top-k candidates by
+    (weight DESC, id ASC); an emptied seed keeps its position."""
+    import math
+
+    def sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    seeds = [
+        (cid, cv)
+        for cid, _, cv in sorted(cands, key=lambda c: (-c[1], c[0]))[:k]
+    ]
+    for _ in range(t):
+        groups: dict[int, list[tuple[int, list[float]]]] = {}
+        for cid, w, cv in cands:
+            best = min((sq(cv, sv), scid) for scid, sv in seeds)
+            groups.setdefault(best[1], []).append((w, cv))
+        nxt = []
+        for scid, sv in seeds:
+            mem = groups.get(scid)
+            wtot = sum(w for w, _ in mem) if mem else 0
+            if not wtot:
+                nxt.append((scid, sv))
+                continue
+            nv = [
+                float(
+                    sum(
+                        w * int(math.floor(v[p] * 1e12 + 0.5)) for w, v in mem
+                    )
+                )
+                / 1e12
+                / wtot
+                for p in range(len(sv))
+            ]
+            nxt.append((scid, nv))
+        seeds = nxt
+    return seeds
+
+
+def quantization_distortion(d: DataFrame, cents: DataFrame) -> DataFrame:
+    """Total quantization cost of a centroid set over corpus ``d``
+    (vec_id, _e): Σ over vectors of the 1e-9 integer-unit squared-L2 to
+    the nearest centroid — the exact-integer yardstick the k-means‖
+    audit hashes (order-independent: the per-vector unit floor happens
+    BEFORE the sum, and the sum is exact int64). One narrow scan
+    against a broadcast centroid table. Returns one row
+    (``distortion_units`` long)."""
+    from ..functions.vectorops import sqdist
+
+    return (
+        d.crossJoin(F.broadcast(cents))
+        .select("vec_id", sqdist(F.col("_e"), F.col("_cv")).alias("_d"))
+        .groupBy("vec_id")
+        .agg(
+            F.floor(F.min("_d") * 1e9 + F.lit(0.5)).cast("long").alias("_du")
+        )
+        .agg(F.sum("_du").cast("long").alias("distortion_units"))
+    )
 
 
 def train_pq_codebook(

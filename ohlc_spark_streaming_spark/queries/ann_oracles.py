@@ -8,7 +8,9 @@ at registration time, and a cross-import between those two modules is a
 circular-import landmine (the registry imports llm before streaming, so
 an llm-first direct import left streaming's llm names partially
 initialized — caught by tests/test_corpus_hygiene.py's import order).
-This module imports nothing from the package.
+This module imports nothing from the package at module scope (the
+k-means‖ builder takes ``functions.hashing.P`` via a function-level
+import — ``functions`` never imports ``queries``, so no cycle).
 
 Determinism: every double op (squared-L2 folds, IEEE residual
 subtraction, 1e-12-integer-unit centroid means, 1e-9-unit LUT floors)
@@ -121,33 +123,37 @@ _QMEAN = (
 _VDIFF = "list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
 
 
-def _lloyd_coarse_parts(iters: int, src: str = "d") -> list[str]:
+def _lloyd_coarse_parts(
+    iters: int, src: str = "d", pfx: str = ""
+) -> list[str]:
     """``iters`` unrolled coarse Lloyd iterations over relation ``src``
-    (vec_id, e) seeded by ``c0``: a{i} assign → u{i}/n{i} exact-unit
-    means → c{i} coalesce guard. Shared by the trained-raw and the
-    residual oracle chains — one definition of coarse training. ``src``
-    lets the append-audit oracle train on the base slice only."""
+    (vec_id, e) seeded by ``{pfx}c0``: {pfx}a{i} assign →
+    {pfx}u{i}/{pfx}n{i} exact-unit means → {pfx}c{i} coalesce guard.
+    Shared by the trained-raw and the residual oracle chains — one
+    definition of coarse training. ``src`` lets the append-audit oracle
+    train on the base slice only; ``pfx`` lets the k-means‖ audit run a
+    second, independently-seeded chain next to the first-k one."""
     parts: list[str] = []
     for i in range(1, iters + 1):
         p = i - 1
         parts += [
-            f"""a{i} AS (
+            f"""{pfx}a{i} AS (
   SELECT vec_id, (min(struct_pack(d := dist, c := cid))).c AS cell FROM (
     SELECT {src}.vec_id, c.cid, {_SQ.format(a=f"{src}.e", b="c.cv")} AS dist
-    FROM {src} CROSS JOIN c{p} c
+    FROM {src} CROSS JOIN {pfx}c{p} c
   ) GROUP BY vec_id
 )""",
-            f"""u{i} AS (
+            f"""{pfx}u{i} AS (
   SELECT cell, u.i AS dim, {_QMEAN} AS nc
   FROM (SELECT vec_id,
                unnest(list_transform(e, (x, i) -> {{'i': i, 'v': x}})) AS u
         FROM {src}) t
-  JOIN a{i} USING (vec_id) GROUP BY cell, u.i
+  JOIN {pfx}a{i} USING (vec_id) GROUP BY cell, u.i
 )""",
-            f"n{i} AS (SELECT cell AS cid, list(nc ORDER BY dim) AS cv "
-            f"FROM u{i} GROUP BY cell)",
-            f"c{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv "
-            f"FROM c{p} c LEFT JOIN n{i} n USING (cid))",
+            f"{pfx}n{i} AS (SELECT cell AS cid, list(nc ORDER BY dim) AS cv "
+            f"FROM {pfx}u{i} GROUP BY cell)",
+            f"{pfx}c{i} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv "
+            f"FROM {pfx}c{p} c LEFT JOIN {pfx}n{i} n USING (cid))",
         ]
     return parts
 
@@ -604,3 +610,178 @@ def _semantic_dedup_oracle(
 SELECT n.vec_id, n.cell, dr.vec_id IS NULL AS kept
 FROM n LEFT JOIN dropped dr ON n.vec_id = dr.vec_id
 """
+
+
+#: k-means‖ per-round hash constants — ONE source with the Spark
+#: operator (operators/similarity.py _KMPAR_A/_KMPAR_B): multipliers
+#: exceed P so sequential ids wrap the modulus (the MinHash multipliers
+#: would concentrate u(x) near 0 and select everything).
+_KMPAR_A = (1103515245, 2027730535)
+_KMPAR_B = (12345, 54321)
+
+#: Registered k-means‖ config (rounds, oversample ℓ, reduce iterations).
+_KMPAR_ROUNDS = 2
+_KMPAR_ELL = 16
+_KMPAR_T = 2
+
+
+def _kmeanspar_seed_parts(
+    n_cents: int = 8,
+    rounds: int = _KMPAR_ROUNDS,
+    ell: int = _KMPAR_ELL,
+    t_reduce: int = _KMPAR_T,
+    out: str = "pc0",
+) -> list[str]:
+    """CTE chain replaying k-means‖ seeding (Bahmani et al., VLDB 2012;
+    VERDICT r12 item 3) in DuckDB, bitwise against
+    ``operators/similarity.kmeanspar_seeds``: min-id start, ``rounds``
+    oversampling passes gated by the deterministic hash-uniform
+    ``((id·aᵣ+bᵣ) mod P)/P < ℓ·du/φ`` (1e-9 integer-unit costs, exact
+    integer φ cast to DOUBLE — the same value Spark collects and
+    re-injects as a literal), nearest-candidate region weights, then
+    ``t_reduce`` weighted-Lloyd reduce iterations from the
+    top-``n_cents``-by-weight candidates (DECIMAL(38,0)-exact weighted
+    1e-12-unit means ≡ the operator's unbounded Python ints; an emptied
+    seed keeps its position). The final relation ``out`` (cid, cv) is a
+    drop-in ``c0`` for :func:`_lloyd_coarse_parts`."""
+    from ..functions.hashing import P
+
+    parts = [
+        "kps0 AS (SELECT vec_id AS cid, e AS cv FROM d "
+        "WHERE vec_id = (SELECT min(vec_id) FROM d))",
+    ]
+    for r in range(1, rounds + 1):
+        a, b = _KMPAR_A[r - 1], _KMPAR_B[r - 1]
+        parts += [
+            f"""kpdist{r} AS (
+  SELECT d.vec_id,
+         CAST(floor(min({_SQ.format(a="d.e", b="s.cv")}) * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS du
+  FROM d CROSS JOIN kps{r - 1} s GROUP BY d.vec_id
+)""",
+            f"""kpsel{r} AS (
+  SELECT vec_id FROM kpdist{r}
+  WHERE CAST((vec_id * {a} + {b}) % {P} AS DOUBLE) / CAST({P} AS DOUBLE)
+      < ({ell} * CAST(du AS DOUBLE))
+        / (SELECT CAST(sum(du) AS DOUBLE) FROM kpdist{r})
+)""",
+            f"""kps{r} AS (
+  SELECT * FROM kps{r - 1}
+  UNION ALL
+  SELECT d.vec_id AS cid, d.e AS cv FROM d JOIN kpsel{r} USING (vec_id)
+)""",
+        ]
+    parts += [
+        f"""kpnear AS (
+  SELECT d.vec_id,
+         (min(struct_pack(d := {_SQ.format(a="d.e", b="s.cv")},
+                          c := s.cid))).c AS ncid
+  FROM d CROSS JOIN kps{rounds} s GROUP BY d.vec_id
+)""",
+        # INNER join: a candidate with an empty region (a duplicate
+        # vector losing the d=0 tie to a smaller id) has no mass — it
+        # neither seeds nor votes in the reduce (the operator's
+        # weights.get(cid) filter).
+        f"""kpw AS (
+  SELECT s.cid, s.cv, count(w.vec_id) AS w
+  FROM kps{rounds} s JOIN kpnear w ON w.ncid = s.cid
+  GROUP BY s.cid, s.cv
+)""",
+        f"""kpr0 AS (
+  SELECT cid, cv FROM (
+    SELECT cid, cv, row_number() OVER (ORDER BY w DESC, cid ASC) AS rn
+    FROM kpw
+  ) WHERE rn <= {n_cents}
+)""",
+    ]
+    wmean = (
+        "CAST(SUM(CAST(t.w AS DECIMAL(38,0))"
+        " * CAST(floor(u.v * 1e12 + CAST(0.5 AS DOUBLE))"
+        " AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / SUM(t.w)"
+    )
+    for t in range(1, t_reduce + 1):
+        parts += [
+            f"""kpa{t} AS (
+  SELECT c.cid, c.cv, c.w,
+         (min(struct_pack(d := {_SQ.format(a="c.cv", b="r.cv")},
+                          c := r.cid))).c AS scid
+  FROM kpw c CROSS JOIN kpr{t - 1} r GROUP BY c.cid, c.cv, c.w
+)""",
+            f"""kpu{t} AS (
+  SELECT t.scid, u.i AS dim, {wmean} AS nc
+  FROM (SELECT scid, w,
+               unnest(list_transform(cv, (x, i) -> {{'i': i, 'v': x}})) AS u
+        FROM kpa{t}) t
+  GROUP BY t.scid, u.i
+)""",
+            f"kpn{t} AS (SELECT scid AS cid, list(nc ORDER BY dim) AS cv "
+            f"FROM kpu{t} GROUP BY scid)",
+            f"kpr{t} AS (SELECT r.cid, coalesce(n.cv, r.cv) AS cv "
+            f"FROM kpr{t - 1} r LEFT JOIN kpn{t} n USING (cid))",
+        ]
+    parts.append(f"{out} AS (SELECT cid, cv FROM kpr{t_reduce})")
+    return parts
+
+
+_DIST_UNITS = """{name} AS (
+  SELECT CAST(sum(du) AS BIGINT) AS distortion_units FROM (
+    SELECT CAST(floor(min({sq}) * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS du
+    FROM d CROSS JOIN {rel} c GROUP BY d.vec_id
+  )
+)"""
+
+
+def _lloyd_kmeanspar_oracle(n_cents: int = 8, iters: int = 2) -> str:
+    """lloyd_train_kmeanspar's oracle: the k-means‖ seed chain, then
+    ``iters`` coarse Lloyd iterations from those seeds (the prefixed
+    twin of the first-k chain), exploded to (cell, pos, component)."""
+    parts = [
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+    ]
+    parts += _kmeanspar_seed_parts(n_cents, out="pc0")
+    parts += _lloyd_coarse_parts(iters, pfx="p")
+    return ",\n".join(_materialize(parts)) + f"""
+SELECT cid AS cell, CAST(u.i - 1 AS BIGINT) AS pos, u.v AS component
+FROM (SELECT cid,
+             unnest(list_transform(cv, (x, i) -> {{'i': i, 'v': x}})) AS u
+      FROM pc{iters})
+"""
+
+
+def _kmeanspar_distortion_oracle(n_cents: int = 8, iters: int = 2) -> str:
+    """kmeanspar_distortion_audit's oracle: four quantization
+    distortions as one driver-hashed row set — first-k vs k-means‖
+    seeds, each at 0 and ``iters`` Lloyd iterations. The seed-level
+    rows carry the k-means‖ lift; the trained rows document the shared
+    plateau (structure-free corpus: any reasonable init converges)."""
+    parts = [
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS cv FROM d WHERE vec_id < {n_cents})",
+    ]
+    parts += _lloyd_coarse_parts(iters)
+    parts += _kmeanspar_seed_parts(n_cents, out="pc0")
+    parts += _lloyd_coarse_parts(iters, pfx="p")
+    sq = _SQ.format(a="d.e", b="c.cv")
+    for name, rel in (
+        ("fk0", "c0"),
+        (f"fk{iters}", f"c{iters}"),
+        ("kp0", "pc0"),
+        (f"kp{iters}", f"pc{iters}"),
+    ):
+        parts.append(_DIST_UNITS.format(name=f"dist_{name}", sq=sq, rel=rel))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT 'first_k' AS init, CAST(0 AS BIGINT) AS iters, "
+        f"distortion_units FROM dist_fk0"
+        if i == 0
+        else f"SELECT '{init}', CAST({it} AS BIGINT), distortion_units "
+        f"FROM dist_{name}"
+        for i, (init, it, name) in enumerate(
+            (
+                ("first_k", 0, "fk0"),
+                ("first_k", iters, f"fk{iters}"),
+                ("kmeans_par", 0, "kp0"),
+                ("kmeans_par", iters, f"kp{iters}"),
+            )
+        )
+    )
+    return ",\n".join(_materialize(parts)) + "\n" + rows

@@ -221,8 +221,14 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "shard_checksum_manifest",
     "source_interleave_order",
     "target_encode_smoothed",
-    "length_bucket_batches",
-    "dataset_split",
+    # round-13 addition: coarse quantizer trained from k-means‖ seeds
+    # (Bahmani et al.; VERDICT r12 item 3 — took length_bucket_batches'
+    # slot; it leads round 14's cohort)
+    "lloyd_train_kmeanspar",
+    # round-13 addition: the seeding lift as four driver-hashed
+    # distortions (first-k vs k-means‖ × 0/2 Lloyd iterations — took
+    # dataset_split's slot; it leads round 14's cohort)
+    "kmeanspar_distortion_audit",
     # round-13 addition: ADC-shortlist + exact re-rank (FAISS
     # IndexRefineFlat; VERDICT r12 item 2 — took text_sentiment's
     # slot, a lexicon scorer, least-risky; it leads round 14's cohort)
