@@ -219,8 +219,10 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "group_split_users",
     "quota_apportion",
     "shard_checksum_manifest",
-    "source_interleave_order",
     "target_encode_smoothed",
+    # round-13 addition: multi-iteration BPE trainer (VERDICT r12
+    # item 5 — took source_interleave_order's slot; it leads round 14)
+    "bpe_train_merges",
     # round-13 addition: coarse quantizer trained from k-means‖ seeds
     # (Bahmani et al.; VERDICT r12 item 3 — took length_bucket_batches'
     # slot; it leads round 14's cohort)
