@@ -1313,6 +1313,78 @@ def read_ann_index(spark, path: str) -> dict[str, DataFrame]:
     }
 
 
+def ann_compaction_plan(
+    index: dict[str, DataFrame],
+    id_col: str = "vec_id",
+    target_rows: int = 1024,
+) -> DataFrame:
+    """File-bin plan for compacting an append-grown index's codes
+    table (VERDICT r12 item 7 — the lakehouse OPTIMIZE planning step,
+    q_compaction_plan's exclusive running-size binning applied to the
+    index's inverted lists): cells in cell-id order pack into
+    ``target_rows``-sized output files, ``bin = prior-rows DIV
+    target``; a cell's inverted list NEVER splits across files (a
+    probe reads whole cells — the zonemap value of the layout). The
+    plan is a pure function of per-cell code counts — deterministic
+    across engines and reruns. Output: (cell, file_bin, n_rows),
+    n_cells rows."""
+    counts = (
+        index["codes"]
+        .join(index["cells"], id_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    # Global window over an n_cells-row aggregate — k-bounded by
+    # contract, same as the collected centroid tables.
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        counts.withColumn(
+            "prior", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+        )
+        .select(
+            "cell",
+            F.expr(f"prior DIV {target_rows}").cast("long").alias("file_bin"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def compact_ann_index(
+    spark,
+    index: dict[str, DataFrame],
+    path: str,
+    id_col: str = "vec_id",
+    target_rows: int = 1024,
+) -> dict[str, DataFrame]:
+    """Execute the OPTIMIZE step on an append-grown index: rewrite the
+    codes table (the one that grows a fragment per append) clustered
+    into the planned file bins — one parquet file per bin, each bin
+    holding whole cells — and serve the index from the rewritten
+    layout. ``repartition(file_bin)`` puts every bin in exactly one
+    task, so the partitionBy write emits exactly one file per bin (the
+    N-small-fragments → few-packed-files move; pinned physically in
+    tests/test_round13_ops.py). Read-equivalence is the driver-checked
+    contract: search over the compacted index must be bitwise the
+    uncompacted search."""
+    plan = ann_compaction_plan(index, id_col, target_rows)
+    (
+        index["codes"]
+        .join(index["cells"], id_col)
+        .join(F.broadcast(plan.select("cell", "file_bin")), "cell")
+        .repartition(F.col("file_bin"))
+        .write.mode("overwrite")
+        .partitionBy("file_bin")
+        .parquet(f"{path}/codes_compact")
+    )
+    compacted = spark.read.parquet(f"{path}/codes_compact")
+    return {
+        "centroids": index["centroids"],
+        "codebook": index["codebook"],
+        "cells": compacted.select(id_col, "cell").distinct(),
+        "codes": compacted.select(id_col, "s", "c"),
+    }
+
+
 def cosine_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

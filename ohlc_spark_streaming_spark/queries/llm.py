@@ -1420,6 +1420,85 @@ def _grown_index(emb: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+#: Compaction target (codes rows per output file): 1024 yields ~4 bins
+#: at sf0.01 (4,000 code rows) and ~16 at sf0.1 — multiple bins at
+#: every test SF, so the plan is never degenerate.
+_ANN_COMPACT_TARGET = 1024
+
+
+def _ann_compact_oracle() -> str:
+    """ann_index_compact's oracle: the appended-index chain (search
+    semantics are PRE-compaction by definition — compaction must be
+    invisible to reads), the top-k cut, and the deterministic file-bin
+    plan joined onto each result row. A hash match IS the
+    read-equivalence proof: Spark searched the physically rewritten
+    layout; the oracle replays the un-compacted index."""
+    plan = f"""plan AS (
+  SELECT cell, CAST(coalesce(prior, 0) // {_ANN_COMPACT_TARGET} AS BIGINT)
+           AS file_bin
+  FROM (
+    SELECT cell,
+           SUM(n_rows) OVER (ORDER BY cell
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prior
+    FROM (SELECT ce.cell, count(*) AS n_rows
+          FROM codes co JOIN cells ce ON co.vec_id = ce.vec_id
+          GROUP BY ce.cell)
+  )
+)"""
+    parts = _ivfpq_residual_ctes(
+        iters=_RES_ITERS, train_filter=_ANN_BASE_FILTER
+    ) + [plan.replace(" AS (", " AS MATERIALIZED (", 1)]
+    return ",\n".join(parts) + """
+SELECT t.query_id, t.vec_id, t.adc_units, CAST(t.rank AS BIGINT) AS rank,
+       ce.cell, p.file_bin
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_units ASC, vec_id ASC) AS rank
+  FROM adc
+) t
+JOIN cells ce ON ce.vec_id = t.vec_id
+JOIN plan p ON p.cell = ce.cell
+WHERE t.rank <= 5
+"""
+
+
+@register("ann_index_compact", _ann_compact_oracle())
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-append COMPACTION (VERDICT r12 item 7 — lakehouse
+    OPTIMIZE applied to the ANN index): the base-trained index grows by
+    the frozen append path (one codes fragment per append), then the
+    compactor packs whole cells into ~target-sized files by the
+    compaction_plan binning and rewrites the codes table one file per
+    bin. The search runs over the PHYSICALLY REWRITTEN layout; the
+    oracle replays the un-compacted appended index — the hash match is
+    the bitwise read-equivalence proof, with each result row carrying
+    the cell and planned file_bin that served it."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    grown = _grown_index(emb)
+    path = tempfile.mkdtemp(prefix="ann_compact_")
+    compacted = sim_ops.compact_ann_index(
+        spark, grown, path, target_rows=_ANN_COMPACT_TARGET
+    )
+    plan = sim_ops.ann_compaction_plan(
+        compacted, target_rows=_ANN_COMPACT_TARGET
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("_e"),
+    )
+    res = sim_ops.ann_index_search(
+        q, compacted, dim=64, n_subspaces=8, nprobe=2, k=5
+    )
+    return (
+        res.join(compacted["cells"], "vec_id")
+        .join(F.broadcast(plan.select("cell", "file_bin")), "cell")
+        .select("query_id", "vec_id", "adc_units", "rank", "cell", "file_bin")
+    )
+
+
 @register("ann_index_staleness", _ann_staleness_oracle())
 def q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index STALENESS audit (the remaining clause of VERDICT r11

@@ -219,10 +219,14 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "group_split_users",
     "quota_apportion",
     "shard_checksum_manifest",
-    "target_encode_smoothed",
     # round-13 addition: multi-iteration BPE trainer (VERDICT r12
     # item 5 — took source_interleave_order's slot; it leads round 14)
     "bpe_train_merges",
+    # round-13 addition: index-append compaction — lakehouse OPTIMIZE
+    # for the ANN index, search served from the physically rewritten
+    # layout, hash match = read-equivalence proof (VERDICT r12 item 7
+    # — took target_encode_smoothed's slot; it leads round 14)
+    "ann_index_compact",
     # round-13 addition: coarse quantizer trained from k-means‖ seeds
     # (Bahmani et al.; VERDICT r12 item 3 — took length_bucket_batches'
     # slot; it leads round 14's cohort)

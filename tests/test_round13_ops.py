@@ -78,3 +78,62 @@ def test_refine_subset_of_shortlist_and_exact_order(spark):
         by_q.setdefault(r.query_id, []).append((r.exact_units, r.vec_id))
     for seq in by_q.values():
         assert seq == sorted(seq)
+
+
+def test_ann_index_compaction_physical_and_bitwise(spark, tmp_path):
+    """VERDICT r12 item 7's Done condition, physically: the codes table
+    accumulates one parquet fragment per append (write base, append
+    delta -> >= 2 data files); compact_ann_index rewrites it into
+    EXACTLY one file per planned bin with whole cells per bin; and the
+    compacted index serves searches bitwise-equal to the un-compacted
+    one."""
+    import glob as _glob
+
+    from ohlc_spark_streaming_spark.operators.similarity import (
+        ann_compaction_plan,
+        compact_ann_index,
+        encode_into_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 < 8)
+    delta = emb.where(F.col("vec_id") % 10 >= 8)
+    index = train_ann_index(base, iters=_RES_ITERS)
+    d_cells, d_codes = encode_into_index(delta, index)
+
+    frag = str(tmp_path / "codes_frags")
+    index["codes"].write.mode("overwrite").parquet(frag)
+    d_codes.write.mode("append").parquet(frag)
+    frags = _glob.glob(f"{frag}/part-*.parquet")
+    assert len(frags) >= 2, frags  # the append really fragmented
+
+    grown = {
+        "centroids": index["centroids"],
+        "codebook": index["codebook"],
+        "cells": index["cells"].unionByName(d_cells),
+        "codes": spark.read.parquet(frag),
+    }
+    compacted = compact_ann_index(
+        spark, grown, str(tmp_path / "opt"), target_rows=1024
+    )
+    plan = {
+        r.cell: r.file_bin
+        for r in ann_compaction_plan(grown, target_rows=1024).collect()
+    }
+    n_bins = len(set(plan.values()))
+    assert n_bins >= 2, plan  # the plan is not degenerate
+    for b in set(plan.values()):
+        files = _glob.glob(
+            str(tmp_path / "opt" / "codes_compact" / f"file_bin={b}")
+            + "/part-*.parquet"
+        )
+        assert len(files) == 1, (b, files)  # one packed file per bin
+
+    q = _queries(emb)
+    pre = sorted(
+        map(tuple, ann_index_search(q, grown, nprobe=2, k=5).collect())
+    )
+    post = sorted(
+        map(tuple, ann_index_search(q, compacted, nprobe=2, k=5).collect())
+    )
+    assert pre == post  # read-equivalence, bitwise
