@@ -83,16 +83,16 @@ def apply_merge(sym_col: Column, left: str, right: str) -> Column:
     )
 
 
-def bpe_train(
+def bpe_train_rules(
     docs: DataFrame, n_merges: int, text_col: str = "text"
-) -> DataFrame:
+) -> list[tuple[int, str, str, int]]:
     """Train ``n_merges`` BPE merge rules over the corpus. Each round:
     one pair-count aggregate over the distinct-word table, a 1-row
     winner collect ((cnt DESC, pair ASC) tie-break — deterministic),
-    and a narrow fold applying the winner. Returns the merge table
-    (step, pair, merged, cnt) — the O(n_merges) artifact a tokenizer
-    ships. Stops early if no pair is left (every word fully merged)."""
-    spark = docs.sparkSession
+    and a narrow fold applying the winner. Returns the merge rules
+    [(step, pair, merged, cnt)] — the O(n_merges) driver-side artifact
+    a tokenizer ships (:func:`bpe_encode` applies it). Stops early if
+    no pair is left (every word fully merged)."""
     # Cache the evolving word table: without it, round k replays k
     # folds from the corpus scan (O(n²) passes). One generation stays
     # cached; the previous one unpersists after the current collect
@@ -124,6 +124,36 @@ def bpe_train(
         words.unpersist()
         if spent is not None:
             spent.unpersist()
-    return spark.createDataFrame(
-        rules, schema="step long, pair string, merged string, cnt long"
+    return rules
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """:func:`bpe_train_rules` as a DataFrame (step, pair, merged,
+    cnt) — the registry-facing merge table."""
+    return docs.sparkSession.createDataFrame(
+        bpe_train_rules(docs, n_merges, text_col),
+        schema="step long, pair string, merged string, cnt long",
     )
+
+
+def bpe_encode(
+    words: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    sym_col: str = "syms",
+) -> DataFrame:
+    """Apply a trained merge table to a (…, ``sym_col``) relation — the
+    SERVING half of BPE: every rule folds over the symbol arrays in
+    training order (merge priority IS training order — Sennrich et
+    al.'s encoder), each application the same greedy
+    whole-stage-codegen scan as training. n_merges chained narrow
+    folds, zero shuffles — at 100 TB the tokenizer is a map-only
+    stage."""
+    out = words
+    for step, pair, _merged, _cnt in sorted(rules):
+        left, right = pair.split(" ")
+        out = out.withColumn(
+            sym_col, apply_merge(F.col(sym_col), left, right)
+        )
+    return out

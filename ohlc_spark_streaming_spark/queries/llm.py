@@ -31,7 +31,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.multimodal import attach_payloads, blob_stats
-from ..operators.bpe import bpe_train
+from ..operators.bpe import bpe_encode, bpe_train, bpe_train_rules, word_freqs
 from ..operators.packing import pack_sequences
 from ..operators.similarity import (
     cosine_topk,
@@ -3640,8 +3640,8 @@ def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 10
 
 
-def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
-    """bpe_train_merges' oracle: ``n_merges`` unrolled BPE rounds. Each
+def _bpe_train_parts(n_merges: int = _BPE_MERGES) -> list[str]:
+    """Materialized CTE chain replaying ``n_merges`` BPE rounds. Each
     round counts adjacent pairs over the (word, freq, idx, sym)
     relation, picks the (cnt DESC, pair ASC) winner, and applies it
     with the GREEDY NON-OVERLAPPING rule expressed relationally:
@@ -3651,7 +3651,8 @@ def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
     windowed min finds the offsets, and positions following a chosen
     match are dropped. Provably the same function as the Spark fold
     (operators/bpe.py apply_merge; adversarial parity pinned in
-    tests/test_bpe.py)."""
+    tests/test_bpe.py). Shared by the trainer oracle (reads win{r})
+    and the encoder oracle (reads syms{n})."""
     from .ann_oracles import _materialize
 
     parts = [
@@ -3709,12 +3710,18 @@ def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
   WHERE cp.idx IS NULL
 )""",
         ]
+    return _materialize(parts)
+
+
+def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """bpe_train_merges' oracle: the round chain + the merge table
+    (one row per round winner)."""
     rows = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS step, pair, l || rr AS merged, cnt "
         f"FROM win{r}"
         for r in range(1, n_merges + 1)
     )
-    return ",\n".join(_materialize(parts)) + "\n" + rows
+    return ",\n".join(_bpe_train_parts(n_merges)) + "\n" + rows
 
 
 @register("bpe_train_merges", _bpe_train_oracle())
@@ -3729,6 +3736,40 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy non-overlapping merge application."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return bpe_train(docs, _BPE_MERGES)
+
+
+def _bpe_encode_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """bpe_encode_vocab's oracle: the training chain's final symbol
+    relation IS the encoded vocabulary — per distinct word, its BPE
+    segmentation, token count, and corpus frequency."""
+    return ",\n".join(_bpe_train_parts(n_merges)) + f"""
+SELECT word, CAST(any_value(freq) AS BIGINT) AS freq,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(sym, '|' ORDER BY idx) AS tokens
+FROM syms{n_merges}
+GROUP BY word
+"""
+
+
+@register("bpe_encode_vocab", _bpe_encode_oracle())
+def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the serving half of the trainer: the 10 trained
+    merge rules applied to the distinct-word vocabulary in training
+    order (merge priority is training order, Sennrich et al.'s
+    encoder), each rule one greedy codegen fold. Output: every word's
+    segmentation, token count, and corpus frequency — the tokenizer's
+    end-to-end contract under the driver hash. At 100 TB encoding is a
+    map-only stage over the corpus; here it runs on the distinct-word
+    collapse the trainer already uses."""
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    rules = bpe_train_rules(docs, _BPE_MERGES)
+    enc = bpe_encode(word_freqs(docs), rules)
+    return enc.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.size("syms").cast("long").alias("n_tokens"),
+        F.concat_ws("|", "syms").alias("tokens"),
+    )
 
 
 def _survivorship_oracle_sql() -> str:

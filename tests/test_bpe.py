@@ -77,3 +77,24 @@ def test_bpe_train_deterministic_and_compounding(spark):
                             for s in r[1].split(" "))
     ]
     assert compound, a
+
+
+def test_bpe_encode_reconstructs_and_compresses(spark):
+    """The encoder's segmentation is lossless (tokens concatenate back
+    to the word), strictly compresses at least some words (a merge with
+    corpus support must fire somewhere), and never exceeds the
+    character count."""
+    from ohlc_spark_streaming_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_rules,
+        word_freqs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rules = bpe_train_rules(docs, 10)
+    enc = bpe_encode(word_freqs(docs), rules).collect()
+    assert enc
+    for r in enc:
+        assert "".join(r.syms) == r.word
+        assert len(r.syms) <= len(r.word) or r.word == ""
+    assert any(len(r.syms) < len(r.word) for r in enc)

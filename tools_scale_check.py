@@ -298,8 +298,15 @@ def append_spot_sweep(path: str, results, copies: int) -> None:
             f"| {name} | {small:.2f}s | {big:.2f}s | {ratio:.1f}x | {v} |"
         )
     lines.append("")
+    section = "\n".join(lines)
     with open(path, "a") as f:
-        f.write("\n".join(lines))
+        f.write(section)
+    # Mirror into the durable appendix so the next full --md rewrite
+    # keeps this section (write_md re-attaches SCALE_APPENDIX.md).
+    appendix = os.path.join(os.path.dirname(os.path.abspath(path)) or ".",
+                            "SCALE_APPENDIX.md")
+    with open(appendix, "a") as f:
+        f.write(section)
     print(f"appended {copies}x spot-sweep to {path} ({len(results)} queries)")
 
 
@@ -328,8 +335,18 @@ def write_md(path: str, results) -> None:
             f"| {name} | {small:.2f}s | {big:.2f}s | {ratio:.1f}x | {verdict(ratio)} |"
         )
     lines.append("")
+    body = "\n".join(lines)
+    # A full --md rewrite must not erase the curated second-decade
+    # appendix (the 100x spot-sweep sections + round notes live in
+    # SCALE_APPENDIX.md; keep that file the source of truth and
+    # re-attach it on every rewrite).
+    appendix = os.path.join(os.path.dirname(os.path.abspath(path)) or ".",
+                            "SCALE_APPENDIX.md")
+    if os.path.exists(appendix):
+        with open(appendix) as f:
+            body += "\n" + f.read().rstrip() + "\n"
     with open(path, "w") as f:
-        f.write("\n".join(lines))
+        f.write(body)
     print(f"wrote {path} ({len(results)} queries, {n_super} super-linear)")
 
 
