@@ -2039,3 +2039,101 @@ def q_streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_ckpt(spark, cells_t)
     release_ckpt(spark, codes_t)
     return out
+
+
+def fold_ann_serve_refined(
+    query_stream: DataFrame,
+    index: dict[str, DataFrame],
+    corpus: DataFrame,
+    dim: int = 64,
+    n_subspaces: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """:func:`fold_ann_serve` with the ADC-shortlist exact re-rank
+    (FAISS ``IndexRefineFlat`` served streaming): each micro-batch of
+    query vectors gets the top ``refine_factor·k`` candidates by
+    approximate ADC distance from the frozen index, then exact
+    squared-L2 on ONLY those candidates' raw vectors re-ranks the
+    shortlist. Per batch the raw-vector fetch is the broadcast-shortlist
+    join of ``ann_index_search_refined`` — ``n_queries·refine_factor·k``
+    candidate rows read from the vector store, column-pruned to
+    (id, vec), the corpus never shuffled. At 100 TB this is the
+    refine serving tier: the index answers from ~3% of the bytes and
+    the re-rank touches a few hundred full vectors per batch, so the
+    recall lift (0.72 vs 0.34 at sf0.01) costs one bounded point read
+    per candidate. Finals accumulate driver-side, ≤ k rows per query."""
+    from ..operators.similarity import ann_index_search_refined
+    from ..streaming.checkpoints import run_foreach_batch
+
+    spark = query_stream.sparkSession
+    rows: list = []
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        from ..functions.vectorops import as_double_array
+
+        q = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("_e"),
+        )
+        res = ann_index_search_refined(
+            q,
+            index,
+            corpus,
+            dim=dim,
+            n_subspaces=n_subspaces,
+            nprobe=nprobe,
+            k=k,
+            refine_factor=refine_factor,
+        )
+        rows.extend(tuple(r) for r in res.collect())
+
+    run_foreach_batch(query_stream, fold, f"stream_annrefine_{next(_counter)}")
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, exact_units long, rank long"
+    )
+
+
+def _ann_serve_refine_oracle() -> str:
+    from .ann_oracles import _ivfpq_refine_oracle
+
+    return _ivfpq_refine_oracle()
+
+
+@register("streaming_ann_serve_refine", _ann_serve_refine_oracle())
+def q_streaming_ann_serve_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFINED STREAMING ANN SERVING: the frozen-index serving tier of
+    :func:`q_streaming_ann_serve` upgraded with the exact re-rank —
+    train the residual IVF-PQ index once, freeze it, and answer the
+    query stream via :func:`fold_ann_serve_refined`. The oracle is
+    similarity_ivfpq_refine's verbatim: the refine tier, like the base
+    tier, must return exactly what the batch refined search returns
+    over the same corpus. Index tables are DISK_ONLY-checkpointed once
+    (never retrained per micro-batch) and released at drain; the corpus
+    itself is NOT pinned — the per-batch candidate fetch re-reads the
+    column-pruned parquet scan, which is precisely the vector-store
+    point-read shape the serving tier has at 100 TB."""
+    from ..operators import similarity as sim_ops
+    from ..sources.stream import embeddings_stream
+    from .ann_oracles import _RES_ITERS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = sim_ops.train_ann_index(
+        emb, dim=64, n_subspaces=8, n_cents=8, n_cells=8, iters=_RES_ITERS
+    )
+    cells_t = _ckpt_tracked(index["cells"])
+    codes_t = _ckpt_tracked(index["codes"])
+    frozen = {
+        "centroids": index["centroids"],
+        "codebook": index["codebook"],
+        "cells": cells_t.df,
+        "codes": codes_t.df,
+    }
+    qstream = embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 10)
+    out = fold_ann_serve_refined(
+        qstream, frozen, emb, nprobe=2, k=5, refine_factor=4
+    )
+    release_ckpt(spark, cells_t)
+    release_ckpt(spark, codes_t)
+    return out

@@ -217,7 +217,11 @@ DRIVER_ROTATION: tuple[str, ...] = (
     "contrastive_pairs",
     "domain_mixture",
     "group_split_users",
-    "quota_apportion",
+    # round-13 addition: refined streaming ANN serving — the frozen
+    # serving tier with the IndexRefineFlat exact re-rank, finals ≡
+    # the batch refined search (took quota_apportion's slot; it leads
+    # round 14's cohort)
+    "streaming_ann_serve_refine",
     # round-13 addition: BPE encode — the trained merge table applied
     # to the vocabulary, lossless segmentation under the driver hash
     # (took shard_checksum_manifest's slot; it leads round 14)

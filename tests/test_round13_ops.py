@@ -137,3 +137,55 @@ def test_ann_index_compaction_physical_and_bitwise(spark, tmp_path):
         map(tuple, ann_index_search(q, compacted, nprobe=2, k=5).collect())
     )
     assert pre == post  # read-equivalence, bitwise
+
+
+def test_streaming_ann_serve_refined_multibatch_equals_batch(
+    spark, tmp_path
+):
+    """The refined serving-tier pin: a query tape split into THREE real
+    micro-batches, served against a frozen residual index WITH the
+    exact re-rank (fold_ann_serve_refined), returns row-for-row what
+    the batch refined search returns over the same corpus — the
+    IndexRefineFlat tier, like the base tier, is arrival-batching
+    invariant because every batch re-ranks against the full static
+    corpus."""
+    import os
+
+    from ohlc_spark_streaming_spark.queries.streaming import (
+        fold_ann_serve_refined,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = train_ann_index(emb, iters=_RES_ITERS)
+
+    q = emb.where(F.col("vec_id") < 10)
+    tape_dir = str(tmp_path / "qtape")
+    q.withColumn("part", F.col("vec_id") % 3).repartitionByRange(
+        3, "part"
+    ).drop("part").write.mode("overwrite").parquet(tape_dir)
+    n_files = len(
+        [f for f in os.listdir(tape_dir) if f.endswith(".parquet")]
+    )
+    assert n_files == 3, n_files
+    stream = (
+        spark.readStream.schema(q.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tape_dir)
+    )
+    got = set(
+        map(
+            tuple,
+            fold_ann_serve_refined(
+                stream, index, emb, nprobe=2, k=5, refine_factor=4
+            ).collect(),
+        )
+    )
+    want = set(
+        map(
+            tuple,
+            ann_index_search_refined(
+                _queries(emb), index, emb, nprobe=2, k=5, refine_factor=4
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 50

@@ -236,6 +236,21 @@ NOTES = {
         "top-k, and the oracle is similarity_ivfpq_residual's "
         "verbatim. Finals accumulate driver-side, ≤ k rows per query."
     ),
+    "similarity_ivfpq_refine": (
+        "ADC shortlist + exact re-rank (FAISS IndexRefineFlat): the "
+        "residual trained index retrieves the top refine_factor·k "
+        "candidates by approximate ADC distance, then exact squared-L2 "
+        "on ONLY those candidates' raw vectors re-ranks the shortlist "
+        "(1e-9 integer units — deterministic, oracle-replayable). The "
+        "shortlist is n_queries·refine_factor·k rows — broadcast onto "
+        "the corpus scan, so the raw-vector fetch never shuffles the "
+        "corpus; at 100 TB it is a few hundred column-pruned point "
+        "reads. Recall@5 0.34 → 0.72 at sf0.01 (driver-checked pair "
+        "ann_recall_refine / ann_recall_residual); the streaming twin "
+        "streaming_ann_serve_refine serves the same re-rank per "
+        "micro-batch against the frozen index, finals ≡ this batch "
+        "search."
+    ),
     "ann_index_staleness": (
         "The retrain-scheduling signal: recall@5 of the FROZEN "
         "base-trained index serving the append-grown corpus "
