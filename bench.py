@@ -199,6 +199,18 @@ HEADLINE = [
     "streaming_ann_serve",
     "ann_index_staleness",
     "sample_cell_balanced",
+    # round 13: refine re-rank + filtered search + k-means|| training +
+    # index compaction + the BPE train/serve/stream triad (the recall
+    # twin and the distortion audit re-run the same trainings — the
+    # entries below cover each new face once)
+    "similarity_ivfpq_refine",
+    "ann_search_filtered",
+    "lloyd_train_kmeanspar",
+    "ann_index_compact",
+    "bpe_train_merges",
+    "bpe_encode_vocab",
+    "streaming_ann_serve_refine",
+    "streaming_bpe_encode",
 ]
 
 #: Per-query regression gate: prior-round timings (bench_baseline.json);

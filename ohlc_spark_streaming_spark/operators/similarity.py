@@ -1017,6 +1017,9 @@ def ann_index_search(
     n_subspaces: int = 8,
     nprobe: int = 2,
     k: int = 5,
+    attrs: DataFrame | None = None,
+    attr_col: str = "label",
+    query_attr: str = "_qattr",
 ) -> DataFrame:
     """Search a (frozen, possibly parquet-loaded) residual IVF-PQ index:
     per (query, probed cell) the query's OWN residual vs that cell's
@@ -1025,7 +1028,21 @@ def ann_index_search(
     distances (distance ≈ Σ_s ‖r_q(cell) − codebook[s][code]‖²).
     ``queries`` is (query_id, _e: array<double>); candidates are the
     probed cells' inverted lists minus self. Exact integer 1e-9-unit
-    ADC, ties on vec_id — fully deterministic, oracle-replayable."""
+    ADC, ties on vec_id — fully deterministic, oracle-replayable.
+
+    ``attrs`` switches on FILTERED search (FAISS ``IDSelector`` /
+    per-tenant vector search): ``attrs`` is the corpus metadata
+    relation (``id_col``, ``attr_col``) and each query row carries the
+    attribute value it wants in ``query_attr``; candidates whose
+    attribute differs are dropped BEFORE the ADC ranking, so every one
+    of the k result slots satisfies the predicate (PRE-filtering — a
+    post-hoc filter of an unfiltered top-k would silently return fewer
+    than k survivors, the classic filtered-ANN mistake). The predicate
+    is applied to the inverted-list scan as a join filter; at 100 TB
+    the metadata column is stored alongside the codes at index-build
+    time (the codes⋈attrs join here is co-located by construction —
+    both sides are keyed and written by ``id_col``), so filtering
+    prunes candidates before any per-candidate arithmetic."""
     from ..functions.vectorops import sqdist, vdiff
 
     sub_d = dim // n_subspaces
@@ -1061,11 +1078,18 @@ def ann_index_search(
         .alias("_du"),
     )
     codes_c = index["codes"].join(index["cells"], id_col)
-    adc = (
-        codes_c.join(F.broadcast(lut), ["cell", "s", "c"])
-        .where(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(F.sum("_du").cast("long").alias("adc_units"))
+    if attrs is not None:
+        codes_c = codes_c.join(attrs.select(id_col, attr_col), id_col)
+        lut = lut.join(
+            F.broadcast(queries.select("query_id", query_attr)), "query_id"
+        )
+    cand = codes_c.join(F.broadcast(lut), ["cell", "s", "c"]).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    if attrs is not None:
+        cand = cand.where(F.col(attr_col) == F.col(query_attr))
+    adc = cand.groupBy("query_id", id_col).agg(
+        F.sum("_du").cast("long").alias("adc_units")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_units").asc(), F.col(id_col).asc()

@@ -450,6 +450,46 @@ def _ivfpq_refine_oracle(
     return ",\n".join(parts) + _ANN_REFINE_CUT.format(k=k)
 
 
+_ANN_FILTER_CUT = """
+SELECT query_id, vec_id, adc_units, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_units ASC, vec_id ASC) AS rank
+  FROM fadc
+) WHERE rank <= {k}
+"""
+
+
+def _ivfpq_filtered_oracle(
+    iters: int = _RES_ITERS,
+    nprobe: int = 2,
+    k: int = 5,
+    n_queries: int = 10,
+) -> str:
+    """ann_search_filtered's oracle: the residual chain, then the
+    per-query label predicate applied to the candidate relation BEFORE
+    the top-k cut (pre-filtering — the rank runs over surviving
+    candidates only, so every returned slot satisfies the filter; a
+    post-hoc filter of the unfiltered top-k would return fewer rows).
+    Per-candidate ADC sums are independent, so filtering the ``adc``
+    relation is value-identical to the Spark side's inverted-list-scan
+    filter."""
+    parts = _ivfpq_residual_ctes(iters=iters, nprobe=nprobe) + _materialize(
+        [
+            f"qa AS (SELECT vec_id AS query_id, label AS qattr "
+            f"FROM embeddings WHERE vec_id < {n_queries})",
+            "ca AS (SELECT vec_id, label AS cattr FROM embeddings)",
+            """fadc AS (
+  SELECT a.query_id, a.vec_id, a.adc_units
+  FROM adc a
+  JOIN qa ON a.query_id = qa.query_id
+  JOIN ca ON a.vec_id = ca.vec_id
+  WHERE ca.cattr = qa.qattr
+)""",
+        ]
+    )
+    return ",\n".join(parts) + _ANN_FILTER_CUT.format(k=k)
+
+
 def _ann_recall_refine_oracle(
     k: int = 5,
     n_queries: int = 10,

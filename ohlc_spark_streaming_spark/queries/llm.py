@@ -50,6 +50,11 @@ from ..functions.vectorops import as_double_array
 from ..registry import register
 from ..sources.batch import load_table
 from . import _oracles as _shared_oracles
+from .bpe_oracles import (
+    _BPE_MERGES,
+    _bpe_encode_oracle,
+    _bpe_train_oracle,
+)
 from .ann_oracles import (
     _ANN_BASE_FILTER,
     _RES_ITERS,
@@ -58,6 +63,7 @@ from .ann_oracles import (
     _ann_recall_residual_oracle,
     _ann_staleness_oracle,
     _cell_balanced_sample_oracle,
+    _ivfpq_filtered_oracle,
     _ivfpq_refine_oracle,
     _KMPAR_ELL,
     _KMPAR_ROUNDS,
@@ -1228,6 +1234,42 @@ def q_ann_recall_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-hash-checked results."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _recall_vs_exact(emb, _refined_search(emb))
+
+
+@register("ann_search_filtered", _ivfpq_filtered_oracle())
+def q_ann_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN search (FAISS ``IDSelector`` / per-tenant vector
+    search — Milvus/Vespa's "filtered search"): each probe query asks
+    for nearest neighbors WITHIN ITS OWN label class, and the predicate
+    is applied to the inverted-list scan BEFORE the ADC top-k, so all k
+    result slots satisfy the filter (pre-filtering; post-filtering an
+    unfiltered top-k silently under-fills — the classic filtered-ANN
+    mistake). The metadata column rides the codes relation as a
+    co-located join (both keyed by vec_id — at 100 TB the label is
+    stored alongside the codes at index-build time), the per-query
+    requested value rides the broadcast LUT, and candidate pruning
+    happens before any per-candidate arithmetic. Oracle replays
+    training, the multi-probe ADC, and the label predicate end-to-end.
+    Reference scope: /root/reference/main.py has no vector surface;
+    this extends the ANN family (SURVEY §2.11)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = sim_ops.train_ann_index(
+        emb, dim=64, n_subspaces=8, n_cents=8, n_cells=8, iters=_RES_ITERS
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("_e"),
+        F.col("label").alias("_qattr"),
+    )
+    return sim_ops.ann_index_search(
+        q,
+        index,
+        dim=64,
+        n_subspaces=8,
+        nprobe=2,
+        k=5,
+        attrs=emb.select("vec_id", "label"),
+    )
 
 
 def _kmeanspar_seed_df(d: DataFrame) -> DataFrame:
@@ -3634,96 +3676,6 @@ def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
-#: Registered BPE training depth — 10 is past the compounding point on
-#: this corpus: steps 8/9 ('p ar'→par, 'm er'→mer) consume symbols
-#: built by steps 7/1, the property a one-step exhibit cannot show.
-_BPE_MERGES = 10
-
-
-def _bpe_train_parts(n_merges: int = _BPE_MERGES) -> list[str]:
-    """Materialized CTE chain replaying ``n_merges`` BPE rounds. Each
-    round counts adjacent pairs over the (word, freq, idx, sym)
-    relation, picks the (cnt DESC, pair ASC) winner, and applies it
-    with the GREEDY NON-OVERLAPPING rule expressed relationally:
-    consecutive matched positions only arise when left == right (a
-    char run), and greedy takes the even offsets within each maximal
-    run — gaps-and-islands (idx − row_number) finds the runs, a
-    windowed min finds the offsets, and positions following a chosen
-    match are dropped. Provably the same function as the Spark fold
-    (operators/bpe.py apply_merge; adversarial parity pinned in
-    tests/test_bpe.py). Shared by the trainer oracle (reads win{r})
-    and the encoder oracle (reads syms{n})."""
-    from .ann_oracles import _materialize
-
-    parts = [
-        """WITH w AS (
-  SELECT word, count(*) AS freq FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM documents
-  ) GROUP BY word
-)""",
-        """syms0 AS (
-  SELECT word, freq, u.i AS idx, u.v AS sym
-  FROM (SELECT word, freq,
-               unnest(list_transform(string_split(word, ''),
-                                     (x, i) -> {'i': i, 'v': x})) AS u
-        FROM w)
-)""",
-    ]
-    for r in range(1, n_merges + 1):
-        p = r - 1
-        parts += [
-            f"""pc{r} AS (
-  SELECT a.sym || ' ' || b.sym AS pair, CAST(sum(a.freq) AS BIGINT) AS cnt
-  FROM syms{p} a JOIN syms{p} b ON a.word = b.word AND b.idx = a.idx + 1
-  GROUP BY 1
-)""",
-            f"""win{r} AS (
-  SELECT pair, string_split(pair, ' ')[1] AS l,
-         string_split(pair, ' ')[2] AS rr, cnt
-  FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1
-)""",
-            f"""m{r} AS (
-  SELECT a.word, a.freq, a.idx, a.sym,
-         coalesce(a.sym = (SELECT l FROM win{r})
-                  AND b.sym = (SELECT rr FROM win{r}), FALSE) AS is_m
-  FROM syms{p} a
-  LEFT JOIN syms{p} b ON a.word = b.word AND b.idx = a.idx + 1
-)""",
-            f"""ch{r} AS (
-  SELECT word, idx FROM (
-    SELECT word, idx, idx - min(idx) OVER (PARTITION BY word, grp) AS off
-    FROM (SELECT word, idx,
-                 idx - row_number() OVER (PARTITION BY word
-                                          ORDER BY idx) AS grp
-          FROM m{r} WHERE is_m)
-  ) WHERE off % 2 = 0
-)""",
-            f"""syms{r} AS (
-  SELECT m.word, m.freq,
-         row_number() OVER (PARTITION BY m.word ORDER BY m.idx) AS idx,
-         CASE WHEN c.idx IS NOT NULL THEN m.sym || nxt.sym
-              ELSE m.sym END AS sym
-  FROM m{r} m
-  LEFT JOIN ch{r} c ON c.word = m.word AND c.idx = m.idx
-  LEFT JOIN ch{r} cp ON cp.word = m.word AND cp.idx = m.idx - 1
-  LEFT JOIN syms{p} nxt ON nxt.word = m.word AND nxt.idx = m.idx + 1
-  WHERE cp.idx IS NULL
-)""",
-        ]
-    return _materialize(parts)
-
-
-def _bpe_train_oracle(n_merges: int = _BPE_MERGES) -> str:
-    """bpe_train_merges' oracle: the round chain + the merge table
-    (one row per round winner)."""
-    rows = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS BIGINT) AS step, pair, l || rr AS merged, cnt "
-        f"FROM win{r}"
-        for r in range(1, n_merges + 1)
-    )
-    return ",\n".join(_bpe_train_parts(n_merges)) + "\n" + rows
-
-
 @register("bpe_train_merges", _bpe_train_oracle())
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-iteration BPE tokenizer training (VERDICT r12 item 5 —
@@ -3736,19 +3688,6 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy non-overlapping merge application."""
     docs = load_table(spark, sf_dir, "documents", parallelize=True)
     return bpe_train(docs, _BPE_MERGES)
-
-
-def _bpe_encode_oracle(n_merges: int = _BPE_MERGES) -> str:
-    """bpe_encode_vocab's oracle: the training chain's final symbol
-    relation IS the encoded vocabulary — per distinct word, its BPE
-    segmentation, token count, and corpus frequency."""
-    return ",\n".join(_bpe_train_parts(n_merges)) + f"""
-SELECT word, CAST(any_value(freq) AS BIGINT) AS freq,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       string_agg(sym, '|' ORDER BY idx) AS tokens
-FROM syms{n_merges}
-GROUP BY word
-"""
 
 
 @register("bpe_encode_vocab", _bpe_encode_oracle())

@@ -2137,3 +2137,72 @@ def q_streaming_ann_serve_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_ckpt(spark, cells_t)
     release_ckpt(spark, codes_t)
     return out
+
+
+def fold_bpe_encode(doc_stream: DataFrame, rules: list) -> DataFrame:
+    """Serve a FROZEN BPE merge table over a document stream: per
+    micro-batch, the batch's distinct words are segmented by the
+    trained rules (n_merges chained greedy codegen folds — map-only,
+    zero shuffles, the :func:`~..operators.bpe.bpe_encode` contract)
+    and the (word, freq) partials accumulate driver-side; at drain one
+    merge sums the per-batch frequencies per word. Segmentation is a
+    pure function of (word, rules), so every batch re-derives the SAME
+    tokens for a word it re-sees — finals ≡ the batch encode of the
+    whole corpus, which is what a frozen tokenizer means. At 100 TB
+    this is tokenizer serving: the merge table is O(n_merges) driver
+    state broadcast into every batch, per-batch cost is a map over the
+    batch's words plus a distinct-word collapse, and the vocabulary
+    ledger (the only cross-batch state) is word-keyed — bounded by
+    vocabulary, not corpus."""
+    from ..operators.bpe import bpe_encode, word_freqs
+    from ..streaming.checkpoints import run_foreach_batch
+
+    spark = doc_stream.sparkSession
+    partials: list = []
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        enc = bpe_encode(word_freqs(batch_df), rules).select(
+            "word",
+            F.col("freq").cast("long").alias("freq"),
+            F.size("syms").cast("long").alias("n_tokens"),
+            F.concat_ws("|", "syms").alias("tokens"),
+        )
+        partials.extend(tuple(r) for r in enc.collect())
+
+    run_foreach_batch(doc_stream, fold, f"stream_bpe_{next(_counter)}")
+    part_df = spark.createDataFrame(
+        partials, "word string, freq long, n_tokens long, tokens string"
+    )
+    return part_df.groupBy("word").agg(
+        F.sum("freq").cast("long").alias("freq"),
+        F.min("n_tokens").cast("long").alias("n_tokens"),
+        F.min("tokens").alias("tokens"),
+    )
+
+
+def _bpe_stream_oracle() -> str:
+    from .bpe_oracles import _bpe_encode_oracle
+
+    return _bpe_encode_oracle()
+
+
+@register("streaming_bpe_encode", _bpe_stream_oracle())
+def q_streaming_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BPE ENCODE — the tokenizer twin of the frozen-index
+    ANN serving tier: train the merge table once (batch — the offline
+    trainer, bpe_train_rules), freeze it, and segment the document
+    stream per micro-batch via :func:`fold_bpe_encode`. The oracle is
+    bpe_encode_vocab's verbatim: a frozen tokenizer must produce the
+    same vocabulary segmentation and corpus frequencies whether the
+    corpus arrives as one batch or as a tape of micro-batches (the
+    three-batch pytest pins arrival-batching invariance). Completes
+    the train/serve/stream triad for tokenization that the ANN family
+    already has (train_ann_index / ann_index_search /
+    streaming_ann_serve)."""
+    from ..operators.bpe import bpe_train_rules
+    from ..sources.stream import documents_stream
+    from .bpe_oracles import _BPE_MERGES
+
+    docs = load_table(spark, sf_dir, "documents", parallelize=True)
+    rules = bpe_train_rules(docs, _BPE_MERGES)
+    return fold_bpe_encode(documents_stream(spark, sf_dir), rules)

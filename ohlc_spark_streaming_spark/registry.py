@@ -214,8 +214,15 @@ DRIVER_ROTATION: tuple[str, ...] = (
     # LLM pipeline (least-risky tail — round-13 additions displace
     # from the BOTTOM as they land; displaced names lead round 14)
     "corpus_curation_report",
-    "contrastive_pairs",
-    "domain_mixture",
+    # round-13 addition: streaming BPE encode — the frozen merge
+    # table serving a document stream per micro-batch, finals ≡ the
+    # batch encode (took contrastive_pairs' slot; it leads round 14)
+    "streaming_bpe_encode",
+    # round-13 addition: FILTERED ANN search — per-query label
+    # predicate applied to the inverted-list scan BEFORE the ADC
+    # top-k (FAISS IDSelector pre-filtering; took domain_mixture's
+    # slot; it leads round 14's cohort)
+    "ann_search_filtered",
     "group_split_users",
     # round-13 addition: refined streaming ANN serving — the frozen
     # serving tier with the IndexRefineFlat exact re-rank, finals ≡

@@ -189,3 +189,86 @@ def test_streaming_ann_serve_refined_multibatch_equals_batch(
         )
     )
     assert got == want and len(got) == 50
+
+
+def test_filtered_search_prefilters_not_postfilters(spark):
+    """Filtered ANN pin: (a) every returned candidate's label equals
+    its query's label; (b) ranks are dense 1..k per query — the filter
+    ran BEFORE the top-k cut (pre-filtering), so the k slots are all
+    filter-survivors; (c) the result is NOT the post-hoc filter of the
+    unfiltered top-k — post-filtering under-fills whenever an
+    unfiltered slot went to a wrong-label neighbor, which is the
+    precise mistake the operator exists to avoid."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    index = train_ann_index(emb, iters=_RES_ITERS)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("_e"),
+        F.col("label").alias("_qattr"),
+    )
+    filt = ann_index_search(
+        q, index, nprobe=2, k=5, attrs=emb.select("vec_id", "label")
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in filt:
+        assert labels[r.vec_id] == labels[r.query_id]
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    unfiltered = ann_index_search(_queries(emb), index, nprobe=2, k=5).collect()
+    post = {
+        (r.query_id, r.vec_id)
+        for r in unfiltered
+        if labels[r.vec_id] == labels[r.query_id]
+    }
+    pre = {(r.query_id, r.vec_id) for r in filt}
+    # post-filtering keeps only same-label survivors of the unfiltered
+    # top-k: a strict subset here (under-filled queries exist)
+    assert post < pre
+
+
+def test_streaming_bpe_encode_multibatch_equals_batch(spark, tmp_path):
+    """The frozen-tokenizer pin: the documents table split into THREE
+    real micro-batches, encoded per batch by fold_bpe_encode with the
+    batch-trained merge table, merges to row-for-row the batch
+    bpe_encode_vocab answer — a frozen tokenizer is arrival-batching
+    invariant because segmentation is a pure function of (word, rules)
+    and the only cross-batch state is the word-frequency ledger."""
+    import os
+
+    from ohlc_spark_streaming_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_rules,
+        word_freqs,
+    )
+    from ohlc_spark_streaming_spark.queries.bpe_oracles import _BPE_MERGES
+    from ohlc_spark_streaming_spark.queries.streaming import fold_bpe_encode
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rules = bpe_train_rules(docs, _BPE_MERGES)
+    tape_dir = str(tmp_path / "doctape")
+    docs.withColumn("part", F.col("doc_id") % 3).repartitionByRange(
+        3, "part"
+    ).drop("part").write.mode("overwrite").parquet(tape_dir)
+    n_files = len([f for f in os.listdir(tape_dir) if f.endswith(".parquet")])
+    assert n_files == 3, n_files
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tape_dir)
+    )
+    got = set(map(tuple, fold_bpe_encode(stream, rules).collect()))
+    want = set(
+        map(
+            tuple,
+            bpe_encode(word_freqs(docs), rules)
+            .select(
+                "word",
+                F.col("freq").cast("long").alias("freq"),
+                F.size("syms").cast("long").alias("n_tokens"),
+                F.concat_ws("|", "syms").alias("tokens"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

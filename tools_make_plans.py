@@ -236,6 +236,31 @@ NOTES = {
         "top-k, and the oracle is similarity_ivfpq_residual's "
         "verbatim. Finals accumulate driver-side, ≤ k rows per query."
     ),
+    "streaming_bpe_encode": (
+        "Frozen-tokenizer serving (the BPE twin of streaming_ann_serve): "
+        "train the merge table once offline (bpe_train_rules), freeze "
+        "it, segment each micro-batch's distinct words with n_merges "
+        "chained greedy codegen folds (map-only, zero shuffles), and "
+        "merge per-batch (word, freq) partials into the vocabulary "
+        "ledger at drain. Segmentation is a pure function of (word, "
+        "rules), so finals ≡ the batch bpe_encode_vocab answer — "
+        "arrival-batching invariance pinned by the three-batch tape "
+        "pytest. Cross-batch state is word-keyed: bounded by "
+        "vocabulary, not corpus."
+    ),
+    "ann_search_filtered": (
+        "Filtered ANN search (FAISS IDSelector / per-tenant vector "
+        "search): each probe query asks for neighbors within its own "
+        "label class, and the predicate prunes candidates on the "
+        "inverted-list scan BEFORE the ADC top-k (pre-filtering), so "
+        "all k slots satisfy the filter — post-filtering an unfiltered "
+        "top-k under-fills, the classic filtered-ANN mistake (pinned "
+        "in tests/test_round13_ops.py). The label rides the codes "
+        "relation as a co-located vec_id join (at 100 TB it is stored "
+        "alongside the codes at index-build time); the per-query "
+        "requested value rides the broadcast LUT; candidate pruning "
+        "happens before any per-candidate arithmetic."
+    ),
     "similarity_ivfpq_refine": (
         "ADC shortlist + exact re-rank (FAISS IndexRefineFlat): the "
         "residual trained index retrieves the top refine_factor·k "
