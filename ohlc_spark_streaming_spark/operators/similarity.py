@@ -51,6 +51,116 @@ def _bucket_expr(vec_col, planes: list[list[float]]):
     return bucket.cast("long")
 
 
+# ---------------------------------------------------------------------
+# Round-13 optimization (guide §2.4 "remove shuffles outright", §1.2):
+# nearest-centroid ASSIGNMENT as a narrow expression over a ONE-ROW
+# broadcast of the centroid set, instead of crossJoin(broadcast) →
+# groupBy(id) struct-min → corpus-sized re-join. The centroid set is
+# O(k·dim) driver state by the training contract (lloyd_train already
+# collects it every iteration); shipping it as the single row of a
+# broadcast relation keeps the VALUES out of the plan (a literal
+# encoding was measured 2× slower: every Lloyd iteration changes the
+# centroid values, so value-bearing plans miss the whole-stage-codegen
+# cache and recompile ~0.5–1 s per job; value-free plans are identical
+# across iterations/queries and hit it). Assignment semantics are
+# unchanged bitwise: array_min over struct(d, c) is the same total
+# order / smallest-id tie-break as the relational min(struct(d, c)).
+# ---------------------------------------------------------------------
+
+_CENTS_SCHEMA = "_cents array<struct<_ccid: bigint, _cv: array<double>>>"
+_BOOK_SCHEMA = "_book array<struct<s: int, _cid: bigint, cv: array<double>>>"
+
+
+def _training_set(d: DataFrame) -> DataFrame:
+    """Materialize a trainer's projected input once per query — the
+    MLlib-kmeans idiom (its Lloyd loop caches the norm-augmented input
+    before iterating): the iterative trainer re-reads this frame
+    ``iters``+2 times, so paying one materialization beats re-running
+    the scan/projection chain per iteration. Fans out to the session
+    parallelism first when the source has fewer splits (the bench's
+    single-row-group files would otherwise serialize every per-row
+    argmin on one core); at real scale the scan is already wider and
+    the fan-out is skipped."""
+    from ..session import default_parallelism
+
+    target = default_parallelism()
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    return d.localCheckpoint(eager=True)
+
+
+def _collect_cents(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a (_ccid, _cv) centroid relation to the driver, sorted by
+    id (bounded by the O(k·dim) training contract)."""
+    return sorted(
+        (r["_ccid"], list(r["_cv"]))
+        for r in cents.select("_ccid", "_cv").collect()
+    )
+
+
+def _with_cents(d: DataFrame, rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """Attach the centroid set to every row of ``d`` as ``_cents`` via a
+    one-row broadcast (BroadcastNestedLoopJoin of a bounded single row —
+    narrow, no shuffle; the lint-sanctioned 1-row-broadcast shape)."""
+    one = d.sparkSession.createDataFrame(
+        [([(int(i), list(v)) for i, v in rows],)], _CENTS_SCHEMA
+    )
+    return d.crossJoin(F.broadcast(one))
+
+
+def _nearest_entry(vec, cents_col=None):
+    """``min(struct(d, c))`` over the attached ``_cents`` — identical
+    total-order/tie-break (smallest centroid id on equal distance) to
+    the relational struct-min assignment. ``.getField("c")`` is the
+    cell; ``.getField("d")`` the squared distance."""
+    from ..functions.vectorops import sqdist
+
+    col = F.col("_cents") if cents_col is None else cents_col
+    return F.array_min(
+        F.transform(
+            col,
+            lambda c: F.struct(
+                sqdist(vec, c["_cv"]).alias("d"), c["_ccid"].alias("c")
+            ),
+        )
+    )
+
+
+def _nearest_entries(vec, nprobe: int, cents_col=None):
+    """The ``nprobe`` nearest cells, ascending by (distance, centroid
+    id), as array<struct<d,c>> — array_sort uses the same struct
+    ordering as the nprobe>1 row_number ranking it replaces."""
+    from ..functions.vectorops import sqdist
+
+    col = F.col("_cents") if cents_col is None else cents_col
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                col,
+                lambda c: F.struct(
+                    sqdist(vec, c["_cv"]).alias("d"), c["_ccid"].alias("c")
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+
+
+def _cent_lookup(cell_col, cents_col=None):
+    """centroid(cell) from the attached ``_cents`` — the residual path's
+    centroid fetch without a join (map lookup over the bounded set)."""
+    col = F.col("_cents") if cents_col is None else cents_col
+    return F.element_at(
+        F.map_from_entries(
+            F.transform(
+                col, lambda c: F.struct(c["_ccid"].alias("k"), c["_cv"].alias("v"))
+            )
+        ),
+        cell_col,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -228,31 +338,34 @@ def _coarse_cells(
     discipline; ``nprobe > 1`` returns the nearest ``nprobe`` cells per
     vector (rank ascending by (distance, centroid id)) — row ``probe``
     numbers them 1..nprobe so callers can keep probe-1 as THE cell.
-    Output: (id_col, cell, probe)."""
-    from ..functions.vectorops import sqdist
+    Output: (id_col, cell, probe).
 
+    Round-13 optimization (guide §2.4): assignment is a narrow
+    expression over a one-row broadcast of the centroid set — ZERO
+    shuffles instead of crossJoin(broadcast) → groupBy(id) (one full
+    corpus shuffle) or the nprobe row_number window (another).
+    Assignment is bitwise identical (same struct-min ordering — see
+    :func:`_nearest_entry`)."""
     if cents is None:
         cents = d.where(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("_ccid"), F.col(vec_alias).alias("_cv")
         )
-    dists = d.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        "_ccid",
-        sqdist(F.col(vec_alias), F.col("_cv")).alias("_d"),
-    )
+    dd = _with_cents(d, _collect_cents(cents))
+    vec = F.col(vec_alias)
     if nprobe <= 1:
-        return dists.groupBy(id_col).agg(
-            F.min(F.struct(F.col("_d").alias("d"), F.col("_ccid").alias("c")))
-            .getField("c")
-            .alias("cell")
-        ).withColumn("probe", F.lit(1))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_d").asc(), F.col("_ccid").asc()
-    )
+        return dd.select(
+            id_col,
+            _nearest_entry(vec).getField("c").alias("cell"),
+            F.lit(1).alias("probe"),
+        )
     return (
-        dists.withColumn("probe", F.row_number().over(w))
-        .where(F.col("probe") <= nprobe)
-        .select(id_col, F.col("_ccid").alias("cell"), "probe")
+        dd.select(id_col, _nearest_entries(vec, nprobe).alias("_ns"))
+        .select(id_col, F.posexplode("_ns").alias("_i", "_s"))
+        .select(
+            id_col,
+            F.col("_s.c").alias("cell"),
+            (F.col("_i") + 1).cast("int").alias("probe"),
+        )
     )
 
 
@@ -279,8 +392,18 @@ def ivf_cosine_topk(
     Output: query_id, vec_id, cos_sim, rank (deterministic).
     """
     emb = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
-    cells = _coarse_cells(emb, id_col, n_cells).drop("probe")
-    assigned = emb.join(cells, id_col)
+    # Round-13 (guide §2.4): one-row-broadcast argmin assignment inline —
+    # no corpus-sized emb⋈cells join.
+    cent_rows = _collect_cents(
+        emb.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("_ccid"), F.col("_v").alias("_cv")
+        )
+    )
+    assigned = _with_cents(emb, cent_rows).select(
+        id_col,
+        "_v",
+        _nearest_entry(F.col("_v")).getField("c").alias("cell"),
+    )
     q = assigned.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col("_v").alias("_q"), "cell"
     )
@@ -351,33 +474,143 @@ def _pq_codes_lut(
     is (id_col, _e: array<double>). ``codebook`` (s, _cid, cv) overrides
     the training-free default (subvectors of the first ``n_cents``
     corpus vectors) with Lloyd-trained sub-centroids.
-    codes: (id, s, c); lut: (query_id, s, c, _du integer units)."""
-    from ..functions.vectorops import sqdist
+    codes: (id, s, c); lut: (query_id, s, c, _du integer units).
 
+    Round-13 optimization (guide §2.4): the sub-codebook is O(m·k·d/m)
+    driver state (the Lloyd contract), so encoding is the per-subspace
+    argmin over a one-row broadcast of the codebook — codes become ONE
+    narrow projection of ``d`` (explode of an m-element code array),
+    replacing subvector-explode → broadcast-join → groupBy(id, s) (a
+    corpus-sized shuffle); the LUT likewise becomes a narrow explode
+    over the (bounded) query rows. Same struct-min tie-break, same
+    floor(d·1e9 + 0.5) quantization — bitwise identical."""
+    book = _collect_codebook(d, id_col, dim, n_subspaces, n_cents, codebook)
     sub_d = dim // n_subspaces
-    sub = _explode_subs(d, id_col, "sv", n_subspaces, sub_d)
-    cents = (
-        codebook
-        if codebook is not None
-        else _explode_subs(
-            d.where(F.col(id_col) < n_cents), id_col, "cv", n_subspaces, sub_d
-        ).withColumnRenamed(id_col, "_cid")
+    # Two-step projections: build the code/LUT arrays first, explode in
+    # a separate select (Spark's generator extraction mangles
+    # struct-field access in sibling expressions).
+    codes = (
+        _with_book(d, book)
+        .select(
+            id_col, _codes_array_from(F.col("_e"), n_subspaces, sub_d).alias("_ca")
+        )
+        .select(id_col, F.explode("_ca").alias("_x"))
+        .select(id_col, F.col("_x.s").alias("s"), F.col("_x.c").alias("c"))
     )
-    dists = sub.join(F.broadcast(cents), "s").select(
-        id_col, "s", "_cid", sqdist(F.col("sv"), F.col("cv")).alias("_d")
-    )
-    codes = dists.groupBy(id_col, "s").agg(
-        F.min(F.struct(F.col("_d").alias("d"), F.col("_cid").alias("c")))
-        .getField("c")
-        .alias("c")
-    )
-    lut = dists.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        "s",
-        F.col("_cid").alias("c"),
-        F.floor(F.col("_d") * 1e9 + F.lit(0.5)).cast("long").alias("_du"),
+    lut = (
+        _with_book(d.where(F.col(id_col) < n_queries), book)
+        .select(
+            F.col(id_col).alias("query_id"),
+            _lut_array_from(F.col("_e"), sub_d).alias("_la"),
+        )
+        .select("query_id", F.explode("_la").alias("_x"))
+        .select(
+            "query_id",
+            F.col("_x.s").alias("s"),
+            F.col("_x.c").alias("c"),
+            F.col("_x._du").alias("_du"),
+        )
     )
     return codes, lut
+
+
+def _collect_codebook(
+    d: DataFrame,
+    id_col: str,
+    dim: int,
+    n_subspaces: int,
+    n_cents: int,
+    codebook: DataFrame | None,
+    vec_alias: str = "_e",
+) -> list[tuple[int, int, list[float]]]:
+    """The sub-codebook as driver state: ``[(s, cid, cv), ...]`` sorted
+    by (s, cid) — from a trained (s, _cid, cv) relation, or the
+    training-free default (subvector slices of the first ``n_cents``
+    corpus rows)."""
+    sub_d = dim // n_subspaces
+    book: list[tuple[int, int, list[float]]] = []
+    if codebook is not None:
+        for r in codebook.select("s", "_cid", "cv").collect():
+            book.append((r["s"], r["_cid"], list(r["cv"])))
+    else:
+        seed_rows = (
+            d.where(F.col(id_col) < n_cents)
+            .select(F.col(id_col), F.col(vec_alias))
+            .collect()
+        )
+        for r in seed_rows:
+            v = list(r[1])
+            for s in range(n_subspaces):
+                book.append((s, r[0], v[s * sub_d : (s + 1) * sub_d]))
+    book.sort(key=lambda t: (t[0], t[1]))
+    return book
+
+
+def _with_book(
+    d: DataFrame, book: list[tuple[int, int, list[float]]]
+) -> DataFrame:
+    """Attach the sub-codebook to every row of ``d`` as ``_book`` via a
+    one-row broadcast (values as data, not plan literals — see the
+    module note above _CENTS_SCHEMA)."""
+    one = d.sparkSession.createDataFrame(
+        [([(int(s), int(c), list(v)) for s, c, v in book],)], _BOOK_SCHEMA
+    )
+    return d.crossJoin(F.broadcast(one))
+
+
+def _codes_array_from(vec, n_subspaces: int, sub_d: int, book_col=None):
+    """Per-row PQ code array ``[(s, c)]`` — argmin over the attached
+    ``_book`` per subspace (struct-min tie-break to the smallest cid)."""
+    from ..functions.vectorops import sqdist
+
+    col = F.col("_book") if book_col is None else book_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.array_min(
+                    F.transform(
+                        F.filter(col, lambda b: b["s"] == F.lit(s)),
+                        lambda b: F.struct(
+                            sqdist(
+                                F.slice(vec, s * sub_d + 1, sub_d), b["cv"]
+                            ).alias("d"),
+                            b["_cid"].alias("c"),
+                        ),
+                    )
+                )
+                .getField("c")
+                .alias("c"),
+            )
+            for s in range(n_subspaces)
+        ]
+    )
+
+
+def _lut_array_from(vec, sub_d: int, book_col=None):
+    """Per-query ADC lookup-table array ``[(s, c, _du)]`` — every
+    (subspace, sub-centroid) distance in 1e-9 integer units, from the
+    attached ``_book``."""
+    from ..functions.vectorops import sqdist
+
+    col = F.col("_book") if book_col is None else book_col
+    return F.transform(
+        col,
+        lambda b: F.struct(
+            b["s"].alias("s"),
+            b["_cid"].alias("c"),
+            F.floor(
+                sqdist(
+                    F.slice(vec, b["s"] * F.lit(sub_d) + F.lit(1), F.lit(sub_d)),
+                    b["cv"],
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_du"),
+        ),
+    )
 
 
 def pq_adc_topk(
@@ -466,17 +699,49 @@ def ivf_pq_topk(
     query_id, vec_id, adc_units, rank — ties on vec_id."""
     d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
 
-    # --- coarse half: full-vector cell assignment (shared helper) ---
-    cells = _coarse_cells(d, id_col, n_cells, vec_alias="_e").drop("probe")
+    # --- coarse half: one-row-broadcast argmin assignment (round-13:
+    # fused inline with the encode — no codes⋈cells join) ---
+    cent_rows = _collect_cents(
+        d.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("_ccid"), F.col("_e").alias("_cv")
+        )
+    )
+    sub_d = dim // n_subspaces
+    cell_expr = _nearest_entry(F.col("_e")).getField("c")
 
     # --- fine half: the SHARED PQ codes + query LUT, cell-tagged ---
-    pq_codes, pq_lut = _pq_codes_lut(
-        d, id_col, dim, n_subspaces, n_cents, n_queries
+    book_rows = _collect_codebook(d, id_col, dim, n_subspaces, n_cents, None)
+    # Two-step projections (generator-extraction quirk — see lloyd_train).
+    codes = (
+        _with_book(_with_cents(d, cent_rows), book_rows)
+        .select(
+            id_col,
+            cell_expr.alias("cell"),
+            _codes_array_from(F.col("_e"), n_subspaces, sub_d).alias("_ca"),
+        )
+        .select(id_col, "cell", F.explode("_ca").alias("_x"))
+        .select(
+            id_col, "cell", F.col("_x.s").alias("s"), F.col("_x.c").alias("c")
+        )
     )
-    codes = pq_codes.join(cells, id_col)
-    lut = pq_lut.join(
-        cells.select(F.col(id_col).alias("query_id"), F.col("cell")),
-        "query_id",
+    lut = (
+        _with_book(
+            _with_cents(d.where(F.col(id_col) < n_queries), cent_rows),
+            book_rows,
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            cell_expr.alias("cell"),
+            _lut_array_from(F.col("_e"), sub_d).alias("_la"),
+        )
+        .select("query_id", "cell", F.explode("_la").alias("_x"))
+        .select(
+            "query_id",
+            "cell",
+            F.col("_x.s").alias("s"),
+            F.col("_x.c").alias("c"),
+            F.col("_x._du").alias("_du"),
+        )
     )
 
     # --- compose: ADC only over the probed cell's inverted list ---
@@ -538,12 +803,25 @@ def lloyd_train(
 
     Returns a small DataFrame (``*part_cols``, ``_ccid``, ``_cv``) of
     trained centroids with bitwise-reproducible components.
+
+    Round-13 optimization (guide §2.4, §1.2 "the distributed
+    algorithm"): because the centroids are O(k·dim) DRIVER state by
+    contract (they were already collected every iteration), each
+    iteration now assigns cells via a narrow argmin over a one-row
+    broadcast of the centroid set (values as DATA, so every iteration
+    reuses the same compiled plan — see the module note above
+    _CENTS_SCHEMA) and aggregates the per-(cell, dim) integer-unit sums
+    in ONE narrow scan + one k·dim-row partial aggregate — the
+    relational form paid a crossJoin row-multiplication, a groupBy(id)
+    corpus shuffle, a corpus-sized d⋈cells re-join, and a centroid
+    left-join per iteration. Centroids are bitwise identical (same
+    struct-min assignment, same exact integer-unit means).
     """
     from ..functions.vectorops import sqdist
 
     spark = d.sparkSession
     parts = list(part_cols)
-    cents = (
+    src = (
         seeds.select(*parts, "_ccid", "_cv")
         if seeds is not None
         else d.where(F.col(id_col) < n_cents).select(
@@ -554,68 +832,126 @@ def lloyd_train(
     )
     part_schema = "".join(f"{p} int, " for p in parts)
     cents_schema = f"{part_schema}_ccid long, _cv array<double>"
-    for _ in range(iters):
-        joined = (
-            d.join(F.broadcast(cents), parts)
-            if parts
-            else d.crossJoin(F.broadcast(cents))
-        )
-        cells = (
-            joined.select(
-                *parts,
-                id_col,
-                "_ccid",
-                sqdist(F.col(vec_alias), F.col("_cv")).alias("_d"),
-            )
-            .groupBy(*parts, id_col)
-            .agg(
-                F.min(
-                    F.struct(F.col("_d").alias("d"), F.col("_ccid").alias("c"))
-                )
-                .getField("c")
-                .alias("_cell")
-            )
-        )
-        comp = d.join(cells, [*parts, id_col]).select(
-            *parts, "_cell", F.posexplode(vec_alias).alias("_p", "_x")
-        )
-        ux = F.floor(F.col("_x") * F.lit(_LLOYD_UNIT) + F.lit(0.5)).cast(
-            "decimal(38,0)"
-        )
-        upd = (
-            comp.groupBy(*parts, "_cell", "_p")
-            .agg(F.count(F.lit(1)).alias("_n"), F.sum(ux).alias("_sx"))
-            .select(
-                *parts,
-                "_cell",
-                "_p",
-                (
-                    F.col("_sx").cast("double")
-                    / F.lit(_LLOYD_UNIT)
-                    / F.col("_n")
-                ).alias("_nc"),
-            )
-        )
-        newc = upd.groupBy(*parts, "_cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_p", "_nc"))),
-                lambda s: s["_nc"],
-            ).alias("_nv")
-        )
-        cents = cents.join(
-            newc.withColumnRenamed("_cell", "_ccid"),
-            [*parts, "_ccid"],
-            "left",
-        ).select(
-            *parts,
-            "_ccid",
-            F.coalesce(F.col("_nv"), F.col("_cv")).alias("_cv"),
-        )
-        # Flatten: k·dim doubles to the driver, re-injected as exact
-        # literals (py4j round-trips IEEE doubles bitwise).
-        cents = spark.createDataFrame(cents.collect(), schema=cents_schema)
-    return cents
+    groups: dict[tuple, list[tuple[int, list[float]]]] = {}
+    for r in src.collect():
+        key = tuple(r[p] for p in parts)
+        groups.setdefault(key, []).append((r["_ccid"], list(r["_cv"])))
+    for g in groups.values():
+        g.sort(key=lambda t: t[0])
+    cands_schema = (
+        "_cands array<struct<"
+        + "".join(f"{p}: int, " for p in parts)
+        + "_ccid: bigint, _cv: array<double>>>"
+    )
+    # The per-iteration exchange carries at most k·dim map-side-combined
+    # rows REGARDLESS of corpus size (partial aggregation collapses each
+    # map task to ≤ k·dim groups), so size it to the bounded output
+    # instead of the session default (guide §2.2 "fewer, larger reduce
+    # partitions"; run_to_memory's save/restore idiom). At sf0.1 this
+    # also removes the AQE 32→1 coalesce re-planning from every
+    # training job (~0.3 s/iteration on this box).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
+    def with_cands(frame: DataFrame) -> DataFrame:
+        one = spark.createDataFrame(
+            [
+                (
+                    [
+                        (*key, int(ccid), list(cv))
+                        for key in sorted(groups)
+                        for ccid, cv in groups[key]
+                    ],
+                )
+            ],
+            cands_schema,
+        )
+        return frame.crossJoin(F.broadcast(one))
+
+    def assign_expr():
+        vec = F.col(vec_alias)
+        pool = F.col("_cands")
+        if parts:
+            def matches(c):
+                cond = None
+                for p in parts:
+                    e = c[p] == F.col(p)
+                    cond = e if cond is None else (cond & e)
+                return cond
+
+            pool = F.filter(pool, matches)
+        return F.array_min(
+            F.transform(
+                pool,
+                lambda c: F.struct(
+                    sqdist(vec, c["_cv"]).alias("d"), c["_ccid"].alias("c")
+                ),
+            )
+        ).getField("c")
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(_TRAIN_AGG_PARTITIONS))
+    try:
+        for _ in range(iters):
+            # Two-step projection: the generator (posexplode) must not
+            # share a select with the struct-field assignment expression
+            # — Spark's generator extraction re-analyzes siblings and
+            # loses struct field names (FIELD_NOT_FOUND col1/col2).
+            comp = with_cands(d).select(
+                *parts, assign_expr().alias("_cell"), F.col(vec_alias)
+            ).select(
+                *parts, "_cell", F.posexplode(vec_alias).alias("_p", "_x")
+            )
+            ux = F.floor(
+                F.col("_x") * F.lit(_LLOYD_UNIT) + F.lit(0.5)
+            ).cast("decimal(38,0)")
+            upd = (
+                comp.groupBy(*parts, "_cell", "_p")
+                .agg(F.count(F.lit(1)).alias("_n"), F.sum(ux).alias("_sx"))
+                .select(
+                    *parts,
+                    "_cell",
+                    "_p",
+                    (
+                        F.col("_sx").cast("double")
+                        / F.lit(_LLOYD_UNIT)
+                        / F.col("_n")
+                    ).alias("_nc"),
+                )
+            )
+            moved: dict[tuple, dict[int, list[tuple[int, float]]]] = {}
+            for r in upd.collect():
+                key = tuple(r[p] for p in parts)
+                moved.setdefault(key, {}).setdefault(r["_cell"], []).append(
+                    (r["_p"], r["_nc"])
+                )
+            # An emptied centroid keeps its previous position (the same
+            # guard the relational form's LEFT JOIN + coalesce applies).
+            for key, g in groups.items():
+                nxt = []
+                for ccid, cv in g:
+                    comps = moved.get(key, {}).get(ccid)
+                    if comps:
+                        comps.sort(key=lambda t: t[0])
+                        cv = [x for _, x in comps]
+                    nxt.append((ccid, cv))
+                groups[key] = nxt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = [
+        (*key, ccid, cv)
+        for key in sorted(groups)
+        for ccid, cv in groups[key]
+    ]
+    return spark.createDataFrame(out, schema=cents_schema)
+
+
+#: Reduce-partition count for the bounded training aggregates (Lloyd
+#: update, k-means‖ cost/weight passes): map-side partial aggregation
+#: collapses every map task to ≤ k·dim (resp. ≤ |cands|) groups, so the
+#: exchange carries a bounded row count at ANY corpus size — sizing it
+#: to the output instead of the session default is scale-independent
+#: (guide §2.2), and at bench scale removes the AQE coalesce round trip
+#: from every training job.
+_TRAIN_AGG_PARTITIONS = 8
 
 #: k-means‖ per-round hash constants. The MinHash multipliers (< 3e4)
 #: are NOT reusable here: sequential ids never wrap ``P`` under them, so
@@ -683,55 +1019,65 @@ def kmeanspar_seeds(
     cands: list[tuple[int, list[float]]] = [
         (r._ccid, list(r._cv)) for r in first
     ]
-    for r in range(1, rounds + 1):
-        cdf = spark.createDataFrame(cands, schema=schema)
-        dist = (
-            d.crossJoin(F.broadcast(cdf))
+
+    # Round-13 optimization (guide §2.4): the candidate set is driver
+    # state by construction, so each pass's nearest-candidate distance
+    # is a narrow min over a one-row broadcast of the candidates — one
+    # NARROW scan + one 1-row total per round (the relational form paid
+    # a crossJoin row-multiplication and a groupBy(id) corpus shuffle
+    # per round, plus a corpus join to fetch the picked vectors). min
+    # over the same sqdist doubles ≡ F.min("_d") bitwise; cands stay
+    # bounded by the oversampling contract (expected 1 + rounds·ℓ).
+    def min_du():
+        return F.floor(
+            F.array_min(
+                F.transform(
+                    F.col("_cents"), lambda c: sqdist(F.col(vec_alias), c["_cv"])
+                )
+            )
+            * 1e9
+            + F.lit(0.5)
+        ).cast("long")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_TRAIN_AGG_PARTITIONS))
+    try:
+        for r in range(1, rounds + 1):
+            dc = _with_cents(d, cands)
+            dist = dc.select(F.col(id_col), min_du().alias("_du"))
+            phi = dist.agg(F.sum("_du")).collect()[0][0]
+            a, b = _KMPAR_A[r - 1], _KMPAR_B[r - 1]
+            u = ((F.col(id_col) * F.lit(a) + F.lit(b)) % F.lit(P)).cast(
+                "double"
+            ) / F.lit(float(P))
+            thresh = (F.lit(ell) * F.col("_du").cast("double")) / F.lit(
+                float(phi)
+            )
+            picked = (
+                dc.select(
+                    F.col(id_col).alias("_ccid"),
+                    F.col(vec_alias).alias("_cv"),
+                    min_du().alias("_du"),
+                    u.alias("_u"),
+                )
+                .where(F.col("_u") < thresh)
+                .collect()
+            )
+            cands += sorted(
+                (r2._ccid, list(r2._cv)) for r2 in picked
+            )
+
+        near = (
+            _with_cents(d, cands)
             .select(
-                F.col(id_col),
-                sqdist(F.col(vec_alias), F.col("_cv")).alias("_d"),
+                _nearest_entry(F.col(vec_alias)).getField("c").alias("_ncid")
             )
-            .groupBy(id_col)
-            .agg(
-                F.floor(F.min("_d") * 1e9 + F.lit(0.5))
-                .cast("long")
-                .alias("_du")
-            )
-        )
-        phi = dist.agg(F.sum("_du")).collect()[0][0]
-        a, b = _KMPAR_A[r - 1], _KMPAR_B[r - 1]
-        u = ((F.col(id_col) * F.lit(a) + F.lit(b)) % F.lit(P)).cast(
-            "double"
-        ) / F.lit(float(P))
-        thresh = (F.lit(ell) * F.col("_du").cast("double")) / F.lit(
-            float(phi)
-        )
-        sel = dist.where(u < thresh).select(id_col)
-        picked = (
-            d.join(sel, id_col)
-            .select(
-                F.col(id_col).alias("_ccid"), F.col(vec_alias).alias("_cv")
-            )
+            .groupBy("_ncid")
+            .agg(F.count(F.lit(1)).alias("_w"))
             .collect()
         )
-        cands += [(r2._ccid, list(r2._cv)) for r2 in picked]
-
-    cdf = spark.createDataFrame(cands, schema=schema)
-    near = (
-        d.crossJoin(F.broadcast(cdf))
-        .select(
-            F.col(id_col),
-            F.struct(
-                sqdist(F.col(vec_alias), F.col("_cv")).alias("d"),
-                F.col("_ccid").alias("c"),
-            ).alias("_s"),
-        )
-        .groupBy(id_col)
-        .agg(F.min("_s").getField("c").alias("_ncid"))
-        .groupBy("_ncid")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .collect()
-    )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     weights = {r3._ncid: r3._w for r3 in near}
     # A candidate whose region is empty (a duplicate vector losing the
     # d=0 tie to a smaller id) has no mass — it neither seeds nor votes
@@ -796,20 +1142,18 @@ def quantization_distortion(d: DataFrame, cents: DataFrame) -> DataFrame:
     (vec_id, _e): Σ over vectors of the 1e-9 integer-unit squared-L2 to
     the nearest centroid — the exact-integer yardstick the k-means‖
     audit hashes (order-independent: the per-vector unit floor happens
-    BEFORE the sum, and the sum is exact int64). One narrow scan
-    against a broadcast centroid table. Returns one row
-    (``distortion_units`` long)."""
+    BEFORE the sum, and the sum is exact int64). One narrow scan, zero
+    shuffles (argmin over the one-row centroid broadcast — the
+    pre-round-13 crossJoin + groupBy(vec_id) form shuffled the corpus).
+    Returns one row (``distortion_units`` long)."""
     from ..functions.vectorops import sqdist
 
-    return (
-        d.crossJoin(F.broadcast(cents))
-        .select("vec_id", sqdist(F.col("_e"), F.col("_cv")).alias("_d"))
-        .groupBy("vec_id")
-        .agg(
-            F.floor(F.min("_d") * 1e9 + F.lit(0.5)).cast("long").alias("_du")
-        )
-        .agg(F.sum("_du").cast("long").alias("distortion_units"))
+    m = F.array_min(
+        F.transform(F.col("_cents"), lambda c: sqdist(F.col("_e"), c["_cv"]))
     )
+    return _with_cents(d, _collect_cents(cents)).select(
+        F.floor(m * 1e9 + F.lit(0.5)).cast("long").alias("_du")
+    ).agg(F.sum("_du").cast("long").alias("distortion_units"))
 
 
 def train_pq_codebook(
@@ -866,14 +1210,33 @@ def ivf_pq_trained_topk(
     vec_id, adc_units, rank — fully deterministic (exact integer ADC,
     ties on vec_id), so the DuckDB oracle replays training and search
     end-to-end."""
-    d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+    d = _training_set(
+        corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+    )
 
     coarse = lloyd_train(d, id_col, "_e", n_cells, iters)
     codebook = train_pq_codebook(d, id_col, dim, n_subspaces, n_cents, iters)
 
-    cells = _coarse_cells(
-        d, id_col, n_cells, vec_alias="_e", cents=coarse
-    ).drop("probe")
+    # Round-13 (guide §2.4): assignment + encode fused into ONE narrow
+    # projection of the corpus (argmin over the one-row broadcast of
+    # the driver-state centroids/codebook) — the pre-round-13 form
+    # shuffled the corpus for the assignment groupBy, the encode
+    # groupBy, AND the codes⋈cells re-join.
+    cent_rows = _collect_cents(coarse)
+    book_rows = _collect_codebook(d, id_col, dim, n_subspaces, 0, codebook)
+    sub_d = dim // n_subspaces
+    codes_c = (
+        _with_book(_with_cents(d, cent_rows), book_rows)
+        .select(
+            id_col,
+            _nearest_entry(F.col("_e")).getField("c").alias("cell"),
+            _codes_array_from(F.col("_e"), n_subspaces, sub_d).alias("_ca"),
+        )
+        .select(id_col, "cell", F.explode("_ca").alias("_x"))
+        .select(
+            id_col, "cell", F.col("_x.s").alias("s"), F.col("_x.c").alias("c")
+        )
+    )
     qcells = _coarse_cells(
         d.where(F.col(id_col) < n_queries),
         id_col,
@@ -882,11 +1245,9 @@ def ivf_pq_trained_topk(
         cents=coarse,
         nprobe=nprobe,
     ).select(F.col(id_col).alias("query_id"), "cell")
-
-    codes, lut = _pq_codes_lut(
+    _, lut = _pq_codes_lut(
         d, id_col, dim, n_subspaces, n_cents, n_queries, codebook=codebook
     )
-    codes_c = codes.join(cells, id_col)
     # One LUT copy per probed cell; a candidate lives in exactly one
     # cell, so the (cell, s, c) equi-join never double-counts a pair.
     lut_c = lut.join(F.broadcast(qcells), "query_id")
@@ -903,28 +1264,6 @@ def ivf_pq_trained_topk(
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "adc_units", "rank")
-    )
-
-
-def _residuals(
-    d: DataFrame, id_col: str, cells: DataFrame, centroids: DataFrame
-) -> DataFrame:
-    """(id, _e) + assignment -> (id, cell, _e := v − centroid(cell(v))):
-    the residual each vector's PQ codes quantize in residual IVF-PQ
-    (FAISS IVFADC's default encoding — Jégou et al. 2011 §III.C: the
-    residual distribution is tighter than the raw one, so the same
-    codebook budget spends its centroids where the data actually is).
-    Elementwise IEEE subtraction (:func:`vdiff`) — bitwise
-    cross-engine, keeping the exact-integer ADC discipline intact."""
-    from ..functions.vectorops import vdiff
-
-    cc = centroids.select(
-        F.col("_ccid").alias("cell"), F.col("_cv").alias("_cc")
-    )
-    return (
-        d.join(cells, id_col)
-        .join(F.broadcast(cc), "cell")
-        .select(id_col, "cell", vdiff(F.col("_e"), F.col("_cc")).alias("_e"))
     )
 
 
@@ -954,22 +1293,80 @@ def train_ann_index(
     trainings are ``iters`` narrow scan + (key, dim)-partial-agg rounds
     with O(k·dim) driver state; the index tables the search reads are
     the codes (8 small ints per vector, ~3% of the embedding bytes)
-    plus two broadcast-sized centroid tables."""
-    d = corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+    plus two broadcast-sized centroid tables.
+
+    Round-13 optimization (guide §2.4): assignment, residual, and
+    encode all compile to literal expressions over the driver-state
+    centroids/codebook, so ``cells``/``codes`` are NARROW projections
+    of the corpus scan (the pre-round-13 build shuffled the corpus
+    three times: assignment groupBy, the residual d⋈cells join, and
+    the encode groupBy). The extra ``encoded`` table (id, cell, s, c)
+    is the two projections fused — inline searches use it to skip the
+    codes⋈cells join; :func:`write_ann_index` persists only the four
+    canonical tables."""
+    d = _training_set(
+        corpus.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+    )
     coarse = lloyd_train(d, id_col, "_e", n_cells, iters)
-    cells = _coarse_cells(
-        d, id_col, n_cells, vec_alias="_e", cents=coarse
-    ).drop("probe")
-    rd = _residuals(d, id_col, cells, coarse).select(id_col, "_e")
+    cent_rows = _collect_cents(coarse)
+    sub_d = dim // n_subspaces
+    # Materialize the residual table once (guide §3.3): the codebook
+    # trainer re-reads it ``iters``+1 times and the encode once more —
+    # without the cut, every one of those jobs re-runs the
+    # scan+assign+residual chain (a production trainer materializes its
+    # residual training set the same way before the sub-quantizer fit).
+    rd = (
+        _with_cents(d, cent_rows)
+        .select(
+            id_col,
+            _nearest_entry(F.col("_e")).getField("c").alias("cell"),
+            F.col("_e"),
+            F.col("_cents"),
+        )
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col("_e"),
+                _cent_lookup(F.col("cell")),
+                lambda x, y: x - y,
+            ).alias("_e"),
+        )
+        .localCheckpoint(eager=True)
+    )
     book = train_pq_codebook(rd, id_col, dim, n_subspaces, n_cents, iters)
-    codes, _ = _pq_codes_lut(
-        rd, id_col, dim, n_subspaces, n_cents, n_queries=0, codebook=book
+    book_rows = _collect_codebook(rd, id_col, dim, n_subspaces, n_cents, book)
+    # Materialize the per-vector (cell, code-array) rows once —
+    # guide §3.3: the encoded table IS the persistable index payload
+    # (8 small ints + a cell id per vector, ~3% of the corpus bytes),
+    # and truncating the lineage here keeps every downstream plan
+    # (search join, persist write, compaction write) a scan of this
+    # relation instead of a re-inlined copy of the train+encode
+    # expression tree.
+    enc_arr = (
+        _with_book(rd, book_rows)
+        .select(
+            id_col,
+            "cell",
+            _codes_array_from(F.col("_e"), n_subspaces, sub_d).alias("_ca"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells = enc_arr.select(id_col, "cell")
+    codes = enc_arr.select(id_col, F.explode("_ca").alias("_x")).select(
+        id_col, F.col("_x.s").alias("s"), F.col("_x.c").alias("c")
+    )
+    encoded = enc_arr.select(
+        id_col, "cell", F.explode("_ca").alias("_x")
+    ).select(
+        id_col, "cell", F.col("_x.s").alias("s"), F.col("_x.c").alias("c")
     )
     return {
         "centroids": coarse,
         "codebook": book,
         "cells": cells,
         "codes": codes,
+        "encoded": encoded,
     }
 
 
@@ -989,22 +1386,49 @@ def encode_into_index(
     encoding are deterministic functions of the frozen
     centroids/codebook, append ≡ rebuild-encode for the appended slice
     (pinned by the two-phase test). Returns (cells, codes) for the new
-    vectors, union-able onto the index tables."""
+    vectors, union-able onto the index tables. Both are NARROW
+    projections of the delta scan (round-13: one-row-broadcast argmin
+    assignment + residual encode — zero shuffles over the delta)."""
     d = new_vecs.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
-    # n_cells is only consulted for the training-free default centroids,
-    # never with an explicit ``cents`` — pass 0, no table count needed.
-    cells = _coarse_cells(
-        d, id_col, 0, vec_alias="_e", cents=index["centroids"]
-    ).drop("probe")
-    rd = _residuals(d, id_col, cells, index["centroids"]).select(id_col, "_e")
-    codes, _ = _pq_codes_lut(
-        rd,
-        id_col,
-        dim,
-        n_subspaces,
-        n_cents=0,
-        n_queries=0,
-        codebook=index["codebook"],
+    cent_rows = _collect_cents(index["centroids"])
+    book_rows = _collect_codebook(
+        d, id_col, dim, n_subspaces, 0, index["codebook"]
+    )
+    sub_d = dim // n_subspaces
+    rd = (
+        _with_cents(d, cent_rows)
+        .select(
+            id_col,
+            _nearest_entry(F.col("_e")).getField("c").alias("cell"),
+            F.col("_e"),
+            F.col("_cents"),
+        )
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col("_e"),
+                _cent_lookup(F.col("cell")),
+                lambda x, y: x - y,
+            ).alias("_e"),
+        )
+    )
+    # Same materialization point as train_ann_index (guide §3.3): the
+    # append delta's encoded rows are the index fragment a production
+    # append writes; truncating here keeps union/search/write plans
+    # scans instead of re-inlined encode trees.
+    enc_arr = (
+        _with_book(rd, book_rows)
+        .select(
+            id_col,
+            "cell",
+            _codes_array_from(F.col("_e"), n_subspaces, sub_d).alias("_ca"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells = enc_arr.select(id_col, "cell")
+    codes = enc_arr.select(id_col, F.explode("_ca").alias("_x")).select(
+        id_col, F.col("_x.s").alias("s"), F.col("_x.c").alias("c")
     )
     return cells, codes
 
@@ -1042,47 +1466,72 @@ def ann_index_search(
     the metadata column is stored alongside the codes at index-build
     time (the codes⋈attrs join here is co-located by construction —
     both sides are keyed and written by ``id_col``), so filtering
-    prunes candidates before any per-candidate arithmetic."""
-    from ..functions.vectorops import sqdist, vdiff
+    prunes candidates before any per-candidate arithmetic.
 
+    Round-13 optimization (guide §2.4): the query side — probe cells,
+    per-cell residuals, and the per-(query, cell) LUT — is built as
+    narrow literal expressions over the (bounded) query rows instead of
+    four joins; the corpus side uses the fused ``encoded`` table when
+    the index carries one (inline-trained indexes), skipping the
+    codes⋈cells shuffle join; a frozen parquet-loaded index keeps the
+    join (its tables are separate files by design)."""
+    cent_rows = _collect_cents(index["centroids"])
+    book_rows = _collect_codebook(
+        queries, "query_id", dim, n_subspaces, 0, index["codebook"]
+    )
     sub_d = dim // n_subspaces
-    qcells = _coarse_cells(
-        queries,
-        "query_id",
-        0,
-        vec_alias="_e",
-        cents=index["centroids"],
-        nprobe=nprobe,
-    ).select("query_id", "cell")
-    cc = index["centroids"].select(
-        F.col("_ccid").alias("cell"), F.col("_cv").alias("_cc")
-    )
-    qres = (
-        queries.join(F.broadcast(qcells), "query_id")
-        .join(F.broadcast(cc), "cell")
+    qcols = [query_attr] if attrs is not None else []
+    # Two-step projections (generator-extraction quirk — see lloyd_train).
+    probes = (
+        _with_cents(queries, cent_rows)
         .select(
-            "query_id", "cell", vdiff(F.col("_e"), F.col("_cc")).alias("_qr")
+            "query_id",
+            *qcols,
+            F.col("_e"),
+            F.col("_cents"),
+            _nearest_entries(F.col("_e"), nprobe).alias("_pcs"),
+        )
+        .select(
+            "query_id", *qcols, "_e", "_cents", F.explode("_pcs").alias("_pc")
+        )
+        .select(
+            "query_id",
+            *qcols,
+            F.col("_pc.c").alias("cell"),
+            F.zip_with(
+                F.col("_e"),
+                _cent_lookup(F.col("_pc.c")),
+                lambda x, y: x - y,
+            ).alias("_e"),
         )
     )
-    qsub = _explode_subs(
-        qres, "query_id", "sv", n_subspaces, sub_d, vec_alias="_qr",
-        extra=("cell",),
+    lut = (
+        _with_book(probes, book_rows)
+        .select(
+            "query_id",
+            *qcols,
+            "cell",
+            _lut_array_from(F.col("_e"), sub_d).alias("_la"),
+        )
+        .select("query_id", *qcols, "cell", F.explode("_la").alias("_x"))
+        .select(
+            "query_id",
+            *qcols,
+            "cell",
+            F.col("_x.s").alias("s"),
+            F.col("_x.c").alias("c"),
+            F.col("_x._du").alias("_du"),
+        )
     )
-    lut = qsub.join(F.broadcast(index["codebook"]), "s").select(
-        "query_id",
-        "cell",
-        "s",
-        F.col("_cid").alias("c"),
-        F.floor(sqdist(F.col("sv"), F.col("cv")) * 1e9 + F.lit(0.5))
-        .cast("long")
-        .alias("_du"),
+    codes_c = (
+        index["encoded"]
+        if "encoded" in index
+        else index["codes"].join(index["cells"], id_col)
     )
-    codes_c = index["codes"].join(index["cells"], id_col)
     if attrs is not None:
+        # The requested attribute value already rides the LUT rows
+        # (carried through the narrow query-side build above).
         codes_c = codes_c.join(attrs.select(id_col, attr_col), id_col)
-        lut = lut.join(
-            F.broadcast(queries.select("query_id", query_attr)), "query_id"
-        )
     cand = codes_c.join(F.broadcast(lut), ["cell", "s", "c"]).where(
         F.col(id_col) != F.col("query_id")
     )
@@ -1232,13 +1681,19 @@ def semantic_dedup_cells(
     shared O(k·dim)-driver-state Lloyd loop, and the pair space is
     Σ_cell (distinct-vectors-in-cell)² — the same blocked-pair
     discipline as the LSH dedup family. Output: (id, cell, kept)."""
-    d = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    d = _training_set(
+        embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    )
     coarse = lloyd_train(d, id_col, "_v", n_cells, iters)
-    cells = _coarse_cells(
-        d, id_col, n_cells, vec_alias="_v", cents=coarse
-    ).drop("probe")
+    # Round-13 (guide §2.4): one-row-broadcast argmin assignment inline
+    # — no corpus-sized d⋈cells join ahead of the group collapse.
+    assigned = _with_cents(d, _collect_cents(coarse)).select(
+        id_col,
+        "_v",
+        _nearest_entry(F.col("_v")).getField("c").alias("cell"),
+    )
     groups = (
-        d.join(cells, id_col)
+        assigned
         .groupBy("cell", "_v")
         .agg(
             F.min(id_col).alias("_rep"),
@@ -1299,14 +1754,18 @@ def cell_balanced_sample(
     (id, cell, cell_rank, sample_key) for the sampled rows — the rank
     and key sit under the value hash, so the SELECTION itself is
     oracle-checked, not just the counts."""
-    d = embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    d = _training_set(
+        embeddings.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    )
     coarse = lloyd_train(d, id_col, "_v", n_cells, iters)
-    cells = _coarse_cells(
-        d, id_col, n_cells, vec_alias="_v", cents=coarse
-    ).drop("probe")
-    keyed = cells.withColumn(
-        "sample_key",
-        F.md5(F.col(id_col).cast("string").cast("binary")),
+    # Round-13 (guide §2.4): one-row-broadcast argmin assignment — the
+    # keyed frame is one narrow projection of the corpus scan.
+    keyed = _with_cents(d, _collect_cents(coarse)).select(
+        id_col,
+        _nearest_entry(F.col("_v")).getField("c").alias("cell"),
+        F.md5(F.col(id_col).cast("string").cast("binary")).alias(
+            "sample_key"
+        ),
     )
     w = Window.partitionBy("cell").orderBy("sample_key", id_col)
     return (

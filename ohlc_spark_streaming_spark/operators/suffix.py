@@ -245,18 +245,19 @@ def suffix_rank_tables(
     ).select("doc_id", "pos", F.col("gr").alias("r"))
     tables = [RankTable(1, r, tuple(track))]
     d = 1
+    # Round-13 (guide §2.4): the shifted-rank pairing is lead(r, d) over
+    # (doc, pos) — positions are dense 1..len per document, so the lead
+    # value IS the rank at pos+d and a past-end lead is null, exactly
+    # the left-join-miss the previous self-join encoded. One exchange +
+    # sort per round instead of the join's two exchanges + two sorts;
+    # values are bitwise identical.
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
     while d < max_len:
-        nxt = _rank_lookup(r, "n")
-        paired = r.join(
-            nxt,
-            (F.col("doc_id") == F.col("n_doc"))
-            & (F.col("pos") + F.lit(d) == F.col("n_pos")),
-            "left",
-        ).select(
+        paired = r.select(
             "doc_id",
             "pos",
             F.col("r").alias("r1"),
-            F.coalesce(F.col("n_r"), F.lit(-1)).alias("r2"),
+            F.coalesce(F.lead("r", d).over(w_doc), F.lit(-1)).alias("r2"),
         )
         track = []
         r = global_dense_rank(

@@ -1296,7 +1296,11 @@ def q_lloyd_train_kmeanspar(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded to (cell, pos, component) — bitwise cross-engine (the
     oracle replays seeding, reduce, and training end-to-end)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.select("vec_id", as_double_array("embedding").alias("_e"))
+    # Round-13: one materialization feeds seeding (2 rounds x 2 scans),
+    # the weight pass, and both Lloyd iterations (see _training_set).
+    d = sim_ops._training_set(
+        emb.select("vec_id", as_double_array("embedding").alias("_e"))
+    )
     cents = sim_ops.lloyd_train(
         d, "vec_id", "_e", 8, 2, seeds=_kmeanspar_seed_df(d)
     )
@@ -1319,7 +1323,11 @@ def q_kmeanspar_distortion_audit(
     value at 100 TB is reaching the plateau with fewer corpus-wide
     Lloyd passes, each a full scan)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.select("vec_id", as_double_array("embedding").alias("_e"))
+    # Round-13: the audit replays four trainings + four distortion scans
+    # over the same projected input — one materialization (_training_set).
+    d = sim_ops._training_set(
+        emb.select("vec_id", as_double_array("embedding").alias("_e"))
+    )
     kp = _kmeanspar_seed_df(d)
     out = None
     for init, seeds in (("first_k", None), ("kmeans_par", kp)):
