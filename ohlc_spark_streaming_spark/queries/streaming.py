@@ -1252,8 +1252,11 @@ def q_streaming_session_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel_ts = max_ts + datetime.timedelta(
         microseconds=SESSION_GAP_US, seconds=_SESSION_WM_DELAY_S + 1
     )
-    sentinel = spark.createDataFrame(
-        [(-1, sentinel_ts, -1, 0.0)],
+    from ..sources.stream import one_row_frame
+
+    sentinel = one_row_frame(
+        spark,
+        (-1, sentinel_ts, -1, 0.0),
         "event_id long, ts timestamp_ntz, user_id long, value double",
     ).selectExpr(
         "event_id", "cast(ts as timestamp) as ts", "user_id", "value"
@@ -1403,19 +1406,23 @@ def _closed_event_tape(spark: SparkSession, sf_dir: str):
         "event_id", "ts", "user_id", "event_type"
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]  # 1-row fence
+    from ..sources.stream import one_row_frame
+
+    # Single-partition one-row frames (see one_row_frame: a plain
+    # createDataFrame sentinel cost 6-7s PER WRITE through replay_tape's
+    # coalesce).
     sentinels = [
-        spark.createDataFrame(
-            [
-                (
-                    -i,
-                    max_ts
-                    + datetime.timedelta(
-                        seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
-                    ),
-                    _ANTI_SENTINEL_USER,
-                    "sentinel",
-                )
-            ],
+        one_row_frame(
+            spark,
+            (
+                -i,
+                max_ts
+                + datetime.timedelta(
+                    seconds=_ANTI_LOOKBACK_S + _ANTI_WM_DELAY_S + i
+                ),
+                _ANTI_SENTINEL_USER,
+                "sentinel",
+            ),
             "event_id long, ts timestamp_ntz, user_id long,"
             " event_type string",
         ).selectExpr(
@@ -1992,8 +1999,12 @@ def fold_ann_serve(
         rows.extend(tuple(r) for r in res.collect())
 
     run_foreach_batch(query_stream, fold, f"stream_annserve_{next(_counter)}")
+    # Single-partition driver-local finals (a default createDataFrame
+    # spreads the k·q rows over defaultParallelism Python-backed
+    # partitions — see sources/stream.one_row_frame).
     return spark.createDataFrame(
-        rows, "query_id long, vec_id long, adc_units long, rank long"
+        spark.sparkContext.parallelize(rows, 1),
+        "query_id long, vec_id long, adc_units long, rank long",
     )
 
 

@@ -85,6 +85,22 @@ def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 import contextlib  # noqa: E402
 
 
+def one_row_frame(spark: SparkSession, row: tuple, schema: str) -> DataFrame:
+    """A SINGLE-PARTITION one-row DataFrame — the sentinel-frame builder.
+
+    Round-13 optimization (guide §4 — the Python boundary, measured):
+    ``createDataFrame([row])`` spreads even one row over
+    defaultParallelism Python-backed partitions, and replay_tape's
+    ``coalesce(1)`` then evaluates those Python workers SEQUENTIALLY in
+    a single task — 6–7 s per 1-row sentinel write at local[32] (11–14 s
+    of the anti/full-outer tape queries' wall time). A 1-slice
+    parallelize keeps the row in one partition and one worker: the same
+    write is ~0.5 s."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([row], 1), schema
+    )
+
+
 @contextlib.contextmanager
 def replay_tape(base_df: DataFrame, sentinel_dfs: list[DataFrame]):
     """Bounded event-time REPLAY TAPE: a temp directory holding
